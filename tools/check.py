@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: tools/check.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet result written by graft.Verify, runs the
+corresponding oracle SQL from oracle_sql.json in DuckDB against the sf_dir
+parquet tables, and compares: row count, schema (column names), and a hash of
+all values with columns sorted by name (mirroring the described driver gate:
+"sorts columns by name before hashing values"). Rows are sorted before
+hashing so physical order can't cause false negatives.
+"""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+import numpy as np
+import hashlib
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for compare
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(sorted(v)) if isinstance(v, dict) else
+                          (str(list(v)) if isinstance(v, (list, np.ndarray)) else str(v)))
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def h(df: pd.DataFrame) -> str:
+    m = hashlib.sha256()
+    for c in df.columns:
+        m.update(c.encode())
+        vals = df[c]
+        if pd.api.types.is_float_dtype(vals):
+            m.update(np.ascontiguousarray(vals.to_numpy()).tobytes())
+        else:
+            m.update("\x1f".join("" if v is None else str(v) for v in vals).encode())
+    return m.hexdigest()[:16]
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = 0
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark parquet output"); n_fail += 1; continue
+        got = pq.read_table(files[0]).to_pandas()
+        if name not in oracle:
+            print(f"ROWS {name}: rows={len(got)} (no oracle, rows-only check)")
+            n_pass += 1
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        gc, ec = canon(got), canon(exp)
+        if list(gc.columns) != list(ec.columns):
+            print(f"FAIL {name}: schema spark={list(gc.columns)} oracle={list(ec.columns)}")
+            n_fail += 1; continue
+        if len(gc) != len(ec):
+            print(f"FAIL {name}: rows spark={len(gc)} oracle={len(ec)}")
+            n_fail += 1; continue
+        hg, he = h(gc), h(ec)
+        if hg != he:
+            print(f"FAIL {name}: hash mismatch")
+            # show first differing rows for debugging
+            for i in range(min(len(gc), 2000)):
+                if not gc.iloc[i].equals(ec.iloc[i]):
+                    print("  spark :", gc.iloc[i].to_dict())
+                    print("  oracle:", ec.iloc[i].to_dict())
+                    break
+            n_fail += 1
+        else:
+            print(f"PASS {name} rows={len(gc)} hash={hg}")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
