@@ -12,8 +12,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's parquet
+      // reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
+      // long and floor-convert to a micros TimestampType column — the same
+      // truncation Spark applies to us-precision data, and consistent with
+      // DuckDB's epoch_ms flooring in the oracles.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .select(raw.columns.map(col): _*)
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
 
   /** Register all tables as temp views (for spark.sql-style entry points). */
   def registerViews(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (backward): for each left row, attach the most recent right row
+  * with `right.ts <= left.ts` and equal keys — the operator the reference
+  * category lacks and Spark has no built-in for in batch mode.
+  *
+  * Implemented as union + window rather than a nested-loop or range join:
+  * both sides are tagged, unioned, shuffled ONCE on the keys, sorted by
+  * (ts, tag) within each key, and each left row picks up the running
+  * `last(payload, ignoreNulls)` carried from right rows. Cost is one shuffle
+  * + one sort — the same plan shape at 60k rows and at 100 TB (key-partitioned;
+  * skewed keys can be salted upstream). A broadcast-range alternative would
+  * blow up as |left| x |right|.
+  */
+object AsofJoin {
+
+  /** @param left     left side (rows to enrich)
+    * @param right    right side (lookup timeline)
+    * @param keys     equi-join key columns present on both sides
+    * @param tsCol    event-time column name present on both sides
+    * @param payload  right-side columns to carry (must be non-null on right),
+    *                 mapped to their output names
+    * Right rows at the exact same timestamp as a left row DO match (<=),
+    * mirroring ASOF JOIN ... ON l.ts >= r.ts semantics.
+    */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      payload: Map[String, String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val lTagged = left
+      .withColumn("_side", lit(1))
+      .withColumns(payload.map { case (src, out) => out -> lit(null).cast(right.schema(src).dataType) })
+    val rTagged = right
+      .select((keys :+ tsCol).map(col) ++ payload.map { case (src, out) => col(src).as(out) }: _*)
+      .withColumn("_side", lit(0))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // right (_side=0) sorts before left (_side=1) at equal ts => ties included
+    val w = Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.values.foldLeft(unioned) { (df, out) =>
+      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === 1).drop("_side")
+  }
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.AsofJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / event operators over the `events` table: range join, as-of
+  * join, event-time tumbling windows, gap-based sessionization, keyed dedup.
+  * These are the batch duals of the Structured Streaming operators in
+  * graft.streaming (same plan shapes, watermarks added on the stream side).
+  *
+  * Timestamps are never emitted raw: the testdata carries nanosecond parquet
+  * timestamps which Spark truncates to micros while DuckDB keeps nanos, so
+  * outputs use epoch milliseconds (`unix_millis` / `epoch_ms` — both floor,
+  * ns->ms and ns->us->ms agree).
+  */
+object Events {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // --------------------------------------------------------------------------
+  // q21 — range join done the scalable way: an EQUI join on user_id carries
+  // the shuffle, the time-range predicate is a post-join filter. Pairs of
+  // events by the same user within 5 minutes. (A naive t1<t2<t1+5min range
+  // join with no equi key would be a nested-loop — never viable at scale.)
+  def q21_event_pairs_within_5min(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_id"), col("ts"))
+    val a = e.select(col("user_id"), col("event_id").as("e1"), col("ts").as("ts1"))
+    val b = e.select(col("user_id"), col("event_id").as("e2"), col("ts").as("ts2"))
+    a.join(b, Seq("user_id"))
+      .filter(col("ts2") > col("ts1") && col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+      .select(col("user_id"), col("e1"), col("e2"),
+        (unix_millis(col("ts2")) - unix_millis(col("ts1"))).as("gap_ms"))
+      .orderBy(col("user_id"), col("e1"), col("e2"))
+  }
+
+  private val q21_sql =
+    """SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+      | epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+      |ORDER BY a.user_id, e1, e2""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q22 — as-of join via graft.operators.AsofJoin (union + window, one
+  // shuffle on user_id): each purchase picks up the most recent prior-or-
+  // simultaneous click by the same user. Oracle uses DuckDB's native ASOF
+  // JOIN — an independent implementation of the same semantics.
+  def q22_asof_purchase_click(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .withColumn("click_ms", unix_millis(col("ts")))
+    AsofJoin.asofBackward(purchases, clicks, Seq("user_id"), "ts",
+        Map("event_id" -> "last_click_id", "click_ms" -> "last_click_ms"))
+      .select(col("purchase_id"), col("user_id"), unix_millis(col("ts")).as("purchase_ms"),
+        col("last_click_id"), col("last_click_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q22_sql =
+    """SELECT p.event_id AS purchase_id, p.user_id, epoch_ms(p.ts) AS purchase_ms,
+      | c.event_id AS last_click_id, epoch_ms(c.ts) AS last_click_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q23 — event-time tumbling window (batch dual of the streaming windowed
+  // aggregate): hourly counts and exact value sums per event type.
+  def q23_hourly_type_counts(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .select(unix_millis(col("hour")).as("hour_ms"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_ms"), col("event_type"))
+
+  private val q23_sql =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+      | count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q24 — gap-based sessionization (batch dual of session_window): a session
+  // breaks after 30 idle minutes. lag + running sum of session starts —
+  // one shuffle on user_id, integer arithmetic only (exact everywhere).
+  def q24_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 30L * 60 * 1000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q24_sql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, ms,
+      |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |sid AS (
+      |  SELECT user_id, ms,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM m)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ms) AS start_ms, max(ms) AS end_ms
+      |FROM sid GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q25 — keyed dedup keep-first (batch dual of dropDuplicates /
+  // dropDuplicatesWithinWatermark): first event per (user, type).
+  def q25_dedup_keep_first(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), unix_millis(col("ts")).as("first_ms"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val q25_sql =
+    """SELECT user_id, event_type, event_id AS first_event_id, epoch_ms(ts) AS first_ms
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rk
+      |      FROM events)
+      |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // --------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_event_pairs_within_5min" -> (q21_event_pairs_within_5min _),
+    "q22_asof_purchase_click" -> (q22_asof_purchase_click _),
+    "q23_hourly_type_counts" -> (q23_hourly_type_counts _),
+    "q24_sessionize" -> (q24_sessionize _),
+    "q25_dedup_keep_first" -> (q25_dedup_keep_first _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q21_event_pairs_within_5min" -> q21_sql,
+    "q22_asof_purchase_click" -> q22_sql,
+    "q23_hourly_type_counts" -> q23_sql,
+    "q24_sessionize" -> q24_sql,
+    "q25_dedup_keep_first" -> q25_sql
+  )
+}
