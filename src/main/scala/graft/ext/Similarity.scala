@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * Two scoring paths:
+  *
+  *   - '''Fixed-point exact''' ([[explodeFixedPoint]] + integer dot
+  *     products): components are quantized to 16-bit fixed point
+  *     (floor(x·2¹⁵) — exact, float widening and the multiply are both
+  *     lossless in double), so dot products and squared norms are exact
+  *     BIGINT sums — associative, order-independent, and bit-identical in
+  *     any engine. This is what makes cosine results oracle-checkable;
+  *     quantization error on the *score* is ≤ ~1e-4, and the score itself
+  *     is the operator's contract.
+  *   - '''Float fold''' ([[foldCosine]]): single-pass zip_with/aggregate
+  *     fold — no row explosion, the fast path for ANN re-ranking where
+  *     cross-engine bit-equality is not required.
+  *
+  * Scale posture: brute-force top-k broadcasts the (small) query set and
+  * scans the base once — the canonical "exact kNN at any scale" plan.
+  * Pair-explosion forms (near-dup) are quadratic by nature; the LSH-bucketed
+  * variant ([[annLshTopK]]) is the scale path, trading recall for a
+  * bucket-local search.
+  */
+object Similarity {
+
+  /** (id, idx, xi) with xi = floor(x·2¹⁵) as BIGINT — exact fixed-point. */
+  def explodeFixedPoint(emb: DataFrame, idCol: String, vecCol: String,
+      outId: String): DataFrame =
+    emb.select(col(idCol).as(outId),
+        posexplode(col(vecCol)).as(Seq("idx", "x")))
+      .withColumn("xi", floor(col("x").cast(DoubleType) * lit(32768.0)).cast(LongType))
+      .drop("x")
+
+  /** Exact fixed-point squared norms: (id, n2: BIGINT). */
+  def fixedPointNorms2(emb: DataFrame, idCol: String, vecCol: String,
+      outId: String): DataFrame =
+    explodeFixedPoint(emb, idCol, vecCol, outId)
+      .groupBy(col(outId)).agg(sum(col("xi") * col("xi")).as("n2"))
+
+  /** Exact cosine for every (query, base) pair: integer dot via index join,
+    * cosine = dot / (√n2q · √n2b) in double — every step deterministic.
+    * Cost: |Q|·|B| pairs materialized through a dim-wise join; use for
+    * small query sets or verified-exact workloads. */
+  def exactCosinePairs(queries: DataFrame, base: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qe = explodeFixedPoint(queries, idCol, vecCol, "qid")
+      .withColumnRenamed("xi", "qx")
+    val be = explodeFixedPoint(base, idCol, vecCol, "vid")
+      .withColumnRenamed("xi", "bx")
+    val dots = qe.join(be, Seq("idx"))
+      .groupBy(col("qid"), col("vid")).agg(sum(col("qx") * col("bx")).as("dot"))
+    val qn = fixedPointNorms2(queries, idCol, vecCol, "qid").withColumnRenamed("n2", "qn2")
+    val bn = fixedPointNorms2(base, idCol, vecCol, "vid").withColumnRenamed("n2", "bn2")
+    dots.join(broadcast(qn), Seq("qid")).join(bn, Seq("vid"))
+      .withColumn("cosine",
+        col("dot").cast(DoubleType) /
+          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("bn2").cast(DoubleType))))
+      .select(col("qid"), col("vid"), col("cosine"))
+  }
+
+  /** Brute-force exact top-k neighbors per query (self-match excluded),
+    * deterministic tie-break on vid. */
+  def bruteForceTopK(queries: DataFrame, base: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    exactCosinePairs(queries, base, idCol, vecCol)
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Single-pass float-fold cosine between two vector columns (fast path,
+    * not cross-engine exact). */
+  def foldCosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Sign-random-projection bucket code: `planes` hyperplanes with ±1
+    * coefficients drawn from a keyed xxhash64 — deterministic, seedless,
+    * and computable per-row with no join. */
+  def srpBucket(vecCol: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vecCol, sequence(lit(0), lit(63)), (x, i) =>
+          x.cast(DoubleType) *
+            (pmod(xxhash64(lit("srp"), lit(p), i), lit(2)) * 2 - 1).cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: queries and base are bucketed by
+    * [[srpBucket]] over `bands` independent codes of `planesPerBand` bits;
+    * candidates share any (band, code); exact fold-cosine re-ranks.
+    * Recall is tunable via bands (multi-probe by construction); cost is
+    * bucket-local instead of |Q|·|B|. */
+  def annLshTopK(queries: DataFrame, base: DataFrame, k: Int,
+      planesPerBand: Int = 8, bands: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
+      val codes = (0 until bands).map { b =>
+        val bits = (0 until planesPerBand).map { p =>
+          val proj = aggregate(
+            zip_with(col(vec), sequence(lit(0), lit(63)), (x, i) =>
+              x.cast(DoubleType) *
+                (pmod(xxhash64(lit("srp"), lit(b * planesPerBand + p), i), lit(2)) * 2 - 1)
+                  .cast(DoubleType)),
+            lit(0.0), (acc, v) => acc + v)
+          when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+        }
+        bits.reduce(_ + _)
+      }
+      df.select(col(id), col(vec), posexplode(array(codes: _*)).as(Seq("band", "code")))
+    }
+    val qb = banded(queries, idCol, vecCol)
+      .select(col("band"), col("code"), col(idCol).as("qid"), col(vecCol).as("qv"))
+    val bb = banded(base, idCol, vecCol)
+      .select(col("band"), col("code"), col(idCol).as("vid"), col(vecCol).as("bv"))
+    val cand = qb.join(bb, Seq("band", "code"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), col("qv"), col("bv"))
+      .dropDuplicates("qid", "vid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    cand.withColumn("cosine", foldCosine(col("qv"), col("bv")))
+      .select(col("qid"), col("vid"), col("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting (whitespace + BPE-ish regex), quality scoring, corpus-
+  * profile language ID, and content fingerprinting.
+  *
+  * All pure Column expressions / relational plans — whole-stage codegen,
+  * no UDFs, no driver-side loops. Each scales linearly in rows: the only
+  * shuffles are the group-bys/joins noted per op.
+  */
+object TextAnalysis {
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single other glyphs.
+    * Kept in the Java∩RE2 regex subset so oracles can run it verbatim. */
+  val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** English-ish stopword list used by quality scoring (tiny on purpose —
+    * the mechanism, a set-membership ratio, is what matters). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document token statistics. No shuffle — a projection. */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("n_chars_m", length(t).cast(LongType))
+      .withColumn("n_ws_tokens", size(split(t, " ", -1)).cast(LongType))
+      .withColumn("n_bpe_tokens", size(regexp_extract_all(t, lit(BpeTokenRe), lit(0))).cast(LongType))
+  }
+
+  /** Heuristic quality score in [0,1]: blends stopword ratio, mean token
+    * length closeness to 5, and a length prior. Every arithmetic step is a
+    * deterministic IEEE double op with explicit association so independent
+    * engines reproduce it bit-for-bit. One projection, no shuffle. */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ", -1)
+    val nTok = size(toks).cast(DoubleType)
+    val sumTokLen = length(regexp_replace(t, " ", "")).cast(DoubleType)
+    val stopHits = size(filter(toks, w => w.isInCollection(Stopwords))).cast(DoubleType)
+    val stopRatio = stopHits / nTok
+    val meanLen = sumTokLen / nTok
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    // band-pass on mean token length: 1 at 5, falling to 0 at 5±5
+    val lenBand = greatest(lit(0.0), lit(1.0) - abs(meanLen - lit(5.0)) / lit(5.0))
+    docs.withColumn("n_tokens", nTok.cast(LongType))
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("mean_token_len", meanLen)
+      .withColumn("quality_score",
+        (stopRatio * lit(0.4)) + (lenBand * lit(0.4)) + (lenScore * lit(0.2)))
+  }
+
+  /** Corpus-profile language ID: build a per-language profile (top-`k` most
+    * frequent tokens, ties broken lexicographically) from the labeled corpus
+    * itself, score each document by distinct-token overlap with each
+    * profile, and predict the argmax language (score desc, language asc).
+    *
+    * Plan shape at scale: one shuffle to build profiles (tiny — |langs|·k
+    * rows, broadcast back), one shuffle for the per-(doc,lang) overlap
+    * count. Integer scores ⇒ deterministic across engines. */
+  def langId(docs: DataFrame, k: Int = 20): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ", -1)).as("w"))
+    val profile = toks.groupBy(col("lang").as("p_lang"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("w"))))
+      .filter(col("rk") <= k)
+      .select(col("p_lang"), col("w"))
+    val docToks = toks.select(col("doc_id"), col("w")).distinct()
+    val scores = docToks.join(broadcast(profile), Seq("w"))
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(count(lit(1)).as("score"))
+    val best = scores.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("p_lang").as("pred_lang"), col("score"))
+    docs.select(col("doc_id"), col("lang")).join(best, Seq("doc_id"))
+  }
+
+  /** Content fingerprints: md5 text digest plus a 60-bit numeric fingerprint
+    * (first 15 md5 hex digits) usable as a join/partition key. The 60-bit
+    * form is chosen because every SQL engine can reproduce it from md5,
+    * making cross-engine dedup joins possible. No shuffle. */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fp_md5", md5(col(textCol)))
+      .withColumn("fp60", conv(substring(col("fp_md5"), 1, 15), 16, 10).cast(LongType))
+}

@@ -1,0 +1,311 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline operators as oracle-checked queries: text analysis
+  * (q32–q35), deduplication (q36–q39), similarity search (q40–q42), and
+  * multimodal plumbing (q43) over the `documents`/`embeddings` tables.
+  *
+  * Oracle discipline: every score that crosses the engine boundary is either
+  * pure-integer (counts, fingerprints, hamming), a single-division double of
+  * two exact integers (Jaccard), or fixed-point exact (cosine — see
+  * [[graft.ext.Similarity]]); chained double arithmetic (quality score)
+  * uses explicitly-parenthesized identical expressions on both sides.
+  * q42 (approximate ANN) intentionally has no oracle — approximation has no
+  * SQL-exact dual; its recall is asserted against q40 in ScalaTest.
+  */
+object Corpus {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // --------------------------------------------------------------------------
+  // q32 — token counting: whitespace tokens and BPE-ish regex pre-tokens.
+  def q32_token_stats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(docs(s, dir))
+      .select(col("doc_id"), col("n_chars_m"), col("n_ws_tokens"), col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val q32_sql =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q33 — quality scoring: stopword ratio, token-length band, length prior.
+  def q33_quality_score(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+        col("mean_token_len"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  private val q33_sql =
+    """SELECT doc_id,
+      | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      | CAST(len(list_filter(string_split(text,' '),
+      |   x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+      |   / CAST(len(string_split(text,' ')) AS DOUBLE) AS stopword_ratio,
+      | CAST(length(replace(text,' ','')) AS DOUBLE)
+      |   / CAST(len(string_split(text,' ')) AS DOUBLE) AS mean_token_len,
+      | ((CAST(len(list_filter(string_split(text,' '),
+      |     x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+      |    / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.4)
+      |  + ((greatest(0.0, 1.0 - abs((CAST(length(replace(text,' ','')) AS DOUBLE)
+      |       / CAST(len(string_split(text,' ')) AS DOUBLE)) - 5.0) / 5.0)) * 0.4)
+      |  + (least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.2)
+      |   AS quality_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q34 — corpus-profile language ID: per-lang top-20 token profiles built
+  // from the corpus, prediction = argmax distinct-token overlap.
+  def q34_lang_id(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir), k = 20)
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("score"))
+      .orderBy(col("doc_id"))
+
+  private val q34_sql =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |prof AS (
+      |  SELECT p_lang, w FROM (
+      |    SELECT lang AS p_lang, w,
+      |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, w) AS rk
+      |    FROM tok GROUP BY lang, w) WHERE rk <= 20),
+      |dt AS (SELECT DISTINCT doc_id, w FROM tok),
+      |sc AS (SELECT dt.doc_id, prof.p_lang, count(*) AS score
+      |       FROM dt JOIN prof ON dt.w = prof.w GROUP BY 1, 2),
+      |best AS (SELECT doc_id, p_lang AS pred_lang, score FROM (
+      |  SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rk
+      |  FROM sc) WHERE rk = 1)
+      |SELECT d.doc_id, d.lang, b.pred_lang, b.score
+      |FROM documents d JOIN best b USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q35 — content fingerprinting: md5 digest + engine-portable 60-bit form.
+  def q35_fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(docs(s, dir))
+      .select(col("doc_id"), col("fp_md5"), col("fp60"))
+      .orderBy(col("doc_id"))
+
+  private val q35_sql =
+    """SELECT doc_id, md5(text) AS fp_md5,
+      | CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp60
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q36 — exact dedup by content fingerprint: canonical id + copy count per
+  // group (hash-groupBy; the streaming dual is dropDuplicatesWithinWatermark).
+  def q36_exact_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(docs(s, dir))
+      .select(col("doc_id"), col("fp60"), col("canonical_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  private val q36_sql =
+    """WITH fp AS (SELECT doc_id,
+      |   CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp60 FROM documents),
+      |g AS (SELECT fp60, min(doc_id) AS canonical_id, count(*) AS n_copies
+      |      FROM fp GROUP BY 1)
+      |SELECT doc_id, fp60, canonical_id, n_copies
+      |FROM fp JOIN g USING (fp60) ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q37 — exact n-gram Jaccard near-dup pairs (char 16-grams, doc-frequency
+  // cap 500, threshold 0.5) via inverted-index join.
+  def q37_ngram_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(
+        Dedup.capDocFreq(Dedup.charShingles(docs(s, dir), 16), 500), 0.5)
+      .orderBy(col("i"), col("j"))
+
+  private def jaccardOracle(threshold: String): String =
+    s"""WITH sh0 AS (
+      |  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 16) AS sh
+      |  FROM documents, range(1, 100000) t(i)
+      |  WHERE i <= greatest(length(text) - 15, 1)),
+      |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 500),
+      |sh AS (SELECT id, sh0.sh FROM sh0 JOIN keep USING (sh)),
+      |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.id AS i, b.id AS j, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+      |SELECT i, j,
+      |  CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) AS jaccard
+      |FROM inter JOIN sz x ON i = x.id JOIN sz y ON j = y.id
+      |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= $threshold
+      |ORDER BY i, j""".stripMargin
+
+  private val q37_sql = jaccardOracle("0.5")
+
+  // --------------------------------------------------------------------------
+  // q38 — MinHash+LSH near-dup (128 hashes, 32 bands × 4): LSH proposes,
+  // exact Jaccard verifies, so the oracle is the exact computation. At the
+  // 0.7 threshold the 32-band recall is 1 − (1−0.7⁴)³² ≈ 0.9998 per pair,
+  // and verified pairs carry exact scores (precision 1).
+  def q38_minhash_lsh_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(s, dir), n = 16, maxDf = 500,
+        numHashes = 128, rowsPerBand = 4, minJaccard = 0.7)
+      .orderBy(col("i"), col("j"))
+
+  private val q38_sql = jaccardOracle("0.7")
+
+  // --------------------------------------------------------------------------
+  // q39 — SimHash near-dup (60-bit weighted signature over char 16-grams,
+  // hamming ≤ 3). The 4×15-bit band join is lossless by pigeonhole, so the
+  // all-pairs oracle is exactly equal.
+  def q39_simhash_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), n = 16, maxHamming = 3)
+      .orderBy(col("i"), col("j"))
+
+  private val q39_sql =
+    """WITH shw AS (
+      |  SELECT doc_id AS id, substr(text, CAST(i AS INT), 16) AS sh, count(*) AS w
+      |  FROM documents, range(1, 100000) t(i)
+      |  WHERE i <= greatest(length(text) - 15, 1)
+      |  GROUP BY 1, 2),
+      |hh AS (SELECT id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h, w FROM shw),
+      |bits AS (
+      |  SELECT id, bb.b AS b, sum(w * (((h >> bb.b) & 1) * 2 - 1)) AS s
+      |  FROM hh, (SELECT unnest(range(0, 60)) AS b) bb
+      |  GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM bits GROUP BY 1)
+      |SELECT a.id AS i, b.id AS j,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      |FROM sig a JOIN sig b ON a.id < b.id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY i, j""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q40 — exact cosine top-5 per query (queries = vec_id < 32), fixed-point
+  // exact scoring (see Similarity doc). The brute-force ANN baseline.
+  def q40_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 32), e, k = 5)
+      .select(col("qid"), col("vid"), col("cosine"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val q40_sql =
+    """WITH ex AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, (x, i) -> i - 1)) AS idx,
+      |    unnest(list_transform(embedding,
+      |      (x, i) -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT))) AS xi
+      |  FROM embeddings),
+      |n2 AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+      |dots AS (
+      |  SELECT q.vec_id AS qid, b.vec_id AS vid, CAST(sum(q.xi * b.xi) AS BIGINT) AS dot
+      |  FROM ex q JOIN ex b ON q.idx = b.idx
+      |  WHERE q.vec_id < 32 GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT qid, vid,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(bn.n2 AS DOUBLE))) AS cosine
+      |  FROM dots JOIN n2 qn ON qid = qn.vec_id JOIN n2 bn ON vid = bn.vec_id
+      |  WHERE qid <> vid)
+      |SELECT qid, vid, cosine, CAST(rk AS INT) AS rk FROM (
+      |  SELECT cos.*, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+      |  FROM cos) WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q41 — embedding-cosine near-dup pairs (threshold 0.4, exact all-pairs —
+  // the verification-grade variant; the LSH-bucketed scale path is q42).
+  def q41_embedding_neardup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.exactCosinePairs(e, e)
+      .filter(col("qid") < col("vid") && col("cosine") >= 0.4)
+      .select(col("qid").as("i"), col("vid").as("j"), col("cosine"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val q41_sql =
+    """WITH ex AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, (x, i) -> i - 1)) AS idx,
+      |    unnest(list_transform(embedding,
+      |      (x, i) -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT))) AS xi
+      |  FROM embeddings),
+      |n2 AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+      |dots AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS dot
+      |  FROM ex a JOIN ex b ON a.idx = b.idx AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cosine
+      |FROM dots JOIN n2 x ON i = x.vec_id JOIN n2 y ON j = y.vec_id
+      |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.4
+      |ORDER BY i, j""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q42 — LSH-bucketed approximate top-k (the 100 TB ANN path): sign-random-
+  // projection buckets, bucket-local exact re-rank. No SQL oracle by design
+  // (approximate); recall vs q40 is asserted in ScalaTest.
+  def q42_ann_lsh_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.annLshTopK(e.filter(col("vec_id") < 32), e, k = 5)
+      .select(col("qid"), col("vid"), col("cosine"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  // --------------------------------------------------------------------------
+  // q43 — multimodal plumbing: binary payload + typed metadata + frame
+  // sampling (64-byte frames, stride 64). Byte counts and frame counts are
+  // integer-exact; the stubbed decode path is exercised in ScalaTest.
+  def q43_multimodal_frames(s: SparkSession, dir: String): DataFrame = {
+    val m = Multimodal.fromDocuments(docs(s, dir))
+    val frames = Multimodal.frameSample(m, frameLen = 64, stride = 64)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    m.select(col("media_id"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
+        element_at(col("meta"), "lang").as("lang"))
+      .join(frames, Seq("media_id"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q43_sql =
+    """SELECT doc_id AS media_id,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | lang,
+      | CAST(greatest((octet_length(encode(text)) - 64) // 64, 0) + 1 AS BIGINT) AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_token_stats" -> (q32_token_stats _),
+    "q33_quality_score" -> (q33_quality_score _),
+    "q34_lang_id" -> (q34_lang_id _),
+    "q35_fingerprint" -> (q35_fingerprint _),
+    "q36_exact_dedup" -> (q36_exact_dedup _),
+    "q37_ngram_jaccard_pairs" -> (q37_ngram_jaccard_pairs _),
+    "q38_minhash_lsh_pairs" -> (q38_minhash_lsh_pairs _),
+    "q39_simhash_pairs" -> (q39_simhash_pairs _),
+    "q40_cosine_topk" -> (q40_cosine_topk _),
+    "q41_embedding_neardup" -> (q41_embedding_neardup _),
+    "q42_ann_lsh_topk" -> (q42_ann_lsh_topk _),
+    "q43_multimodal_frames" -> (q43_multimodal_frames _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q32_token_stats" -> q32_sql,
+    "q33_quality_score" -> q33_sql,
+    "q34_lang_id" -> q34_sql,
+    "q35_fingerprint" -> q35_sql,
+    "q36_exact_dedup" -> q36_sql,
+    "q37_ngram_jaccard_pairs" -> q37_sql,
+    "q38_minhash_lsh_pairs" -> q38_sql,
+    "q39_simhash_pairs" -> q39_sql,
+    "q40_cosine_topk" -> q40_sql,
+    "q41_embedding_neardup" -> q41_sql,
+    // q42: approximate — rows-only check by design
+    "q43_multimodal_frames" -> q43_sql
+  )
+}
