@@ -84,28 +84,16 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  /** Sign-random-projection bucket code: `planes` hyperplanes with ±1
-    * coefficients drawn from a keyed xxhash64 — deterministic, seedless,
-    * and computable per-row with no join. */
-  def srpBucket(vecCol: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vecCol, sequence(lit(0), lit(63)), (x, i) =>
-          x.cast(DoubleType) *
-            (pmod(xxhash64(lit("srp"), lit(p), i), lit(2)) * 2 - 1).cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
   /** LSH-bucketed approximate top-k: queries and base are bucketed by
-    * [[srpBucket]] over `bands` independent codes of `planesPerBand` bits;
-    * candidates share any (band, code); exact fold-cosine re-ranks.
-    * Recall is tunable via bands (multi-probe by construction); cost is
-    * bucket-local instead of |Q|·|B|. */
+    * sign-random-projection codes (±1 hyperplane coefficients drawn from a
+    * keyed xxhash64 — deterministic, seedless, no join) over `bands`
+    * independent codes of `planesPerBand` bits; candidates share any
+    * (band, code); exact fold-cosine re-ranks. Recall rises with bands,
+    * candidate volume with 2^-planesPerBand; the defaults suit weakly-
+    * clustered data (recall ≈ 0.5 at cos 0.4) — corpora with real duplicate
+    * clusters (cos ≥ 0.8) get recall ≈ 1 from the same settings. */
   def annLshTopK(queries: DataFrame, base: DataFrame, k: Int,
-      planesPerBand: Int = 8, bands: Int = 8,
+      planesPerBand: Int = 6, bands: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def banded(df: DataFrame, id: String, vec: String): DataFrame = {
       val codes = (0 until bands).map { b =>

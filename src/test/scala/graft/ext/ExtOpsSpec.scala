@@ -1,0 +1,128 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+
+/** Unit/property coverage for the extension operators beyond what the
+  * DuckDB-oracle gate already proves (it proves exactness; these prove
+  * semantics on controlled inputs and the approximate paths). */
+class ExtOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("exactDedup collapses identical texts to one canonical id") {
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "unique text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_copies"))).toMap
+    assert(byId(1L) == (1L, 2L) && byId(2L) == (1L, 2L) && byId(3L) == (3L, 1L))
+  }
+
+  test("jaccardPairs finds the planted near-dups and nothing else at sf0.001") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val pairs = Dedup.jaccardPairs(
+      Dedup.capDocFreq(Dedup.charShingles(docs, 16), 500), 0.5).collect()
+    assert(pairs.nonEmpty, "expected planted near-dup pairs")
+    assert(pairs.forall(r => r.getAs[Double]("jaccard") >= 0.5))
+    assert(pairs.forall(r => r.getAs[Long]("i") < r.getAs[Long]("j")))
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs at the 0.7 threshold (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val exact = Dedup.jaccardPairs(
+        Dedup.capDocFreq(Dedup.charShingles(docs, 16), 500), 0.7)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 16, 500, 128, 4, 0.7)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash near-identical texts collide, distinct texts do not") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonite"),
+      (3L, "completely different content about spark catalyst optimizer plans")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignature(df, 8).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("sig")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("simhash banded join finds all pairs with hamming <= 3 (pigeonhole)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val viaBands = Dedup.simhashPairs(docs, 16, 3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Dedup.simhashSignature(docs, 16).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("sig"))
+    val allPairs = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      if java.lang.Long.bitCount(si ^ sj) <= 3
+    } yield (i, j)).toSet
+    assert(viaBands == allPairs)
+  }
+
+  test("brute-force top-k is self-consistent and ANN recall is reasonable") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(q, e, 5)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 16 * 5)
+    val ann = Similarity.annLshTopK(q, e, 5)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.25, s"ANN recall too low: $recall")
+  }
+
+  test("asof backward join picks latest prior-or-equal right row") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2")).toDF("k", "ts", "pid")
+    val right = Seq((1L, 5L, "c1"), (1L, 10L, "c2"), (1L, 15L, "c3"), (1L, 99L, "c9"))
+      .toDF("k", "ts", "cid")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts",
+        Map("cid" -> "last_cid"))
+      .orderBy("ts").collect()
+    assert(out.map(_.getAs[String]("last_cid")).toSeq == Seq("c2", "c3"))
+  }
+
+  test("multimodal decode stub: dimensions and mean byte are deterministic") {
+    val docs = Tables.load(spark, sf001, "documents").limit(10)
+    val media = Multimodal.fromDocuments(docs)
+    val decoded = Multimodal.decodeStub(media).collect()
+    assert(decoded.length == 10)
+    decoded.foreach { d =>
+      assert(d.n_bytes > 0 && d.width >= 1 && d.mean_byte > 0.0)
+      assert(math.abs(d.width * d.height - d.n_bytes) <= d.width.toLong * 2)
+    }
+  }
+
+  test("multimodal frame sampling covers the payload") {
+    val docs = Tables.load(spark, sf001, "documents").limit(5)
+    val media = Multimodal.fromDocuments(docs)
+    val frames = Multimodal.frameSample(media, 64, 64)
+    val counts = frames.groupBy("media_id").count().collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("count")).toMap
+    val lens = media.select(col("media_id"), length(col("payload")).as("n")).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("n")).toMap
+    lens.foreach { case (id, n) =>
+      assert(counts(id) == math.max((n - 64) / 64, 0) + 1)
+    }
+  }
+
+  test("metaOnly plan prunes the payload column at the scan") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val plan = Multimodal.metaOnly(Multimodal.fromDocuments(docs))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("payload"))
+  }
+
+  test("langId predicts deterministically with full coverage") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val out = TextAnalysis.langId(docs).collect()
+    assert(out.length == docs.count())
+    assert(out.forall(_.getAs[Long]("score") > 0))
+  }
+}
