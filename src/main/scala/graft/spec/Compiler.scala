@@ -1,0 +1,121 @@
+package graft.spec
+
+import graft.operators.{PipeOp, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+/** [[Spec]] → Spark plans — the analogue of the reference's
+  * `start_stream_processor` (/root/reference/src/lib.rs:74-93), except the
+  * compiled artifact is a Catalyst logical plan, not a closure chain, so
+  * the optimizer can fuse/reorder the whole pipeline.
+  *
+  * Contract: every processor maps a frame with a `text` column to a frame
+  * with a `text` column (the Message payload, SURVEY.md §1.4); fan-out
+  * processors drop other columns, matching the reference's
+  * metadata-dropping message rebuilds.
+  */
+object Compiler {
+
+  /** One processor — a DataFrame→DataFrame function (ProcessHandler,
+    * lib.rs:47-53). */
+  def processor(p: ProcConf): DataFrame => DataFrame = p.typ match {
+    case "noop" => TextOps.noop
+    case "replace" => df =>
+      TextOps.replaceLiteral(df, "text", p.from.get, p.to.get)
+    case "regex_replace" => df =>
+      TextOps.regexReplace(df, "text", p.re.get, TextOps.translateSubst(p.rep.get))
+    case "regex_split" => df =>
+      TextOps.regexSplit(df, "text", p.re.get)
+        .withColumnRenamed("segment", "text").drop("pos")
+    case "regex_select" => df =>
+      TextOps.regexSelect(df, "text", p.re.get)
+        .withColumnRenamed("match", "text").drop("pos")
+    case "process" => df =>
+      PipeOp.pipe(df, "text", p.name.get +: p.args, lineCol = "text")
+  }
+
+  /** The full processor chain (lib.rs:87-89: fold over handlers). */
+  def pipeline(spec: Spec): DataFrame => DataFrame =
+    spec.pipeline.map(processor).foldLeft(identity[DataFrame] _)(_ andThen _)
+
+  // --- sources -------------------------------------------------------------
+
+  /** Batch source (tests, CLI one-shot). Streaming sources via
+    * [[streamSource]]. */
+  def source(spark: SparkSession, conf: SourceConf): DataFrame = conf.typ match {
+    case "stdin" => spark.read.text("/dev/stdin").withColumnRenamed("value", "text")
+    case "text_file" => spark.read.text(conf.path.get).withColumnRenamed("value", "text")
+    case other => sys.error(s"source '$other' is streaming-only; use streamSource")
+  }
+
+  /** Streaming source. `http_server` deliberately degrades the reference's
+    * synchronous-201 ack (sources.rs:70-73) to durable-accept: an external
+    * receiver spools request bodies to `path`, which Spark tails — the sync
+    * ack is incompatible with micro-batching (SURVEY.md §7.4#4). */
+  def streamSource(spark: SparkSession, conf: SourceConf): DataFrame = conf.typ match {
+    case "kafka" =>
+      kafkaSourceOptions(conf).foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load().selectExpr("CAST(value AS STRING) AS text", "headers")
+    case "http_server" | "text_file" =>
+      spark.readStream.text(conf.path.getOrElse(sys.error("http_server/text_file needs path")))
+        .withColumnRenamed("value", "text")
+    case other => sys.error(s"source '$other' is batch-only; use source")
+  }
+
+  /** Kafka consumer options: raw client config keys get the `kafka.` prefix
+    * Spark's connector expects; topic list → `subscribe`
+    * (kafka.rs:40-59 → readStream options). */
+  def kafkaSourceOptions(conf: SourceConf): Map[String, String] =
+    conf.config.map { case (k, v) => s"kafka.$k" -> v } +
+      ("subscribe" -> conf.topics.mkString(","))
+
+  /** Kafka producer options (kafka.rs:106-121). */
+  def kafkaSinkOptions(conf: SinkConf): Map[String, String] =
+    conf.config.map { case (k, v) => s"kafka.$k" -> v } +
+      ("topic" -> conf.topic.getOrElse("0"))
+
+  // --- sinks ---------------------------------------------------------------
+
+  /** Batch sink. `stdout` prints whole rows on the driver — stdout IS a
+    * driver device; everything else writes distributed. */
+  def sink(df: DataFrame, conf: SinkConf): Unit = conf.typ match {
+    case "stdout" =>
+      df.select(col("text")).toLocalIterator().forEachRemaining {
+        (r: Row) => println(r.getString(0))
+      }
+    case "parquet" => df.write.mode("append").parquet(conf.path.get)
+    case "kafka" =>
+      kafkaSinkOptions(conf).foldLeft(
+        kafkaPayload(df).write.format("kafka")) {
+        case (w, (k, v)) => w.option(k, v)
+      }.save()
+  }
+
+  /** Streaming sink writer (start()/awaitTermination at the call site). */
+  def streamSink(df: DataFrame, conf: SinkConf): DataStreamWriter[Row] = conf.typ match {
+    case "stdout" => df.writeStream.format("console")
+    case "parquet" => df.writeStream.format("parquet")
+      .option("path", conf.path.get)
+    case "kafka" =>
+      kafkaSinkOptions(conf).foldLeft(kafkaPayload(df).writeStream.format("kafka")) {
+        case (w, (k, v)) => w.option(k, v)
+      }
+  }
+
+  /** Kafka record shape: key = metadata['partition_key'] else "0"
+    * (kafka.rs:133), value = text. */
+  def kafkaPayload(df: DataFrame): DataFrame = {
+    val key =
+      if (df.columns.contains("metadata"))
+        coalesce(element_at(col("metadata"), "partition_key"), lit("0"))
+      else lit("0")
+    df.select(key.as("key"), col("text").as("value"))
+  }
+
+  /** One-shot batch run of a whole spec (the test/CLI path). */
+  def runBatch(spark: SparkSession, spec: Spec): Unit =
+    sink(pipeline(spec)(source(spark, spec.input)), spec.output)
+}

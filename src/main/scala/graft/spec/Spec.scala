@@ -1,0 +1,33 @@
+package graft.spec
+
+/** The reference's pipeline specification (/root/reference/src/lib.rs:62-72):
+  * one input, an ordered processor chain, one output — deserialized from
+  * YAML with a `type` tag per plugin (typetag registry ≈ the match in
+  * [[SpecLoader]]/[[Compiler]]).
+  */
+final case class Spec(input: SourceConf, pipeline: Seq[ProcConf], output: SinkConf)
+
+/** A source plugin config: `type` + free-form fields (sources.rs, kafka.rs). */
+final case class SourceConf(
+    typ: String,
+    address: Option[String] = None,
+    path: Option[String] = None,
+    topics: Seq[String] = Nil,
+    config: Map[String, String] = Map.empty)
+
+/** A processor plugin config (processors.rs, regex.rs). */
+final case class ProcConf(
+    typ: String,
+    from: Option[String] = None,
+    to: Option[String] = None,
+    re: Option[String] = None,
+    rep: Option[String] = None,
+    name: Option[String] = None,
+    args: Seq[String] = Nil)
+
+/** A sink plugin config (sinks.rs, kafka.rs). */
+final case class SinkConf(
+    typ: String,
+    topic: Option[String] = None,
+    path: Option[String] = None,
+    config: Map[String, String] = Map.empty)

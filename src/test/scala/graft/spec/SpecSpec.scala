@@ -1,0 +1,114 @@
+package graft.spec
+
+import graft.SparkSpec
+import graft.core.Model
+
+/** Spec loader + compiler tests over the reference's own config examples
+  * (/root/reference/config_examples/, SURVEY.md §5.2). */
+class SpecSpec extends SparkSpec {
+
+  private def texts(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("text").collect().map(_.getString(0)).toSeq
+
+  test("std.yml pipeline: replace cheese->bacon then awk comma-split") {
+    // config_examples/std.yml:1-12 minus the stdin/stdout endpoints
+    val spec = SpecLoader.load(
+      """input: {type: stdin}
+        |pipeline:
+        |  processors:
+        |    - type: replace
+        |      from: cheese
+        |      to: bacon
+        |    - type: process
+        |      name: awk
+        |      args: ["-v", "RS=[,\n]", "{a=$0; print a}", "OFS=,"]
+        |output: {type: stdout}
+        |""".stripMargin)
+    assert(spec.pipeline.map(_.typ) == Seq("replace", "process"))
+    val in = Model.fromLines(spark, Seq("ham,cheese,eggs")).toDF()
+    val out = Compiler.pipeline(spec)(in)
+    assert(texts(out).sorted == Seq("bacon", "eggs", "ham"))
+  }
+
+  test("regex_split spec fans out one line to tokens (http.yml pipeline)") {
+    val spec = SpecLoader.load(
+      """input: {type: stdin}
+        |pipeline:
+        |  processors:
+        |    - type: regex_split
+        |      re: "[ \t]+"
+        |output: {type: stdout}
+        |""".stripMargin)
+    val in = Model.fromLines(spark, Seq("hello  spark\tworld")).toDF()
+    assert(texts(Compiler.pipeline(spec)(in)).sorted == Seq("hello", "spark", "world"))
+  }
+
+  test("kafka source/sink option building (kafka_in.yml / kafka_out.yml)") {
+    val spec = SpecLoader.load(
+      """input:
+        |  type: kafka
+        |  topics: ["test-topic", "t2"]
+        |  config:
+        |    group.id: test-consumer
+        |    bootstrap.servers: "localhost:9092"
+        |pipeline: {processors: [{type: noop}]}
+        |output:
+        |  type: kafka
+        |  topic: out-topic
+        |  config: {bootstrap.servers: "localhost:9092"}
+        |""".stripMargin)
+    val src = Compiler.kafkaSourceOptions(spec.input)
+    assert(src("subscribe") == "test-topic,t2")
+    assert(src("kafka.bootstrap.servers") == "localhost:9092")
+    assert(src("kafka.group.id") == "test-consumer")
+    val snk = Compiler.kafkaSinkOptions(spec.output)
+    assert(snk("topic") == "out-topic" && snk("kafka.bootstrap.servers") == "localhost:9092")
+  }
+
+  test("kafka payload: key from metadata partition_key, default 0 (kafka.rs:133)") {
+    import spark.implicits._
+    val df = Seq(("a", Map("partition_key" -> "7")), ("b", Map.empty[String, String]))
+      .toDF("text", "metadata")
+    val rows = Compiler.kafkaPayload(df).collect()
+      .map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(rows("a") == "7" && rows("b") == "0")
+  }
+
+  test("unknown plugin types fail at load (typetag contract, lib.rs:115-117)") {
+    intercept[IllegalArgumentException] {
+      SpecLoader.load("input: {type: carrier_pigeon}\noutput: {type: stdout}\n")
+    }
+    intercept[IllegalArgumentException] {
+      SpecLoader.load(
+        "input: {type: stdin}\npipeline: {processors: [{type: frobnicate}]}\noutput: {type: stdout}\n")
+    }
+  }
+
+  test("regex_replace spec translates Rust substitution syntax") {
+    val spec = SpecLoader.load(
+      """input: {type: stdin}
+        |pipeline:
+        |  processors:
+        |    - type: regex_replace
+        |      re: "(?<y>\\d{4})-(?<m>\\d{2})-(?<d>\\d{2})"
+        |      rep: "$m/$d/$y"
+        |output: {type: stdout}
+        |""".stripMargin)
+    val in = Model.fromLines(spark, Seq("2012-03-14")).toDF()
+    assert(texts(Compiler.pipeline(spec)(in)) == Seq("03/14/2012"))
+  }
+
+  test("text_file batch source reads lines") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spec").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/in.txt"), "x,y\n")
+    val spec = SpecLoader.load(
+      s"""input: {type: text_file, path: "$tmp/in.txt"}
+         |pipeline:
+         |  processors: [{type: regex_split, re: ","}]
+         |output: {type: parquet, path: "$tmp/out"}
+         |""".stripMargin)
+    Compiler.runBatch(spark, spec)
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(texts(back).sorted == Seq("x", "y"))
+  }
+}
