@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators — the streaming duals of the batch event
+  * queries in [[graft.queries.Events]] (same plan shapes plus watermarks),
+  * covering the categories the reference lacks entirely (SURVEY.md §2.4:
+  * watermarks, event-time windows, session windows, stateful dedup, custom
+  * state).
+  *
+  * State-store posture at scale: every stateful op below bounds its state
+  * with a watermark (or an explicit processing-time timeout for the custom-
+  * state path) — state that can't expire is the #1 way a streaming job dies
+  * at 100 TB/day.
+  */
+object StreamOps {
+
+  /** Event-time tumbling-window counts/sums per event type, late data
+    * dropped past `watermarkDelay`. */
+  def hourlyTypeCounts(events: DataFrame,
+      watermarkDelay: String = "1 hour",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window event rate per user. */
+  def slidingUserRate(events: DataFrame,
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+
+  /** Gap-based session windows (built-in session_window — the streaming
+    * dual of the batch lag/cumsum sessionization in Events.q24). */
+  def sessionWindows(events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+
+  /** Streaming keyed dedup with bounded state: first event per
+    * (user_id, event_type) within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  case class SessionAgg(user_id: Long, n_events: Long, total_value: Double)
+  case class SessionState(n: Long, total: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user event
+    * count + value sum, emitted on every update, state expired after
+    * `timeoutMs` idle processing-time (the explicit-TTL pattern for state
+    * Spark can't bound with a watermark). */
+  def runningUserTotals(spark: SparkSession, events: DataFrame,
+      timeoutMs: Long = 3600L * 1000): Dataset[SessionAgg] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "CAST(value AS DOUBLE) AS value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0))
+            var n = prev.n
+            var tot = prev.total
+            rows.foreach { case (_, v) => n += 1; tot += v }
+            state.update(SessionState(n, tot))
+            state.setTimeoutDuration(timeoutMs)
+            Iterator.single(SessionAgg(user, n, tot))
+          }
+      }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Structured Streaming operators driven through MemoryStream micro-batches
+  * (the reference has no streaming-state concepts at all — SURVEY.md §2.4 —
+  * so these tests define our extension contracts). */
+class StreamOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  /** Run a streaming transform over two micro-batches of events and return
+    * the complete-mode / append-mode results from a memory sink. */
+  private def runStream(
+      batches: Seq[Seq[(Long, Timestamp, Long, String, Double)]],
+      name: String,
+      mode: String)(f: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = f(df).writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+    batches.foreach(mem.addData(_))
+    val started = q.start()
+    started.awaitTermination(60000)
+    spark.table(name)
+  }
+
+  private val batch1 = Seq(
+    (1L, ts(0), 100L, "click", 1.0),
+    (2L, ts(5), 100L, "click", 2.0),
+    (3L, ts(10), 200L, "view", 3.0),
+    (1L, ts(0), 100L, "click", 1.0)) // duplicate event
+
+  test("event-time tumbling window aggregation with watermark") {
+    val out = runStream(Seq(batch1), "win_counts", "complete") { df =>
+      StreamOps.hourlyTypeCounts(df, "10 minutes", "10 minutes")
+    }
+    val m = out.collect().map(r =>
+      (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+    assert(m((ts(0), "click")) == 3L) // both ts(0) dupes + ts(5)
+    assert(m((ts(10), "view")) == 1L)
+  }
+
+  test("session_window groups events within gap") {
+    val out = runStream(Seq(Seq(
+      (1L, ts(0), 1L, "a", 0.0), (2L, ts(5), 1L, "a", 0.0),   // session 1
+      (3L, ts(50), 1L, "a", 0.0))),                            // session 2 (gap > 30m)
+      "sessions", "complete") { df =>
+      StreamOps.sessionWindows(df, "30 minutes", "30 minutes")
+    }
+    val sessions = out.filter(col("user_id") === 1L).collect()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("dropDuplicatesWithinWatermark removes the duplicate event") {
+    val out = runStream(Seq(batch1), "dedup", "append") { df =>
+      StreamOps.dedupWithinWatermark(df, "1 hour")
+    }
+    // keyed dedup on (user_id, event_type): 2 distinct keys survive
+    assert(out.count() == 2)
+    assert(out.select("user_id").as[Long].collect().sorted.toSeq == Seq(100L, 200L))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    val out = runStream(Seq(batch1), "running", "append") { df =>
+      StreamOps.runningUserTotals(spark, df).toDF()
+    }
+    val byUser = out.collect().map(r =>
+      r.getAs[Long]("user_id") -> (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    assert(byUser(100L) == (3L, 4.0))
+    assert(byUser(200L) == (1L, 3.0))
+  }
+
+  test("sliding windows assign one event to overlapping windows") {
+    val out = runStream(Seq(Seq((1L, ts(7), 1L, "a", 0.0))), "sliding", "complete") { df =>
+      StreamOps.slidingUserRate(df, "10 minutes")
+    }
+    // a 10-minute window sliding by 5 covers ts(7) twice: [10:00,10:10) and [10:05,10:15)
+    assert(out.filter(col("user_id") === 1L).count() == 2)
+  }
+}
