@@ -32,4 +32,17 @@ object Tables {
   /** Register all tables as temp views (for spark.sql-style entry points). */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Ensure at least default parallelism ahead of CPU-heavy map stages
+    * (shingling, per-pair scoring). A small table often arrives as ONE
+    * parquet split, which would serialize the expensive downstream map work
+    * onto a single core; a many-split 100 TB scan is left untouched (the
+    * probe only reads partition counts, never data). */
+  def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Deduplication operators for a training-data pipeline: exact (content
-  * fingerprint), exact n-gram Jaccard (inverted-index join), MinHash+LSH
+  * fingerprint), exact n-gram Jaccard (inverted-index candidates), MinHash+LSH
   * (band-bucket candidates, exactly verified), and SimHash (banded Hamming
   * join). All plain DataFrame plans.
   *
@@ -15,7 +15,15 @@ import org.apache.spark.sql.types._
   *     band) so cost follows true duplicate density, not the row count;
   *   - [[capDocFreq]] drops shingles present in more than `maxDf` documents
   *     — boilerplate n-grams that would otherwise make the inverted-index
-  *     join quadratic on hot keys (the standard near-dup trick);
+  *     candidates quadratic on hot keys (the standard near-dup trick);
+  *   - shingle extraction is map-only (`array_distinct` dedups inside the
+  *     row, no shuffle), so the only shuffles are the doc-frequency count,
+  *     the per-doc array rollup, and the candidate joins;
+  *   - pair verification joins candidates against ONE per-doc shingle-array
+  *     table and counts the intersection with `array_intersect` in the map
+  *     stage — no second inverted-index shuffle, and the per-doc array
+  *     subtree is a single exchange that Spark's ReuseExchange shares
+  *     between the i-side and j-side joins;
   *   - SimHash banding is lossless by pigeonhole: hamming ≤ 3 over a 60-bit
   *     signature split into 4 bands forces ≥1 identical band, so the band
   *     join finds every qualifying pair — it is an optimization, never an
@@ -27,41 +35,103 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Character n-gram shingle set, one row per distinct (id, shingle).
-    * Documents shorter than n contribute their whole text as one shingle. */
+    * Documents shorter than n contribute their whole text as one shingle.
+    * Map-only: per-doc dedup happens inside `array_distinct`, no shuffle. */
   def charShingles(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(
+    graft.core.Tables.spread(docs).select(
         col(idCol).as("id"),
-        explode(transform(
+        explode(array_distinct(transform(
           sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
-          i => col(textCol).substr(i, lit(n)))).as("sh"))
-      .distinct()
+          i => col(textCol).substr(i, lit(n))))).as("sh"))
 
   /** Drop shingles occurring in more than `maxDf` documents (anti-hot-key
-    * cap for the inverted-index join; see class doc). */
+    * cap for the inverted-index candidates; see class doc). */
   def capDocFreq(sh: DataFrame, maxDf: Int): DataFrame = {
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
     sh.join(dfreq, Seq("sh"))
   }
 
-  /** Exact pairwise Jaccard over shingle sets via inverted-index join:
-    * shuffle on shingle (pairs only form where a shingle is shared), then
-    * shuffle on (i, j) to count the intersection. Emits (i, j, jaccard)
-    * with i < j and jaccard ≥ `minJaccard`. */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("id").as("i"), col("sh"))
-      .join(sh.select(col("id").as("j"), col("sh")), Seq("sh"))
-      .filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("id").as("i"), col("n").as("ni")), Seq("i"))
-      .join(sizes.select(col("id").as("j"), col("n").as("nj")), Seq("j"))
+  /** Exact-Jaccard verification of candidate (i, j) pairs: join each side to
+    * the per-doc shingle arrays, intersect in the map stage. Emits pairs
+    * with jaccard ≥ `minJaccard`. */
+  private def verifyJaccard(cand: DataFrame, arrs: DataFrame,
+      minJaccard: Double): DataFrame =
+    cand
+      .join(arrs.select(col("id").as("i"), col("shs").as("shs_i"), col("n").as("ni")), Seq("i"))
+      .join(arrs.select(col("id").as("j"), col("shs").as("shs_j"), col("n").as("nj")), Seq("j"))
+      .withColumn("c", graft.functions.ArrayMath.sortedIntersectCount(col("shs_i"), col("shs_j")))
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("ni") + col("nj") - col("c")).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)
       .select(col("i"), col("j"), col("jaccard"))
+
+  /** Pair expansion inside a sorted posting list: every (ids[a], ids[b]),
+    * a < b, as one struct row. */
+  private def explodePairs(ids: org.apache.spark.sql.Column) =
+    explode(flatten(transform(ids, (x, ix) =>
+      transform(slice(ids, ix + lit(2), size(ids)), y => struct(x.as("i"), y.as("j"))))))
+
+  /** All-pairs exact Jaccard with PREFIX FILTERING (Chaudhuri et al. SSJoin /
+    * Xiao et al. PPJoin): order every doc's shingles rarest-first (global
+    * order = (doc-frequency, shingle)); if J(A,B) ≥ t, the first
+    * |X| − ⌈t·|X|⌉ + 1 tokens of A and B must intersect, so candidates are
+    * generated only from PREFIX posting lists. Rare tokens land in prefixes,
+    * hot boilerplate tokens don't — candidate volume follows true duplicate
+    * density instead of Σ df². Verification is exact array-intersect, so
+    * the filter is lossless: output = exactly the pairs with J ≥ t.
+    *
+    * One plan, three shuffles that matter: df count, per-doc array rollup
+    * (a single exchange shared by the prefix explode and both verify
+    * sides), and the candidate distinct. */
+  private def prefixJaccardPairs(shd: DataFrame, minJaccard: Double): DataFrame = {
+    // shd: (id, sh, df). Rarest-first per-doc token array. The hub feeds
+    // three consumers (prefix explode + both verify sides), so it is
+    // persisted: one materialization instead of three recomputes of the
+    // shingle/df subtree (Spark's CacheManager dedupes by canonical plan,
+    // and MEMORY_AND_DISK evicts/spills under pressure — the table is
+    // |docs| rows of shingle arrays, ≈ corpus-sized).
+    // Rarest-first order is realized as a zero-padded "df||sh" string key:
+    // byte-comparable, so sort_array runs the native UTF8String comparator
+    // instead of an interpreted struct ordering, with the exact same
+    // (df asc, sh asc) global order. df is global per shingle, so key
+    // equality ⟺ shingle equality — posting lists and intersection counts
+    // work directly on keys, and the sorted keys feed the merge-scan
+    // verification (graft_sorted_intersect_count) with zero rework.
+    val hub = shd.groupBy(col("id"))
+      .agg(sort_array(collect_list(
+          concat(lpad(col("df").cast(StringType), 9, "0"), col("sh")))).as("shs"),
+        count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = (col("n") - ceil(col("n") * lit(minJaccard)) + lit(1)).cast(IntegerType)
+    val pre = hub.select(col("id"), explode(slice(col("shs"), lit(1), prefixLen)).as("sh"))
+    val cand = pre.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explodePairs(col("ids")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .distinct()
+    verifyJaccard(cand, hub, minJaccard)
+  }
+
+  /** Exact pairwise Jaccard over pre-built (id, sh) shingle sets. Emits
+    * (i, j, jaccard) with i < j and jaccard ≥ `minJaccard`. */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    prefixJaccardPairs(sh.join(dfreq, Seq("sh")), minJaccard)
+  }
+
+  /** End-to-end n-gram Jaccard near-dup: shingle, cap doc frequency, and
+    * find all pairs with J ≥ `minJaccard` — computing the doc-frequency
+    * count ONCE for both the cap and the rarest-first prefix order. */
+  def nearDupJaccard(docs: DataFrame, n: Int, maxDf: Int,
+      minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = charShingles(docs, n, idCol, textCol)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    prefixJaccardPairs(sh.join(dfreq, Seq("sh")), minJaccard)
   }
 
   /** MinHash signature: numHashes column-wise minima of a keyed xxhash64
@@ -91,43 +161,42 @@ object Dedup {
   /** MinHash+LSH near-dup pairs, exact-verified: LSH proposes candidates,
     * exact Jaccard over the (capped) shingle sets filters them, so emitted
     * pairs are exactly those with true jaccard ≥ `minJaccard` among the
-    * candidates. The candidate set is tiny next to the corpus, so the
-    * verification joins broadcast it. */
+    * candidates. The MinHash minima, the set size, and the verification
+    * array come out of ONE groupBy(id) aggregation, so the heavy exploded-
+    * shingle subtree is shuffled once and the hub exchange is shared by the
+    * band join and both verification sides. */
   def minhashLshPairs(docs: DataFrame, n: Int, maxDf: Int,
       numHashes: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
     val sh = capDocFreq(charShingles(docs, n), maxDf)
-    val cand = lshCandidates(minhashSignature(sh, numHashes), rowsPerBand, numHashes / rowsPerBand)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = broadcast(cand)
-      .join(sh.select(col("id").as("i"), col("sh")), Seq("i"))
-      .join(sh.select(col("id").as("j"), col("sh")), Seq("j", "sh"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("id").as("i"), col("n").as("ni")), Seq("i"))
-      .join(sizes.select(col("id").as("j"), col("n").as("nj")), Seq("j"))
-      .withColumn("jaccard",
-        col("c").cast(DoubleType) / (col("ni") + col("nj") - col("c")).cast(DoubleType))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("i"), col("j"), col("jaccard"))
+    val aggs = Seq(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("n")) ++
+      (0 until numHashes).map(k => min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
+    // Four consumers (band join i/j + verify i/j) → persist, as in
+    // prefixJaccardPairs.
+    val hub = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(hub, rowsPerBand, numHashes / rowsPerBand)
+    verifyJaccard(cand, hub.select(col("id"), col("shs"), col("n")), minJaccard)
   }
 
   /** Weighted SimHash signature (60-bit): shingles weighted by occurrence
     * count; the hash is the first 15 hex digits of md5 — reproducible in
-    * any engine, which is what makes the operator oracle-checkable. One
-    * aggregation; the shuffle carries 60 partial sums per doc. */
+    * any engine, which is what makes the operator oracle-checkable.
+    *
+    * Σ_sh w(sh)·sign_b(sh) ≡ Σ over raw occurrences of sign_b, so no
+    * (id, shingle) pre-aggregation is needed: ONE shuffle, and map-side
+    * partial aggregation shrinks it to 60 longs per doc. */
   def simhashSignature(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val shw = docs.select(
+    val occ = graft.core.Tables.spread(docs).select(
         col(idCol).as("id"),
         explode(transform(
           sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
           i => col(textCol).substr(i, lit(n)))).as("sh"))
-      .groupBy(col("id"), col("sh")).agg(count(lit(1)).as("w"))
       .withColumn("h", conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType))
     val bitSums = (0 until 60).map { b =>
-      sum(col("w") * (shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$b")
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
     }
-    val agg = shw.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val agg = occ.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 60).map { b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.functions.ArrayMath
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,17 +10,20 @@ import org.apache.spark.sql.types._
   *
   * Two scoring paths:
   *
-  *   - '''Fixed-point exact''' ([[explodeFixedPoint]] + integer dot
-  *     products): components are quantized to 16-bit fixed point
-  *     (floor(x·2¹⁵) — exact, float widening and the multiply are both
-  *     lossless in double), so dot products and squared norms are exact
-  *     BIGINT sums — associative, order-independent, and bit-identical in
-  *     any engine. This is what makes cosine results oracle-checkable;
-  *     quantization error on the *score* is ≤ ~1e-4, and the score itself
-  *     is the operator's contract.
-  *   - '''Float fold''' ([[foldCosine]]): single-pass zip_with/aggregate
-  *     fold — no row explosion, the fast path for ANN re-ranking where
-  *     cross-engine bit-equality is not required.
+  *   - '''Fixed-point exact''' ([[fixedPointVec]] + [[intDot]]): components
+  *     are quantized to 16-bit fixed point (floor(x·2¹⁵) — exact, float
+  *     widening and the multiply are both lossless in double), so dot
+  *     products and squared norms are exact BIGINT folds — associative,
+  *     order-independent, and bit-identical in any engine. This is what
+  *     makes cosine results oracle-checkable; quantization error on the
+  *     *score* is ≤ ~1e-4, and the score itself is the operator's contract.
+  *     The pairwise plan keeps ONE ROW PER PAIR (array fold, no dimension
+  *     explosion): the per-pair dot is a map-side fold, so a |Q|·|B| scoring
+  *     pass shuffles nothing — the query side broadcasts and the base
+  *     scans once.
+  *   - '''Float fold''' ([[foldCosine]]): same shape, double math — the fast
+  *     path for ANN re-ranking where cross-engine bit-equality is not
+  *     required.
   *
   * Scale posture: brute-force top-k broadcasts the (small) query set and
   * scans the base once — the canonical "exact kNN at any scale" plan.
@@ -29,37 +33,32 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** (id, idx, xi) with xi = floor(x·2¹⁵) as BIGINT — exact fixed-point. */
-  def explodeFixedPoint(emb: DataFrame, idCol: String, vecCol: String,
-      outId: String): DataFrame =
-    emb.select(col(idCol).as(outId),
-        posexplode(col(vecCol)).as(Seq("idx", "x")))
-      .withColumn("xi", floor(col("x").cast(DoubleType) * lit(32768.0)).cast(LongType))
-      .drop("x")
+  /** floor(x·2¹⁵) per component as ARRAY<BIGINT> — exact fixed point. */
+  def fixedPointVec(vec: Column): Column =
+    transform(vec, x => floor(x.cast(DoubleType) * lit(32768.0)).cast(LongType))
 
-  /** Exact fixed-point squared norms: (id, n2: BIGINT). */
-  def fixedPointNorms2(emb: DataFrame, idCol: String, vecCol: String,
-      outId: String): DataFrame =
-    explodeFixedPoint(emb, idCol, vecCol, outId)
-      .groupBy(col(outId)).agg(sum(col("xi") * col("xi")).as("n2"))
+  /** Exact integer dot product of two BIGINT arrays (codegen'd primitive
+    * loop — see [[graft.functions.ArrayMath]]; |x|≤2¹⁵ over ≤2²⁰ dims
+    * cannot overflow). */
+  def intDot(a: Column, b: Column): Column = ArrayMath.dotLong(a, b)
 
-  /** Exact cosine for every (query, base) pair: integer dot via index join,
-    * cosine = dot / (√n2q · √n2b) in double — every step deterministic.
-    * Cost: |Q|·|B| pairs materialized through a dim-wise join; use for
-    * small query sets or verified-exact workloads. */
+  /** Exact cosine for every (query, base) pair: fixed-point arrays built
+    * once per row, query side broadcast, per-pair integer dot + norms via
+    * codegen'd map-side loops. cosine = dot / (√n2q·√n2b) in double — every
+    * step deterministic and engine-portable. Cost is |Q|·|B| loop passes
+    * with NO shuffle (the base side is repartitioned so the scoring scan
+    * uses every core even when the source is one small file); use for small
+    * query sets or verified-exact workloads. */
   def exactCosinePairs(queries: DataFrame, base: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qe = explodeFixedPoint(queries, idCol, vecCol, "qid")
-      .withColumnRenamed("xi", "qx")
-    val be = explodeFixedPoint(base, idCol, vecCol, "vid")
-      .withColumnRenamed("xi", "bx")
-    val dots = qe.join(be, Seq("idx"))
-      .groupBy(col("qid"), col("vid")).agg(sum(col("qx") * col("bx")).as("dot"))
-    val qn = fixedPointNorms2(queries, idCol, vecCol, "qid").withColumnRenamed("n2", "qn2")
-    val bn = fixedPointNorms2(base, idCol, vecCol, "vid").withColumnRenamed("n2", "bn2")
-    dots.join(broadcast(qn), Seq("qid")).join(bn, Seq("vid"))
+    val q = queries.select(col(idCol).as("qid"), fixedPointVec(col(vecCol)).as("qx"))
+      .withColumn("qn2", intDot(col("qx"), col("qx")))
+    val b = graft.core.Tables.spread(base)
+      .select(col(idCol).as("vid"), fixedPointVec(col(vecCol)).as("bx"))
+      .withColumn("bn2", intDot(col("bx"), col("bx")))
+    broadcast(q).crossJoin(b)
       .withColumn("cosine",
-        col("dot").cast(DoubleType) /
+        intDot(col("qx"), col("bx")).cast(DoubleType) /
           (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("bn2").cast(DoubleType))))
       .select(col("qid"), col("vid"), col("cosine"))
   }
@@ -75,35 +74,41 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
-  /** Single-pass float-fold cosine between two vector columns (fast path,
-    * not cross-engine exact). */
-  def foldCosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Single-pass double cosine between two vector columns (fast path, not
+    * cross-engine exact): codegen'd three-accumulator loop, bit-identical
+    * to the `aggregate(zip_with(...))` fold it replaces. */
+  def foldCosine(a: Column, b: Column): Column = ArrayMath.cosine(a, b)
 
   /** LSH-bucketed approximate top-k: queries and base are bucketed by
-    * sign-random-projection codes (±1 hyperplane coefficients drawn from a
-    * keyed xxhash64 — deterministic, seedless, no join) over `bands`
-    * independent codes of `planesPerBand` bits; candidates share any
-    * (band, code); exact fold-cosine re-ranks. Recall rises with bands,
-    * candidate volume with 2^-planesPerBand; the defaults suit weakly-
-    * clustered data (recall ≈ 0.5 at cos 0.4) — corpora with real duplicate
-    * clusters (cos ≥ 0.8) get recall ≈ 1 from the same settings. */
+    * sign-random-projection codes over `bands` independent codes of
+    * `planesPerBand` bits; candidates share any (band, code); exact
+    * fold-cosine re-ranks. The ±1 hyperplane coefficients are drawn from a
+    * keyed xxhash64 family — deterministic and seedless; they are evaluated
+    * ONCE on a `dims × planes` driver-side job and embedded as literals, so
+    * the per-row work is a plain multiply-add fold, not hashing. Recall
+    * rises with bands, candidate volume with 2^-planesPerBand; the defaults
+    * suit weakly-clustered data (recall ≈ 0.5 at cos 0.4) — corpora with
+    * real duplicate clusters (cos ≥ 0.8) get recall ≈ 1 from the same
+    * settings. */
   def annLshTopK(queries: DataFrame, base: DataFrame, k: Int,
-      planesPerBand: Int = 6, bands: Int = 12,
+      planesPerBand: Int = 6, bands: Int = 12, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val nPlanes = bands * planesPerBand
+    // Same value family as the inline form: ±1 from xxhash64("srp", plane, i)
+    // with INT-typed plane and component indices.
+    val coefRows = spark.range(nPlanes.toLong)
+      .select(col("id").cast(IntegerType).as("p"),
+        transform(sequence(lit(0), lit(dims - 1)), i =>
+          (pmod(xxhash64(lit("srp"), col("p"), i), lit(2)) * 2 - 1).cast(DoubleType)).as("cs"))
+      .orderBy(col("p")).collect()
+    val coefs: Array[Array[Double]] =
+      coefRows.map(_.getSeq[Double](1).toArray)
+
     def banded(df: DataFrame, id: String, vec: String): DataFrame = {
       val codes = (0 until bands).map { b =>
         val bits = (0 until planesPerBand).map { p =>
-          val proj = aggregate(
-            zip_with(col(vec), sequence(lit(0), lit(63)), (x, i) =>
-              x.cast(DoubleType) *
-                (pmod(xxhash64(lit("srp"), lit(b * planesPerBand + p), i), lit(2)) * 2 - 1)
-                  .cast(DoubleType)),
-            lit(0.0), (acc, v) => acc + v)
+          val proj = ArrayMath.dotDouble(col(vec), typedLit(coefs(b * planesPerBand + p)))
           when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
         }
         bits.reduce(_ + _)

@@ -120,8 +120,7 @@ object Corpus {
   // q37 — exact n-gram Jaccard near-dup pairs (char 16-grams, doc-frequency
   // cap 500, threshold 0.5) via inverted-index join.
   def q37_ngram_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(
-        Dedup.capDocFreq(Dedup.charShingles(docs(s, dir), 16), 500), 0.5)
+    Dedup.nearDupJaccard(docs(s, dir), n = 16, maxDf = 500, minJaccard = 0.5)
       .orderBy(col("i"), col("j"))
 
   private def jaccardOracle(threshold: String): String =
