@@ -129,4 +129,59 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path
+    * (coarse quantizer + cell-local search):
+    *
+    *  1. '''Train''': deterministic one-step Lloyd — initial cells from a
+    *     hash of the vector id, centroids = per-cell means computed with
+    *     EXACT fixed-point integer sums (order-independent, so the
+    *     centroids — and therefore the whole operator — are reproducible
+    *     run to run despite float math and shuffle order). Centroids
+    *     (nCells × dims, tiny) collect to the driver and embed as literals.
+    *  2. '''Assign''': every base vector goes to its max-cosine centroid —
+    *     a codegen'd dot per cell, map-only.
+    *  3. '''Probe''': each query searches its `nProbe` best cells; exact
+    *     cosine re-ranks within the probed cells.
+    *
+    * Recall depends on how clustered the corpus is; raise `nProbe` toward
+    * `nCells` to approach brute force. The scan cost is |B|·nCells dots for
+    * assignment plus the probed fraction (≈ nProbe/nCells) of the corpus
+    * per query — vs |Q|·|B| for brute force. */
+  def ivfTopK(queries: DataFrame, base: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // 1. Train: exact-integer per-cell means via fixed-point dimension sums.
+    val fx = graft.core.Tables.spread(base).select(
+        pmod(xxhash64(col(idCol), lit("ivf")), lit(nCells)).cast(IntegerType).as("cell"),
+        posexplode(fixedPointVec(col(vecCol))).as(Seq("idx", "xi")))
+    val centroidRows = fx.groupBy(col("cell"), col("idx"))
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("s"), col("c")))),
+        t => t.getField("s").cast(DoubleType) / t.getField("c").cast(DoubleType)).as("centroid"))
+      .orderBy(col("cell")).collect()
+    val centroids: Array[Array[Double]] =
+      centroidRows.map(_.getSeq[Double](1).toArray)
+
+    // 2/3. Cell scores as one literal-centroid cosine per cell; argmax via
+    // sorted (score desc, cell) key array.
+    def cellScores(vec: Column): Column = array(centroids.indices.map(c =>
+      struct(ArrayMath.cosine(vec, typedLit(centroids(c))).as("s"), lit(c).as("cell"))): _*)
+    def topCells(vec: Column, m: Int): Column =
+      slice(reverse(array_sort(cellScores(vec))), 1, m)
+
+    val b = graft.core.Tables.spread(base).select(col(idCol).as("vid"), col(vecCol).as("bv"),
+      element_at(topCells(col(vecCol), 1), 1).getField("cell").as("cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        explode(topCells(col(vecCol), nProbe)).as("probe"))
+      .select(col("qid"), col("qv"), col("probe").getField("cell").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    q.join(b, Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cosine", foldCosine(col("qv"), col("bv")))
+      .select(col("qid"), col("vid"), col("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
 }

@@ -255,6 +255,17 @@ object Corpus {
   }
 
   // --------------------------------------------------------------------------
+  // q45 — IVF approximate top-k (the inverted-file ANN scale path; see
+  // Similarity.ivfTopK). Approximate — rows-only check; recall vs the q40
+  // brute force is asserted in ScalaTest.
+  def q45_ivf_ann_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 32), e, k = 5)
+      .select(col("qid"), col("vid"), col("cosine"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  // --------------------------------------------------------------------------
   // q43 — multimodal plumbing: binary payload + typed metadata + frame
   // sampling (64-byte frames, stride 64). Byte counts and frame counts are
   // integer-exact; the stubbed decode path is exercised in ScalaTest.
@@ -290,6 +301,7 @@ object Corpus {
     "q40_cosine_topk" -> (q40_cosine_topk _),
     "q41_embedding_neardup" -> (q41_embedding_neardup _),
     "q42_ann_lsh_topk" -> (q42_ann_lsh_topk _),
+    "q45_ivf_ann_topk" -> (q45_ivf_ann_topk _),
     "q43_multimodal_frames" -> (q43_multimodal_frames _)
   )
 

@@ -147,8 +147,31 @@ object Events {
       |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q44 — schema'd JSON extraction (from_json, the serialization-format
+  // surface of SURVEY §2.4): parse the props JSON column, aggregate the
+  // extracted field per event type. Integer-exact everywhere.
+  def q44_json_props(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LongType)))
+    ev(s, dir)
+      .withColumn("k", from_json(col("props"), schema).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q44_sql =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_json_props" -> (q44_json_props _),
     "q21_event_pairs_within_5min" -> (q21_event_pairs_within_5min _),
     "q22_asof_purchase_click" -> (q22_asof_purchase_click _),
     "q23_hourly_type_counts" -> (q23_hourly_type_counts _),
@@ -157,6 +180,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q44_json_props" -> q44_sql,
     "q21_event_pairs_within_5min" -> q21_sql,
     "q22_asof_purchase_click" -> q22_sql,
     "q23_hourly_type_counts" -> q23_sql,

@@ -78,6 +78,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.25, s"ANN recall too low: $recall")
   }
 
+  test("IVF top-k recall vs brute force, and per-query k results") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(q, e, 5)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, e, 5, nCells = 8, nProbe = 4)
+    val rows = ivf.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.toSet.size, "duplicate (qid,vid) pairs")
+    val recall = (exact intersect rows.toSet).size.toDouble / exact.size
+    assert(recall >= 0.25, s"IVF recall too low: $recall")
+    // determinism: same plan twice -> identical result
+    val again = Similarity.ivfTopK(q, e, 5, nCells = 8, nProbe = 4)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.sorted.sameElements(again.sorted))
+  }
+
   test("asof backward join picks latest prior-or-equal right row") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2")).toDF("k", "ts", "pid")
     val right = Seq((1L, 5L, "c1"), (1L, 10L, "c2"), (1L, 15L, "c3"), (1L, 99L, "c9"))
