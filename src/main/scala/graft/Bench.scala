@@ -33,6 +33,7 @@ object Bench {
     // two runs, so operators that persist a shared subtree keep that benefit.
     val results = qs0.map { case (name, fn) =>
       spark.catalog.clearCache()
+      System.gc()   // take cross-query GC debt here, not inside a timed run
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -23,11 +23,16 @@ object Scratch {
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     sys.env.get("SPARK_GRAFT_Q").foreach { q =>
-      val df = SparkEntry.queries(q)(spark, dir)
-      t(s"$q run1")(println("  rows=" + df.count()))
-      t(s"$q run2")(println("  rows=" + SparkEntry.queries(q)(spark, dir).count()))
-      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-        println(df.queryExecution.executedPlan.toString.take(7000))
+      for (r <- 1 to sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt) {
+        spark.catalog.clearCache()
+        val df = SparkEntry.queries(q)(spark, dir)
+        val t0 = System.nanoTime()
+        df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scratch] $q run$r: $dt%.2f s")
+        if (dt > 10 || sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+          println(df.queryExecution.executedPlan.toString.take(9000))
+      }
       spark.stop(); return
     }
     val docs = Tables.load(spark, dir, "documents")

@@ -47,11 +47,8 @@ object Dedup {
 
   /** Drop shingles occurring in more than `maxDf` documents (anti-hot-key
     * cap for the inverted-index candidates; see class doc). */
-  def capDocFreq(sh: DataFrame, maxDf: Int): DataFrame = {
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("sh")
-    sh.join(dfreq, Seq("sh"))
-  }
+  def capDocFreq(sh: DataFrame, maxDf: Int): DataFrame =
+    cappedWithDf(sh, maxDf).select(col("id"), col("sh"))
 
   /** Exact-Jaccard verification of candidate (i, j) pairs: join each side to
     * the per-doc shingle arrays, intersect in the map stage. Emits pairs
@@ -59,8 +56,10 @@ object Dedup {
   private def verifyJaccard(cand: DataFrame, arrs: DataFrame,
       minJaccard: Double): DataFrame =
     cand
-      .join(arrs.select(col("id").as("i"), col("shs").as("shs_i"), col("n").as("ni")), Seq("i"))
-      .join(arrs.select(col("id").as("j"), col("shs").as("shs_j"), col("n").as("nj")), Seq("j"))
+      .join(arrs.select(col("id").as("i"), col("shs").as("shs_i"), col("n").as("ni"))
+        .hint("shuffle_hash"), Seq("i"))
+      .join(arrs.select(col("id").as("j"), col("shs").as("shs_j"), col("n").as("nj"))
+        .hint("shuffle_hash"), Seq("j"))
       .withColumn("c", graft.functions.ArrayMath.sortedIntersectCount(col("shs_i"), col("shs_j")))
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("ni") + col("nj") - col("c")).cast(DoubleType))
@@ -115,24 +114,28 @@ object Dedup {
     verifyJaccard(cand, hub, minJaccard)
   }
 
+  /** (id, sh, df) with doc frequency ≤ maxDf, computed with ONE shuffle:
+    * posting lists per shingle (df = list size), filtered, exploded back.
+    * No self-join of the exploded shingle table, and no join whose build
+    * side AQE could mis-pick from the unstatted Generate subtree. */
+  private def cappedWithDf(sh: DataFrame, maxDf: Int): DataFrame =
+    sh.groupBy(col("sh"))
+      .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("sh"), col("df"), explode(col("ids")).as("id"))
+
   /** Exact pairwise Jaccard over pre-built (id, sh) shingle sets. Emits
     * (i, j, jaccard) with i < j and jaccard ≥ `minJaccard`. */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    prefixJaccardPairs(sh.join(dfreq, Seq("sh")), minJaccard)
-  }
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame =
+    prefixJaccardPairs(cappedWithDf(sh, Int.MaxValue), minJaccard)
 
   /** End-to-end n-gram Jaccard near-dup: shingle, cap doc frequency, and
-    * find all pairs with J ≥ `minJaccard` — computing the doc-frequency
-    * count ONCE for both the cap and the rarest-first prefix order. */
+    * find all pairs with J ≥ `minJaccard` — doc frequency serves the cap
+    * and the rarest-first prefix order from the same single pass. */
   def nearDupJaccard(docs: DataFrame, n: Int, maxDf: Int,
       minJaccard: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = charShingles(docs, n, idCol, textCol)
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-    prefixJaccardPairs(sh.join(dfreq, Seq("sh")), minJaccard)
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    prefixJaccardPairs(cappedWithDf(charShingles(docs, n, idCol, textCol), maxDf), minJaccard)
 
   /** MinHash signature: numHashes column-wise minima of a keyed xxhash64
     * family over the shingle set. One aggregation with map-side partial

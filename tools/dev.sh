@@ -12,7 +12,7 @@ ADDOPENS="$ADDOPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED"
 ADDOPENS="$ADDOPENS --add-opens java.base/sun.nio.cs=ALL-UNNAMED"
 ADDOPENS="$ADDOPENS --add-opens java.base/sun.security.action=ALL-UNNAMED"
 ADDOPENS="$ADDOPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
-exec java $ADDOPENS \
+exec java $ADDOPENS $JAVA_EXTRA \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
