@@ -1,0 +1,91 @@
+package graft
+
+import graft.ext.Dedup
+import graft.functions.ArrayMath
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck parity properties (SURVEY §5.3): the semantics contracts that
+  * are easy to get subtly wrong are checked against independent in-JVM
+  * reference implementations on generated inputs.
+  *
+  *   - regex_split ≡ Rust `Regex::split` (keeps empty segments — Java
+  *     `split(re, -1)` is the faithful reference, /root/reference/src/regex.rs:114)
+  *   - `$name`→`${name}` substitution dialect translation (regex.rs:65-66)
+  *   - prefix-filtered Jaccard all-pairs is LOSSLESS vs brute force
+  *   - codegen SortedIntersectCount / ArrayDotLong vs plain Scala
+  *
+  * Each property batches its generated cases into ONE DataFrame so a
+  * property evaluation costs one Spark job, not one per sample.
+  */
+object GraftProps extends Properties("graft") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', ' ', ',', ';', 'x')).map(_.mkString))
+
+  property("regexSplit keeps empty segments like Rust Regex::split") =
+    Prop.forAll(Gen.listOfN(16, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = TextOps.regexSplit(df, "text", "[ ,;]+")
+        .groupBy("id").agg(collect_list(struct(col("pos"), col("segment"))).as("segs"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).sortBy(_.getInt(0)).map(_.getString(1)))
+        .toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val expect = t.split("[ ,;]+", -1).toSeq
+        got.getOrElse(i.toLong, Nil) == expect
+      }
+    }
+
+  property("translateSubst maps $name to ${name} and leaves $1 alone") =
+    Prop.forAll(Gen.identifier.suchThat(_.nonEmpty), Gen.chooseNum(1, 9)) { (name, k) =>
+      TextOps.translateSubst(s"$$$name-$$$k/") == s"$${$name}-$$$k/"
+    }
+
+  private val docGen: Gen[String] =
+    Gen.chooseNum(1, 18).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  private def shingleSet(t: String, n: Int): Set[String] =
+    if (t.length >= n) t.sliding(n).toSet else Set(t)
+
+  property("prefix-filtered jaccardPairs is lossless vs brute force") =
+    Prop.forAll(Gen.listOfN(8, docGen), Gen.oneOf(0.3, 0.5, 0.8)) { (texts, thr) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.jaccardPairs(Dedup.charShingles(docs, 3), thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sets = texts.map(shingleSet(_, 3))
+      val expect = (for {
+        i <- sets.indices; j <- sets.indices if i < j
+        inter = (sets(i) intersect sets(j)).size
+        union = (sets(i) union sets(j)).size
+        jac = inter.toDouble / union if jac >= thr
+      } yield (i.toLong, j.toLong) -> jac).toMap
+      got.keySet == expect.keySet &&
+        expect.forall { case (k, v) => math.abs(got(k) - v) < 1e-12 }
+    }
+
+  private val sortedArrGen: Gen[Seq[Long]] =
+    Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 40L)).map(_.distinct.sorted))
+
+  property("SortedIntersectCount == set intersection size") =
+    Prop.forAll(Gen.listOfN(12, Gen.zip(sortedArrGen, sortedArrGen))) { pairs =>
+      val df = pairs.toDF("a", "b")
+      val got = df.select(ArrayMath.sortedIntersectCount(col("a"), col("b"))).as[Long].collect()
+      got.toSeq == pairs.map { case (a, b) => (a.toSet intersect b.toSet).size.toLong }
+    }
+
+  property("ArrayDotLong == Scala dot product") =
+    Prop.forAll(Gen.listOfN(10,
+        Gen.zip(Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L)),
+                Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L))))) { pairs =>
+      val df = pairs.toDF("a", "b")
+      val got = df.select(ArrayMath.dotLong(col("a"), col("b"))).as[Long].collect()
+      got.toSeq == pairs.map { case (a, b) => a.zip(b).map { case (x, y) => x * y }.sum }
+    }
+}
