@@ -118,4 +118,14 @@ object Compiler {
   /** One-shot batch run of a whole spec (the test/CLI path). */
   def runBatch(spark: SparkSession, spec: Spec): Unit =
     sink(pipeline(spec)(source(spark, spec.input)), spec.output)
+
+  /** Continuous run of a whole spec: streaming source → compiled pipeline →
+    * streaming sink, checkpointed (the reference's at-least-once sync-commit
+    * loop maps to Structured Streaming's checkpointed offset commit —
+    * SURVEY.md §1.4). */
+  def runStream(spark: SparkSession, spec: Spec,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streamSink(pipeline(spec)(streamSource(spark, spec.input)), spec.output)
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -111,4 +111,36 @@ class SpecSpec extends SparkSpec {
     val back = spark.read.parquet(s"$tmp/out")
     assert(texts(back).sorted == Seq("x", "y"))
   }
+
+  test("CLI config resolution: -c flag > CONFIG_FILE env > default") {
+    import graft.Main
+    assert(Main.configPath(Array("-c", "x.yml"), Map("CONFIG_FILE" -> "e.yml")) == "x.yml")
+    assert(Main.configPath(Array("--config_file", "y.yml"), Map.empty) == "y.yml")
+    assert(Main.configPath(Array(), Map("CONFIG_FILE" -> "e.yml")) == "e.yml")
+    assert(Main.configPath(Array(), Map.empty) == "nekton.yml")
+  }
+
+  test("end-to-end CLI batch run: text_file -> replace,split -> parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.txt"),
+      "cheese,a\ncheese,b\n")
+    val spec = SpecLoader.load(
+      s"""input:
+         |  type: text_file
+         |  path: $dir/in.txt
+         |pipeline:
+         |  processors:
+         |    - type: replace
+         |      from: cheese
+         |      to: bacon
+         |    - type: regex_split
+         |      re: ","
+         |output:
+         |  type: parquet
+         |  path: $dir/out
+         |""".stripMargin)
+    Compiler.runBatch(spark, spec)
+    val out = spark.read.parquet(s"$dir/out").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("a", "b", "bacon", "bacon"))
+  }
 }
