@@ -442,6 +442,27 @@ object Relational {
 
   // --------------------------------------------------------------------------
 
+  // --------------------------------------------------------------------------
+  // q46 — explicitly salted skewed join (graft.operators.Skew): fact side
+  // salted 8 ways, dim side replicated, result identical to the plain join
+  // (which is exactly what the oracle computes).
+  def q46_salted_skew_join(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("partkey"), col("l_quantity"))
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    graft.operators.Skew.saltedJoin(li, p, Seq("partkey"), 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q46_sql =
+    """SELECT p_brand, count(*) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01_pricing_summary _),
     "q02_filter_project" -> (q02_filter_project _),
@@ -462,7 +483,8 @@ object Relational {
     "q17_having" -> (q17_having _),
     "q18_large_orders" -> (q18_large_orders _),
     "q19_conditional_agg" -> (q19_conditional_agg _),
-    "q20_above_avg_parts" -> (q20_above_avg_parts _)
+    "q20_above_avg_parts" -> (q20_above_avg_parts _),
+    "q46_salted_skew_join" -> (q46_salted_skew_join _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -485,6 +507,7 @@ object Relational {
     "q17_having" -> q17_sql,
     "q18_large_orders" -> q18_sql,
     "q19_conditional_agg" -> q19_sql,
-    "q20_above_avg_parts" -> q20_sql
+    "q20_above_avg_parts" -> q20_sql,
+    "q46_salted_skew_join" -> q46_sql
   )
 }

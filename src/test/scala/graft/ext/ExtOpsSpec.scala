@@ -94,6 +94,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
+  test("saltedJoin returns exactly the plain-join result") {
+    val events = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = events.select(col("event_type")).distinct()
+      .withColumn("type_tag", concat(lit("t:"), col("event_type")))
+    val plain = events.join(dim, Seq("event_type"))
+      .select("event_id", "type_tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    val salted = graft.operators.Skew.saltedJoin(events, dim, Seq("event_type"), 7)
+      .select("event_id", "type_tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(salted.sameElements(plain))
+  }
+
   test("asof backward join picks latest prior-or-equal right row") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2")).toDF("k", "ts", "pid")
     val right = Seq((1L, 5L, "c1"), (1L, 10L, "c2"), (1L, 15L, "c3"), (1L, 99L, "c9"))
