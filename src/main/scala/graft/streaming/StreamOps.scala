@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Structured Streaming operators — the streaming duals of the batch event
   * queries in [[graft.queries.Events]] (same plan shapes plus watermarks),
@@ -87,5 +88,40 @@ object StreamOps {
             Iterator.single(SessionAgg(user, n, tot))
           }
       }
+  }
+
+  /** The same running totals on Spark 4's transformWithState API
+    * (StatefulProcessor + typed ValueState): the modern replacement for
+    * flatMapGroupsWithState — composable named state, native TTL, timers.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), which is also the
+    * right provider at 100 TB state sizes. */
+  class UserTotalsProcessor extends StatefulProcessor[Long, (Long, Double), SessionAgg] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "totals", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[SessionAgg] = {
+      val prev = if (state.exists()) state.get() else SessionState(0L, 0.0)
+      var n = prev.n
+      var tot = prev.total
+      rows.foreach { case (_, v) => n += 1; tot += v }
+      state.update(SessionState(n, tot))
+      Iterator.single(SessionAgg(user, n, tot))
+    }
+  }
+
+  /** runningUserTotals on the transformWithState path (see
+    * [[UserTotalsProcessor]]). */
+  def runningUserTotalsTws(spark: SparkSession, events: DataFrame): Dataset[SessionAgg] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "CAST(value AS DOUBLE) AS value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

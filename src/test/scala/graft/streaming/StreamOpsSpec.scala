@@ -81,6 +81,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(byUser(200L) == (1L, 3.0))
   }
 
+  test("transformWithState keeps running per-user totals (RocksDB state store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runStream(Seq(batch1), "running_tws", "append") { df =>
+        StreamOps.runningUserTotalsTws(spark, df).toDF()
+      }
+      val byUser = out.collect().map(r =>
+        r.getAs[Long]("user_id") -> (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+      assert(byUser(100L) == (3L, 4.0))
+      assert(byUser(200L) == (1L, 3.0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sliding windows assign one event to overlapping windows") {
     val out = runStream(Seq(Seq((1L, ts(7), 1L, "a", 0.0))), "sliding", "complete") { df =>
       StreamOps.slidingUserRate(df, "10 minutes")
