@@ -31,6 +31,13 @@ import org.apache.spark.sql.types._
   *   - MinHash banding IS probabilistic (tunable via hashes/band); the
   *     emitted pairs are exact-Jaccard-verified, so precision is always 1
   *     and band count controls recall only.
+  *
+  * Cache note: the pairwise ops (jaccardPairs/nearDupJaccard/
+  * minhashLshPairs) persist a corpus-sized per-doc array hub into the
+  * session cache (MEMORY_AND_DISK — it feeds 3-4 plan consumers). Spark's
+  * CacheManager dedupes repeated invocations by canonical plan, but a
+  * long-lived session processing many corpora should
+  * `spark.catalog.clearCache()` between them.
   */
 object Dedup {
 
@@ -103,7 +110,13 @@ object Dedup {
           concat(lpad(col("df").cast(StringType), 9, "0"), col("sh")))).as("shs"),
         count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefixLen = (col("n") - ceil(col("n") * lit(minJaccard)) + lit(1)).cast(IntegerType)
+    // ⌈t·n⌉ computed as ceil(t·n − ε): IEEE t·n can land a hair ABOVE the
+    // exact integer product (e.g. 100·0.55 = 55.000000000000007), and a
+    // ceil overshoot would SHORTEN the prefix — the unsafe direction. The ε
+    // can only lengthen a prefix by one token (harmless); it keeps the
+    // losslessness guarantee exact at threshold boundaries.
+    val prefixLen =
+      (col("n") - ceil(col("n") * lit(minJaccard) - lit(1e-9)) + lit(1)).cast(IntegerType)
     val pre = hub.select(col("id"), explode(slice(col("shs"), lit(1), prefixLen)).as("sh"))
     val cand = pre.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -224,15 +237,17 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact dedup by content fingerprint: every row keyed by its md5-derived
-    * 60-bit fingerprint, labeled with its group's canonical (minimum) id and
-    * copy count. One shuffle on the fingerprint. */
+  /** Exact dedup by content fingerprint: groups are keyed on the FULL
+    * 128-bit md5 (a 60-bit key would hit birthday collisions around 2³⁰
+    * documents — guaranteed merges of non-duplicates at 100 TB corpus
+    * sizes); the 60-bit fp60 rides along as a compact join/partition key.
+    * One shuffle on the fingerprint. */
   def exactDedup(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = TextAnalysis.fingerprint(docs, textCol)
-      .select(col(idCol), col("fp60"))
-    val groups = fp.groupBy(col("fp60"))
+      .select(col(idCol), col("fp_md5"), col("fp60"))
+    val groups = fp.groupBy(col("fp_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
-    fp.join(groups, Seq("fp60"))
+    fp.join(groups, Seq("fp_md5")).drop("fp_md5")
   }
 }

@@ -58,8 +58,9 @@ object Similarity {
       .withColumn("bn2", intDot(col("bx"), col("bx")))
     broadcast(q).crossJoin(b)
       .withColumn("cosine",
-        intDot(col("qx"), col("bx")).cast(DoubleType) /
-          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("bn2").cast(DoubleType))))
+        when(col("qn2") === 0 || col("bn2") === 0, lit(0.0)).otherwise(
+          intDot(col("qx"), col("bx")).cast(DoubleType) /
+            (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("bn2").cast(DoubleType)))))
       .select(col("qid"), col("vid"), col("cosine"))
   }
 

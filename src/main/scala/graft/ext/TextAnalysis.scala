@@ -78,7 +78,9 @@ object TextAnalysis {
         Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("p_lang").as("pred_lang"), col("score"))
-    docs.select(col("doc_id"), col("lang")).join(best, Seq("doc_id"))
+    // LEFT join: a document overlapping no profile still comes out (null
+    // prediction) — a language-ID operator must not drop input rows.
+    docs.select(col("doc_id"), col("lang")).join(best, Seq("doc_id"), "left")
   }
 
   /** Content fingerprints: md5 text digest plus a 60-bit numeric fingerprint

@@ -161,7 +161,9 @@ case class ArrayDotDouble(left: Expression, right: Expression)
 }
 
 /** Single-pass cosine similarity over numeric arrays: three double
-  * accumulators (dot, ‖a‖², ‖b‖²) in one loop, result dot/(√·√). */
+  * accumulators (dot, ‖a‖², ‖b‖²) in one loop, result dot/(√·√).
+  * A zero-norm side yields 0.0 (not NaN — Spark sorts NaN as the LARGEST
+  * double, so a NaN cosine would rank a zero vector #1 in every top-k). */
 case class ArrayCosine(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -184,7 +186,8 @@ case class ArrayCosine(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -200,7 +203,8 @@ case class ArrayCosine(left: Expression, right: Expression)
         double $yv = ${ArrayMath.getD(b, et2, i)};
         $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
       }
-      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+        : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
     """)
   }
 

@@ -41,10 +41,14 @@ object AsofJoin {
       .select((keys :+ tsCol).map(col) ++ payload.map { case (src, out) => col(src).as(out) }: _*)
       .withColumn("_side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    // right (_side=0) sorts before left (_side=1) at equal ts => ties included
+    // right (_side=0) sorts before left (_side=1) at equal ts => ties
+    // included. Among right rows sharing (keys, ts), the payload columns
+    // themselves break the tie (ascending), so the carried value is the
+    // MAX payload tuple — deterministic across shuffle orders.
     val w = Window
       .partitionBy(keyCols: _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(col(tsCol).asc +: col("_side").asc +:
+        payload.values.toSeq.sorted.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.values.foldLeft(unioned) { (df, out) =>
       df.withColumn(out, last(col(out), ignoreNulls = true).over(w))

@@ -19,9 +19,18 @@ import org.apache.spark.sql.types.IntegerType
   */
 object Skew {
 
+  /** Join types where replicating `other` cannot fabricate output rows:
+    * inner/left/semi/anti only. right/full outer would emit the S−1
+    * unmatched salt copies of every `other` row as spurious null-extended
+    * rows — flip the call (salt the other side) for those. */
+  private val safeJoinTypes = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    require(safeJoinTypes(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti; " +
+        "for right/full outer, salt the other side instead")
     val salted = skewed.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast(IntegerType))
     val replicated = other.withColumn("_salt",

@@ -86,7 +86,7 @@ object Corpus {
       |  SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rk
       |  FROM sc) WHERE rk = 1)
       |SELECT d.doc_id, d.lang, b.pred_lang, b.score
-      |FROM documents d JOIN best b USING (doc_id) ORDER BY d.doc_id""".stripMargin
+      |FROM documents d LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
   // q35 — content fingerprinting: md5 digest + engine-portable 60-bit form.
@@ -109,12 +109,12 @@ object Corpus {
       .orderBy(col("doc_id"))
 
   private val q36_sql =
-    """WITH fp AS (SELECT doc_id,
+    """WITH fp AS (SELECT doc_id, md5(text) AS fp_md5,
       |   CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp60 FROM documents),
-      |g AS (SELECT fp60, min(doc_id) AS canonical_id, count(*) AS n_copies
+      |g AS (SELECT fp_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
       |      FROM fp GROUP BY 1)
       |SELECT doc_id, fp60, canonical_id, n_copies
-      |FROM fp JOIN g USING (fp60) ORDER BY doc_id""".stripMargin
+      |FROM fp JOIN g USING (fp_md5) ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
   // q37 — exact n-gram Jaccard near-dup pairs (char 16-grams, doc-frequency
@@ -123,6 +123,9 @@ object Corpus {
     Dedup.nearDupJaccard(docs(s, dir), n = 16, maxDf = 500, minJaccard = 0.5)
       .orderBy(col("i"), col("j"))
 
+  // NOTE: range(1, 100000) caps shingle positions — valid for the driver
+  // fixtures (documents are ≤ a few thousand chars); a corpus with ≥100k-char
+  // documents needs the bound raised in step with the data.
   private def jaccardOracle(threshold: String): String =
     s"""WITH sh0 AS (
       |  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 16) AS sh

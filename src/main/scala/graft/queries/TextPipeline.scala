@@ -102,8 +102,14 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  // awk's default FS counts runs of whitespace as one separator and ignores
+  // leading/trailing blanks, so the oracle counts NON-EMPTY space-split
+  // tokens (also 0 for empty text, matching NF-1 = 0). Framing assumes the
+  // text column has no tabs/newlines (true of the fixtures; a general corpus
+  // would escape them before piping).
   private val q31_sql =
-    """SELECT doc_id, CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_words
+    """SELECT doc_id,
+      | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
