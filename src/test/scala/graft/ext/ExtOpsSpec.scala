@@ -108,6 +108,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("zero-norm embedding scores cosine 0.0, never NaN, never rank 1") {
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f))  // zero vector
+    ).toDF("vec_id", "embedding")
+    val q = base.filter(col("vec_id") === 0L)
+    val top = Similarity.bruteForceTopK(q, base, 2).collect()
+      .map(r => r.getAs[Long]("vid") -> r.getAs[Double]("cosine")).toMap
+    assert(!top.values.exists(_.isNaN))
+    assert(top(2L) == 0.0)
+    val rk1 = Similarity.bruteForceTopK(q, base, 1).collect().head.getAs[Long]("vid")
+    assert(rk1 == 1L) // the real neighbor, not the zero vector
+  }
+
+  test("saltedJoin rejects right/full outer join types") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(df, df, Seq("k"), 4, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(df, df, Seq("k"), 4, "full")
+    }
+  }
+
   test("asof backward join picks latest prior-or-equal right row") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2")).toDF("k", "ts", "pid")
     val right = Seq((1L, 5L, "c1"), (1L, 10L, "c2"), (1L, 15L, "c3"), (1L, 99L, "c9"))
