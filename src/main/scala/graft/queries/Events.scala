@@ -169,8 +169,25 @@ object Events {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q47 — sketches (SURVEY §2.4): HyperLogLog++ distinct counts and t-digest
+  // style approximate percentiles, both mergeable map-side partials (the
+  // 100 TB aggregation shape: shuffle carries sketch bytes, not rows).
+  // Approximate by construction — rows-only driver check; accuracy vs exact
+  // is asserted in ScalaTest.
+  def q47_sketches(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("event_id")).as("approx_events"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+      .orderBy(col("event_type"))
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_sketches" -> (q47_sketches _),
     "q44_json_props" -> (q44_json_props _),
     "q21_event_pairs_within_5min" -> (q21_event_pairs_within_5min _),
     "q22_asof_purchase_click" -> (q22_asof_purchase_click _),

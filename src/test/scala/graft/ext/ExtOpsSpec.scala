@@ -132,6 +132,19 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("sketch aggregates land within tolerance of exact") {
+    val ev = Tables.load(spark, sf01, "events")
+    val approx = graft.queries.Events.q47_sketches(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_users")).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("u")).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.1,
+        s"$k: approx=${approx(k)} exact=$e")
+    }
+  }
+
   test("asof backward join picks latest prior-or-equal right row") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2")).toDF("k", "ts", "pid")
     val right = Seq((1L, 5L, "c1"), (1L, 10L, "c2"), (1L, 15L, "c3"), (1L, 99L, "c9"))
