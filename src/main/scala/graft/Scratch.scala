@@ -35,6 +35,20 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_PROBE")) {
+      val mult = sys.env("SPARK_GRAFT_SCALE_PROBE").toInt
+      val d0 = Tables.load(spark, dir, "documents")
+      val big = (0 until mult).map(k => d0.select((col("doc_id") * mult + k).as("doc_id"),
+        col("text"))).reduce(_ union _)
+      println(s"[scratch] scale probe: ${mult}x docs = " + big.count())
+      for (r <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = Dedup.nearDupJaccard(big, 16, 500 * mult, 0.5).count()
+        println(f"[scratch] nearDupJaccard ${mult}x run$r: ${(System.nanoTime()-t0)/1e9}%.1f s pairs=$n")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     val docs = Tables.load(spark, dir, "documents")
     val sh = Dedup.charShingles(docs, 16)
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).filter(col("df") <= 500)
