@@ -99,6 +99,11 @@ object Dedup {
     * (a single exchange shared by the prefix explode and both verify
     * sides), and the candidate distinct. */
   private def prefixJaccardPairs(shd: DataFrame, minJaccard: Double): DataFrame = {
+    val hub = prefixHub(shd)
+    verifyJaccard(prefixCandidates(hub, minJaccard), hub, minJaccard)
+  }
+
+  private def prefixHub(shd: DataFrame): DataFrame = {
     // shd: (id, sh, df). Rarest-first per-doc token array. The hub feeds
     // three consumers (prefix explode + both verify sides), so it is
     // persisted: one materialization instead of three recomputes of the
@@ -112,11 +117,14 @@ object Dedup {
     // equality ⟺ shingle equality — posting lists and intersection counts
     // work directly on keys, and the sorted keys feed the merge-scan
     // verification (graft_sorted_intersect_count) with zero rework.
-    val hub = shd.groupBy(col("id"))
+    shd.groupBy(col("id"))
       .agg(sort_array(collect_list(
           concat(lpad(col("df").cast(StringType), 9, "0"), col("sh")))).as("shs"),
         count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def prefixCandidates(hub: DataFrame, minJaccard: Double): DataFrame = {
     // ⌈t·n⌉ computed as ceil(t·n − ε): IEEE t·n can land a hair ABOVE the
     // exact integer product (e.g. 100·0.55 = 55.000000000000007), and a
     // ceil overshoot would SHORTEN the prefix — the unsafe direction. The ε
@@ -125,13 +133,12 @@ object Dedup {
     val prefixLen =
       (col("n") - ceil(col("n") * lit(minJaccard) - lit(1e-9)) + lit(1)).cast(IntegerType)
     val pre = hub.select(col("id"), explode(slice(col("shs"), lit(1), prefixLen)).as("sh"))
-    val cand = pre.groupBy(col("sh"))
+    pre.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explodePairs(col("ids")).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
-    verifyJaccard(cand, hub, minJaccard)
   }
 
   /** (id, sh, df) with doc frequency ≤ maxDf, computed with ONE shuffle:
@@ -150,12 +157,56 @@ object Dedup {
     prefixJaccardPairs(cappedWithDf(sh, Int.MaxValue), minJaccard)
 
   /** End-to-end n-gram Jaccard near-dup: shingle, cap doc frequency, and
-    * find all pairs with J ≥ `minJaccard` — doc frequency serves the cap
-    * and the rarest-first prefix order from the same single pass. */
+    * find all pairs with J ≥ `minJaccard`.
+    *
+    * EXACT-COPY COLLAPSE: identical texts are grouped first and only one
+    * representative per distinct text is shingled/paired — shingle and
+    * candidate work scales with DISTINCT density, not copy count (a group
+    * of m exact copies would otherwise re-emit its m(m−1)/2 pairs from
+    * every prefix posting list). Results are expanded back afterwards:
+    * within-group pairs carry jaccard 1.0 (identical capped sets — unless
+    * the whole set was capped away, in which case the pair is undefined
+    * and dropped, matching the all-docs formulation), and cross-group rep
+    * pairs fan out to member×member with least/greatest id ordering.
+    * Doc frequency for the cap and the rarest-first prefix order counts
+    * ALL copies (group-size-weighted), so the output is exactly the
+    * pair set of the naive all-docs computation. */
   def nearDupJaccard(docs: DataFrame, n: Int, maxDf: Int,
       minJaccard: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    prefixJaccardPairs(cappedWithDf(charShingles(docs, n, idCol, textCol), maxDf), minJaccard)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val groups = graft.core.Tables.spread(docs)
+      .select(col(idCol).as("docid"), col(textCol).as("gtext"))
+      .groupBy(col("gtext"))
+      .agg(sort_array(collect_list(col("docid"))).as("members"),
+        min(col("docid")).as("rep"), count(lit(1)).as("gsize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = groups.select(col("rep").as("id"), col("gsize"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("gtext")) - (n - 1), lit(1))),
+        i => col("gtext").substr(i, lit(n))))).as("sh"))
+    // df weighted by group size == doc frequency over ALL copies
+    val shd = sh.groupBy(col("sh"))
+      .agg(collect_list(struct(col("id"), col("gsize"))).as("ids"),
+        sum(col("gsize")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("sh"), col("df"), explode(col("ids")).as("m"))
+      .select(col("sh"), col("df"), col("m.id").as("id"))
+    val hub = prefixHub(shd)
+    val repPairs = verifyJaccard(prefixCandidates(hub, minJaccard), hub, minJaccard)
+    val cross = repPairs
+      .join(groups.select(col("rep").as("i"), col("members").as("mi")).hint("shuffle_hash"), Seq("i"))
+      .join(groups.select(col("rep").as("j"), col("members").as("mj")).hint("shuffle_hash"), Seq("j"))
+      .select(explode(col("mi")).as("a"), col("mj"), col("jaccard"))
+      .select(col("a"), explode(col("mj")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"), col("jaccard"))
+    val kept = hub.select(col("id").as("rep"))
+    val within = groups.filter(size(col("members")) > 1)
+      .join(kept, Seq("rep"), "left_semi")
+      .select(explodePairs(col("members")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
 
   /** MinHash signature: numHashes column-wise minima of a keyed xxhash64
     * family over the shingle set. One aggregation with map-side partial

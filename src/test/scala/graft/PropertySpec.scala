@@ -69,6 +69,25 @@ object GraftProps extends Properties("graft") {
         expect.forall { case (k, v) => math.abs(got(k) - v) < 1e-12 }
     }
 
+  property("nearDupJaccard with exact copies == brute force over all docs") =
+    Prop.forAll(Gen.listOfN(5, docGen), Gen.listOfN(10, Gen.chooseNum(0, 4)),
+        Gen.oneOf(0.4, 0.6)) { (pool, picks, thr) =>
+      // duplicate-heavy corpus: each doc drawn from a 5-text pool
+      val texts = picks.map(pool(_))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.nearDupJaccard(docs, 3, Int.MaxValue, thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sets = texts.map(shingleSet(_, 3))
+      val expect = (for {
+        i <- sets.indices; j <- sets.indices if i < j
+        inter = (sets(i) intersect sets(j)).size
+        union = (sets(i) union sets(j)).size
+        jac = inter.toDouble / union if jac >= thr
+      } yield (i.toLong, j.toLong) -> jac).toMap
+      got.keySet == expect.keySet &&
+        expect.forall { case (k, v) => math.abs(got(k) - v) < 1e-12 }
+    }
+
   private val sortedArrGen: Gen[Seq[Long]] =
     Gen.chooseNum(0, 30).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0L, 40L)).map(_.distinct.sorted))
