@@ -174,37 +174,59 @@ object Dedup {
   def nearDupJaccard(docs: DataFrame, n: Int, maxDf: Int,
       minJaccard: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val groups = graft.core.Tables.spread(docs)
+    val groups = textGroups(docs, idCol, textCol)
+    val hub = prefixHub(groupShingles(groups, n, maxDf))
+    val repPairs = verifyJaccard(prefixCandidates(hub, minJaccard), hub, minJaccard)
+    expandRepPairs(repPairs, groups, "jaccard", lit(1.0),
+      keptReps = Some(hub.select(col("id").as("rep"))))
+  }
+
+  /** Distinct-text groups: (gtext, members sorted, rep = min id, gsize).
+    * Persisted — it feeds the rep-side computation and both expansion
+    * sides. Grouping key is the FULL text (no hash collisions). */
+  private def textGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.core.Tables.spread(docs)
       .select(col(idCol).as("docid"), col(textCol).as("gtext"))
       .groupBy(col("gtext"))
       .agg(sort_array(collect_list(col("docid"))).as("members"),
         min(col("docid")).as("rep"), count(lit(1)).as("gsize"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Capped (id=rep, sh, df) over distinct texts, df weighted by group
+    * size == doc frequency over ALL copies. */
+  private def groupShingles(groups: DataFrame, n: Int, maxDf: Int): DataFrame = {
     val sh = groups.select(col("rep").as("id"), col("gsize"),
       explode(array_distinct(transform(
         sequence(lit(1), greatest(length(col("gtext")) - (n - 1), lit(1))),
         i => col("gtext").substr(i, lit(n))))).as("sh"))
-    // df weighted by group size == doc frequency over ALL copies
-    val shd = sh.groupBy(col("sh"))
+    sh.groupBy(col("sh"))
       .agg(collect_list(struct(col("id"), col("gsize"))).as("ids"),
         sum(col("gsize")).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("sh"), col("df"), explode(col("ids")).as("m"))
       .select(col("sh"), col("df"), col("m.id").as("id"))
-    val hub = prefixHub(shd)
-    val repPairs = verifyJaccard(prefixCandidates(hub, minJaccard), hub, minJaccard)
+  }
+
+  /** Expand representative pairs back to member pairs: cross-group rep
+    * pairs fan out member×member (least/greatest id order, payload
+    * carried), within-group pairs get `withinValue` (identical texts —
+    * exact similarity). `keptReps` restricts within-group emission to
+    * groups whose rep survived upstream filtering (e.g. a fully-capped
+    * shingle set has no defined jaccard). */
+  private def expandRepPairs(repPairs: DataFrame, groups: DataFrame,
+      payloadCol: String, withinValue: org.apache.spark.sql.Column,
+      keptReps: Option[DataFrame] = None): DataFrame = {
     val cross = repPairs
       .join(groups.select(col("rep").as("i"), col("members").as("mi")).hint("shuffle_hash"), Seq("i"))
       .join(groups.select(col("rep").as("j"), col("members").as("mj")).hint("shuffle_hash"), Seq("j"))
-      .select(explode(col("mi")).as("a"), col("mj"), col("jaccard"))
-      .select(col("a"), explode(col("mj")).as("b"), col("jaccard"))
+      .select(explode(col("mi")).as("a"), col("mj"), col(payloadCol))
+      .select(col("a"), explode(col("mj")).as("b"), col(payloadCol))
       .select(least(col("a"), col("b")).as("i"),
-        greatest(col("a"), col("b")).as("j"), col("jaccard"))
-    val kept = hub.select(col("id").as("rep"))
-    val within = groups.filter(size(col("members")) > 1)
-      .join(kept, Seq("rep"), "left_semi")
-      .select(explodePairs(col("members")).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), lit(1.0).as("jaccard"))
+        greatest(col("a"), col("b")).as("j"), col(payloadCol))
+    val multi = groups.filter(size(col("members")) > 1)
+    val kept = keptReps.map(k => multi.join(k, Seq("rep"), "left_semi")).getOrElse(multi)
+    val within = kept.select(explodePairs(col("members")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), withinValue.as(payloadCol))
     cross.unionByName(within)
   }
 
@@ -240,8 +262,10 @@ object Dedup {
     * shingle subtree is shuffled once and the hub exchange is shared by the
     * band join and both verification sides. */
   def minhashLshPairs(docs: DataFrame, n: Int, maxDf: Int,
-      numHashes: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
-    val sh = capDocFreq(charShingles(docs, n), maxDf)
+      numHashes: Int, rowsPerBand: Int, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val groups = textGroups(docs, idCol, textCol)
+    val sh = groupShingles(groups, n, maxDf).select(col("id"), col("sh"))
     val aggs = Seq(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("n")) ++
       (0 until numHashes).map(k => min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
     // Four consumers (band join i/j + verify i/j) → persist, as in
@@ -249,7 +273,11 @@ object Dedup {
     val hub = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(hub, rowsPerBand, numHashes / rowsPerBand)
-    verifyJaccard(cand, hub.select(col("id"), col("shs"), col("n")), minJaccard)
+    val repPairs = verifyJaccard(cand, hub.select(col("id"), col("shs"), col("n")), minJaccard)
+    // exact copies share signatures AND sets: within-group pairs are exact
+    // J=1.0 matches (provided the capped set is non-empty), never LSH misses
+    expandRepPairs(repPairs, groups, "jaccard", lit(1.0),
+      keptReps = Some(hub.select(col("id").as("rep"))))
   }
 
   /** Weighted SimHash signature (60-bit): shingles weighted by occurrence
@@ -280,12 +308,16 @@ object Dedup {
   /** SimHash near-dup pairs with hamming ≤ maxHamming (< 15-bit band width ×
     * band count guarantee: maxHamming ≤ 3 with 4 bands is lossless). Band
     * join on 15-bit slices, then exact popcount filter. */
-  def simhashPairs(docs: DataFrame, n: Int, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignature(docs, n)
+  def simhashPairs(docs: DataFrame, n: Int, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val groups = textGroups(docs, idCol, textCol)
+    val sig = simhashSignature(
+      groups.select(col("rep").as("doc_id"), col("gtext").as("text")), n)
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("sig"), 15 * k).bitwiseAND(lit(0x7FFFL))): _*)).as(Seq("band", "bh")))
-    banded.select(col("band"), col("bh"), col("id").as("i"), col("sig").as("sig_i"))
+    val repPairs = banded
+      .select(col("band"), col("bh"), col("id").as("i"), col("sig").as("sig_i"))
       .join(banded.select(col("band"), col("bh"), col("id").as("j"), col("sig").as("sig_j")),
         Seq("band", "bh"))
       .filter(col("i") < col("j"))
@@ -293,6 +325,8 @@ object Dedup {
         bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).cast(IntegerType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    // identical texts have identical signatures: within-group hamming is 0
+    expandRepPairs(repPairs, groups, "hamming", lit(0).cast(IntegerType))
   }
 
   /** Exact dedup by content fingerprint: groups are keyed on the FULL
