@@ -48,6 +48,14 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Distinct char n-gram set of one text value (the single source of the
+    * shingling rule: short texts contribute the whole text as one shingle;
+    * null text yields null, which explode drops). */
+  private def shingleArray(text: org.apache.spark.sql.Column, n: Int) =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
   /** Character n-gram shingle set, one row per distinct (id, shingle).
     * Documents shorter than n contribute their whole text as one shingle.
     * Map-only: per-doc dedup happens inside `array_distinct`, no shuffle. */
@@ -55,9 +63,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.core.Tables.spread(docs).select(
         col(idCol).as("id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
-          i => col(textCol).substr(i, lit(n))))).as("sh"))
+        explode(shingleArray(col(textCol), n)).as("sh"))
 
   /** Drop shingles occurring in more than `maxDf` documents (anti-hot-key
     * cap for the inverted-index candidates; see class doc). */
@@ -125,13 +131,16 @@ object Dedup {
   }
 
   private def prefixCandidates(hub: DataFrame, minJaccard: Double): DataFrame = {
-    // ⌈t·n⌉ computed as ceil(t·n − ε): IEEE t·n can land a hair ABOVE the
-    // exact integer product (e.g. 100·0.55 = 55.000000000000007), and a
-    // ceil overshoot would SHORTEN the prefix — the unsafe direction. The ε
-    // can only lengthen a prefix by one token (harmless); it keeps the
-    // losslessness guarantee exact at threshold boundaries.
+    // ⌈t·n⌉ computed as ceil(t·n·(1−1e-12) − 1e-9): IEEE t·n can land a
+    // hair ABOVE the exact integer product (e.g. 100·0.55 =
+    // 55.000000000000007), and a ceil overshoot would SHORTEN the prefix —
+    // the unsafe direction. The relative term covers large n (0.5 ulp of
+    // the product grows past any absolute ε around n·t ≈ 1e7), the
+    // absolute term covers small n; either can only LENGTHEN a prefix by
+    // one token (harmless), keeping losslessness exact at boundaries.
     val prefixLen =
-      (col("n") - ceil(col("n") * lit(minJaccard) - lit(1e-9)) + lit(1)).cast(IntegerType)
+      (col("n") - ceil(col("n") * lit(minJaccard) * lit(1 - 1e-12) - lit(1e-9)) + lit(1))
+        .cast(IntegerType)
     val pre = hub.select(col("id"), explode(slice(col("shs"), lit(1), prefixLen)).as("sh"))
     pre.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -174,31 +183,42 @@ object Dedup {
   def nearDupJaccard(docs: DataFrame, n: Int, maxDf: Int,
       minJaccard: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val groups = textGroups(docs, idCol, textCol)
-    val hub = prefixHub(groupShingles(groups, n, maxDf))
+    val full = textGroups(docs, idCol, textCol)
+    val groups = slimGroups(full)
+    val hub = prefixHub(groupShingles(full, n, maxDf))
     val repPairs = verifyJaccard(prefixCandidates(hub, minJaccard), hub, minJaccard)
     expandRepPairs(repPairs, groups, "jaccard", lit(1.0),
       keptReps = Some(hub.select(col("id").as("rep"))))
   }
 
   /** Distinct-text groups: (gtext, members sorted, rep = min id, gsize).
-    * Persisted — it feeds the rep-side computation and both expansion
-    * sides. Grouping key is the FULL text (no hash collisions). */
+    * Null-text rows are excluded up front — a null text has no shingle
+    * set, so no pair involving it is defined (matching both the naive
+    * all-docs formulation, where such docs never reach a posting list,
+    * and the DuckDB oracles, which drop null shingles at the join).
+    * Grouping key is the FULL text (no hash collisions). NOT persisted:
+    * only the single shingling/signature consumer reads gtext. */
   private def textGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.core.Tables.spread(docs)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("docid"), col(textCol).as("gtext"))
       .groupBy(col("gtext"))
       .agg(sort_array(collect_list(col("docid"))).as("members"),
         min(col("docid")).as("rep"), count(lit(1)).as("gsize"))
+
+  /** The expansion-side projection of [[textGroups]] — corpus-text-free,
+    * so THIS is what persists (both expandRepPairs sides + the within
+    * filter read it; caching gtext alongside would double the cached
+    * corpus footprint next to the shingle hub). */
+  private def slimGroups(full: DataFrame): DataFrame =
+    full.select(col("rep"), col("members"), col("gsize"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Capped (id=rep, sh, df) over distinct texts, df weighted by group
     * size == doc frequency over ALL copies. */
   private def groupShingles(groups: DataFrame, n: Int, maxDf: Int): DataFrame = {
     val sh = groups.select(col("rep").as("id"), col("gsize"),
-      explode(array_distinct(transform(
-        sequence(lit(1), greatest(length(col("gtext")) - (n - 1), lit(1))),
-        i => col("gtext").substr(i, lit(n))))).as("sh"))
+      explode(shingleArray(col("gtext"), n)).as("sh"))
     sh.groupBy(col("sh"))
       .agg(collect_list(struct(col("id"), col("gsize"))).as("ids"),
         sum(col("gsize")).as("df"))
@@ -264,8 +284,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int, maxDf: Int,
       numHashes: Int, rowsPerBand: Int, minJaccard: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val groups = textGroups(docs, idCol, textCol)
-    val sh = groupShingles(groups, n, maxDf).select(col("id"), col("sh"))
+    val full = textGroups(docs, idCol, textCol)
+    val groups = slimGroups(full)
+    val sh = groupShingles(full, n, maxDf).select(col("id"), col("sh"))
     val aggs = Seq(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("n")) ++
       (0 until numHashes).map(k => min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
     // Four consumers (band join i/j + verify i/j) → persist, as in
@@ -310,9 +331,10 @@ object Dedup {
     * join on 15-bit slices, then exact popcount filter. */
   def simhashPairs(docs: DataFrame, n: Int, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val groups = textGroups(docs, idCol, textCol)
+    val full = textGroups(docs, idCol, textCol)
+    val groups = slimGroups(full)
     val sig = simhashSignature(
-      groups.select(col("rep").as("doc_id"), col("gtext").as("text")), n)
+      full.select(col("rep").as("doc_id"), col("gtext").as("text")), n)
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("sig"), 15 * k).bitwiseAND(lit(0x7FFFL))): _*)).as(Seq("band", "bh")))

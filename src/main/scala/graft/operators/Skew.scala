@@ -23,7 +23,8 @@ object Skew {
     * inner/left/semi/anti only. right/full outer would emit the S−1
     * unmatched salt copies of every `other` row as spurious null-extended
     * rows — flip the call (salt the other side) for those. */
-  private val safeJoinTypes = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+  private val safeJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
 
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {

@@ -209,7 +209,9 @@ object Corpus {
       |  WHERE q.vec_id < 32 GROUP BY 1, 2),
       |cos AS (
       |  SELECT qid, vid,
-      |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(bn.n2 AS DOUBLE))) AS cosine
+      |    CASE WHEN qn.n2 = 0 OR bn.n2 = 0 THEN 0.0
+      |      ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(bn.n2 AS DOUBLE)))
+      |    END AS cosine
       |  FROM dots JOIN n2 qn ON qid = qn.vec_id JOIN n2 bn ON vid = bn.vec_id
       |  WHERE qid <> vid)
       |SELECT qid, vid, cosine, CAST(rk AS INT) AS rk FROM (
@@ -241,9 +243,13 @@ object Corpus {
       |  FROM ex a JOIN ex b ON a.idx = b.idx AND a.vec_id < b.vec_id
       |  GROUP BY 1, 2)
       |SELECT i, j,
-      |  CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cosine
+      |  CASE WHEN x.n2 = 0 OR y.n2 = 0 THEN 0.0
+      |    ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+      |  END AS cosine
       |FROM dots JOIN n2 x ON i = x.vec_id JOIN n2 y ON j = y.vec_id
-      |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.4
+      |WHERE CASE WHEN x.n2 = 0 OR y.n2 = 0 THEN 0.0
+      |    ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+      |  END >= 0.4
       |ORDER BY i, j""".stripMargin
 
   // --------------------------------------------------------------------------

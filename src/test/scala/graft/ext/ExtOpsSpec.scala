@@ -122,6 +122,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(rk1 == 1L) // the real neighbor, not the zero vector
   }
 
+  test("null-text docs never form near-dup pairs (all three families)") {
+    val df = Seq[(Long, String)](
+      (1L, null), (2L, null), (3L, "shared prefix text here"), (4L, "shared prefix text here")
+    ).toDF("doc_id", "text")
+    def pairs(out: Array[org.apache.spark.sql.Row]) =
+      out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val j = pairs(Dedup.nearDupJaccard(df, 3, Int.MaxValue, 0.5).collect())
+    val m = pairs(Dedup.minhashLshPairs(df, 3, Int.MaxValue, 16, 4, 0.5).collect())
+    val sh = pairs(Dedup.simhashPairs(df, 3).collect())
+    assert(j == Set((3L, 4L)), s"jaccard: $j")
+    assert(m == Set((3L, 4L)), s"minhash: $m")
+    assert(sh == Set((3L, 4L)), s"simhash: $sh")
+  }
+
   test("saltedJoin rejects right/full outer join types") {
     val df = Seq((1L, "a")).toDF("k", "v")
     intercept[IllegalArgumentException] {
