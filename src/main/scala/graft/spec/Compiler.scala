@@ -47,6 +47,14 @@ object Compiler {
   def source(spark: SparkSession, conf: SourceConf): DataFrame = conf.typ match {
     case "stdin" => spark.read.text("/dev/stdin").withColumnRenamed("value", "text")
     case "text_file" => spark.read.text(conf.path.get).withColumnRenamed("value", "text")
+    // structured file scans: rows pass through as-is; the text-processor
+    // contract applies only if the file provides (or a processor derives)
+    // a `text` column. `config` keys map to reader options (header,
+    // multiLine, ...).
+    case "csv" | "json" | "parquet" =>
+      conf.config.foldLeft(spark.read.format(conf.typ)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(conf.path.get)
     case other => sys.error(s"source '$other' is streaming-only; use streamSource")
   }
 
@@ -86,7 +94,10 @@ object Compiler {
       df.select(col("text")).toLocalIterator().forEachRemaining {
         (r: Row) => println(r.getString(0))
       }
-    case "parquet" => df.write.mode("append").parquet(conf.path.get)
+    case "parquet" | "csv" | "json" =>
+      conf.config.foldLeft(df.write.format(conf.typ).mode("append")) {
+        case (w, (k, v)) => w.option(k, v)
+      }.save(conf.path.get)
     case "kafka" =>
       kafkaSinkOptions(conf).foldLeft(
         kafkaPayload(df).write.format("kafka")) {
@@ -97,8 +108,10 @@ object Compiler {
   /** Streaming sink writer (start()/awaitTermination at the call site). */
   def streamSink(df: DataFrame, conf: SinkConf): DataStreamWriter[Row] = conf.typ match {
     case "stdout" => df.writeStream.format("console")
-    case "parquet" => df.writeStream.format("parquet")
-      .option("path", conf.path.get)
+    case "parquet" | "csv" | "json" =>
+      conf.config.foldLeft(df.writeStream.format(conf.typ)) {
+        case (w, (k, v)) => w.option(k, v)
+      }.option("path", conf.path.get)
     case "kafka" =>
       kafkaSinkOptions(conf).foldLeft(kafkaPayload(df).writeStream.format("kafka")) {
         case (w, (k, v)) => w.option(k, v)

@@ -9,10 +9,11 @@ import scala.jdk.CollectionConverters._
   * unregistered typetag fails there. */
 object SpecLoader {
 
-  val sourceTypes = Set("stdin", "http_server", "kafka", "text_file")
+  val sourceTypes = Set("stdin", "http_server", "kafka", "text_file",
+    "csv", "json", "parquet")
   val processorTypes = Set("noop", "replace", "process",
     "regex_replace", "regex_split", "regex_select")
-  val sinkTypes = Set("stdout", "kafka", "parquet")
+  val sinkTypes = Set("stdout", "kafka", "parquet", "csv", "json")
 
   def load(yaml: String): Spec = {
     val root = anyMap(new Yaml().load[Object](yaml))

@@ -143,4 +143,48 @@ class SpecSpec extends SparkSpec {
     val out = spark.read.parquet(s"$dir/out").collect().map(_.getString(0)).sorted
     assert(out.toSeq == Seq("a", "b", "bacon", "bacon"))
   }
+
+  test("structured file source/sink: csv in -> pipeline -> json out") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "text\ncheese one\ncheese two\n")
+    val spec = SpecLoader.load(
+      s"""input:
+         |  type: csv
+         |  path: $dir/in.csv
+         |  config:
+         |    header: "true"
+         |pipeline:
+         |  processors:
+         |    - type: replace
+         |      from: cheese
+         |      to: bacon
+         |output:
+         |  type: json
+         |  path: $dir/out
+         |""".stripMargin)
+    Compiler.runBatch(spark, spec)
+    val out = spark.read.json(s"$dir/out").select("text").collect()
+      .map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("bacon one", "bacon two"))
+  }
+
+  test("streaming metrics listener records batch progress") {
+    import graft.streaming.Metrics
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val log = Metrics.attach(spark)
+    val mem = MemoryStream[String]
+    mem.addData("a", "b", "c")
+    val q = mem.toDF().writeStream.format("memory").queryName("metrics_probe")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.streams.removeListener(log)
+    // listener bus is async; give it a beat
+    val deadline = System.currentTimeMillis() + 10000
+    while (log.snapshot.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(log.snapshot.exists(p => p.queryName == "metrics_probe" && p.numInputRows == 3))
+  }
 }
