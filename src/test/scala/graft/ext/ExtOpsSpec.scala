@@ -159,6 +159,28 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("bucketed co-located join plans with zero exchanges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val ev = Tables.load(spark, sf001, "events")
+      graft.core.Bucketing.writeBucketed(
+        ev.select(col("user_id"), col("event_id"), col("value")),
+        "ev_b", s"$dir/ev", 4, Seq("user_id"), Seq("user_id"))
+      graft.core.Bucketing.writeBucketed(
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events")),
+        "usr_b", s"$dir/usr", 4, Seq("user_id"))
+      val joined = graft.core.Bucketing.bucketedJoin(spark, "ev_b", "usr_b", Seq("user_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join:\n$plan")
+      assert(joined.count() == ev.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS ev_b")
+      spark.sql("DROP TABLE IF EXISTS usr_b")
+    }
+  }
+
   test("asof backward join picks latest prior-or-equal right row") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2")).toDF("k", "ts", "pid")
     val right = Seq((1L, 5L, "c1"), (1L, 10L, "c2"), (1L, 15L, "c3"), (1L, 99L, "c9"))
