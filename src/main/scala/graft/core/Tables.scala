@@ -23,7 +23,7 @@ object Tables {
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       import org.apache.spark.sql.functions.{col, expr}
       raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        .select(raw.columns.map(col): _*)
+        .select(raw.columns.toIndexedSeq.map(col): _*)
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
