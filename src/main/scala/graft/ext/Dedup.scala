@@ -56,6 +56,16 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n))))
 
+  /** Distinct word (whitespace-token) n-grams of one text value; texts
+    * with fewer than n tokens contribute all their tokens as one shingle
+    * (the word-level analogue of the short-text rule). */
+  private def wordShingleArray(text: org.apache.spark.sql.Column, n: Int) = {
+    val ws = split(text, " ", -1)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(n)))))
+  }
+
   /** Character n-gram shingle set, one row per distinct (id, shingle).
     * Documents shorter than n contribute their whole text as one shingle.
     * Map-only: per-doc dedup happens inside `array_distinct`, no shuffle. */
@@ -64,6 +74,13 @@ object Dedup {
     graft.core.Tables.spread(docs).select(
         col(idCol).as("id"),
         explode(shingleArray(col(textCol), n)).as("sh"))
+
+  /** Word n-gram shingle set, one row per distinct (id, shingle). */
+  def wordShingles(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.core.Tables.spread(docs).select(
+        col(idCol).as("id"),
+        explode(wordShingleArray(col(textCol), n)).as("sh"))
 
   /** Drop shingles occurring in more than `maxDf` documents (anti-hot-key
     * cap for the inverted-index candidates; see class doc). */
@@ -182,10 +199,23 @@ object Dedup {
     * pair set of the naive all-docs computation. */
   def nearDupJaccard(docs: DataFrame, n: Int, maxDf: Int,
       minJaccard: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    nearDupJaccardImpl(docs, n, maxDf, minJaccard, idCol, textCol, shingleArray)
+
+  /** [[nearDupJaccard]] over WORD n-grams (the token-level variant most
+    * text-dedup pipelines use). Same collapse/prefix-filter machinery. */
+  def nearDupJaccardTokens(docs: DataFrame, n: Int, maxDf: Int,
+      minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    nearDupJaccardImpl(docs, n, maxDf, minJaccard, idCol, textCol, wordShingleArray)
+
+  private def nearDupJaccardImpl(docs: DataFrame, n: Int, maxDf: Int,
+      minJaccard: Double, idCol: String, textCol: String,
+      mkShingles: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column)
+      : DataFrame = {
     val full = textGroups(docs, idCol, textCol)
     val groups = slimGroups(full)
-    val hub = prefixHub(groupShingles(full, n, maxDf))
+    val hub = prefixHub(groupShingles(full, n, maxDf, mkShingles))
     val repPairs = verifyJaccard(prefixCandidates(hub, minJaccard), hub, minJaccard)
     expandRepPairs(repPairs, groups, "jaccard", lit(1.0),
       keptReps = Some(hub.select(col("id").as("rep"))))
@@ -216,9 +246,11 @@ object Dedup {
 
   /** Capped (id=rep, sh, df) over distinct texts, df weighted by group
     * size == doc frequency over ALL copies. */
-  private def groupShingles(groups: DataFrame, n: Int, maxDf: Int): DataFrame = {
+  private def groupShingles(groups: DataFrame, n: Int, maxDf: Int,
+      mkShingles: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        shingleArray): DataFrame = {
     val sh = groups.select(col("rep").as("id"), col("gsize"),
-      explode(shingleArray(col("gtext"), n)).as("sh"))
+      explode(mkShingles(col("gtext"), n)).as("sh"))
     sh.groupBy(col("sh"))
       .agg(collect_list(struct(col("id"), col("gsize"))).as("ids"),
         sum(col("gsize")).as("df"))

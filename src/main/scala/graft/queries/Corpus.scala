@@ -146,6 +146,31 @@ object Corpus {
   private val q37_sql = jaccardOracle("0.5")
 
   // --------------------------------------------------------------------------
+  // q48 — WORD n-gram Jaccard near-dup (4-token shingles, df cap 500,
+  // threshold 0.5): the token-level dedup most text pipelines run.
+  def q48_word_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupJaccardTokens(docs(s, dir), n = 4, maxDf = 500, minJaccard = 0.5)
+      .orderBy(col("i"), col("j"))
+
+  private val q48_sql =
+    """WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT id, array_to_string(ws[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS sh
+      |  FROM w, range(1, 100000) t(i)
+      |  WHERE i <= greatest(len(ws) - 3, 1)),
+      |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 500),
+      |sh AS (SELECT id, sh0.sh FROM sh0 JOIN keep USING (sh)),
+      |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.id AS i, b.id AS j, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+      |SELECT i, j,
+      |  CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) AS jaccard
+      |FROM inter JOIN sz x ON i = x.id JOIN sz y ON j = y.id
+      |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.5
+      |ORDER BY i, j""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q38 — MinHash+LSH near-dup (128 hashes, 32 bands × 4): LSH proposes,
   // exact Jaccard verifies, so the oracle is the exact computation. At the
   // 0.7 threshold the 32-band recall is 1 − (1−0.7⁴)³² ≈ 0.9998 per pair,
@@ -305,6 +330,7 @@ object Corpus {
     "q35_fingerprint" -> (q35_fingerprint _),
     "q36_exact_dedup" -> (q36_exact_dedup _),
     "q37_ngram_jaccard_pairs" -> (q37_ngram_jaccard_pairs _),
+    "q48_word_jaccard_pairs" -> (q48_word_jaccard_pairs _),
     "q38_minhash_lsh_pairs" -> (q38_minhash_lsh_pairs _),
     "q39_simhash_pairs" -> (q39_simhash_pairs _),
     "q40_cosine_topk" -> (q40_cosine_topk _),
@@ -321,6 +347,7 @@ object Corpus {
     "q35_fingerprint" -> q35_sql,
     "q36_exact_dedup" -> q36_sql,
     "q37_ngram_jaccard_pairs" -> q37_sql,
+    "q48_word_jaccard_pairs" -> q48_sql,
     "q38_minhash_lsh_pairs" -> q38_sql,
     "q39_simhash_pairs" -> q39_sql,
     "q40_cosine_topk" -> q40_sql,
