@@ -83,6 +83,31 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("lang")).join(best, Seq("doc_id"), "left")
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): the
+    * minimum k-gram hash of every w-wide sliding window, deduplicated —
+    * the standard local-fingerprint scheme for partial-overlap detection
+    * (two docs sharing a run of ≥ w+k−1 chars share ≥1 fingerprint).
+    * Hashes are the engine-portable 60-bit md5 prefix, evaluated per gram
+    * (the O(1) rolling update matters for a serial scanner; here each row
+    * evaluates in parallel inside codegen, and the winnowing SELECTION is
+    * the operator's contract). Map-only: one row per (doc, fingerprint).
+    * Docs shorter than k chars fingerprint their whole text; gram lists
+    * shorter than w emit the single global minimum. */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val grams = transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => t.substr(i, lit(k)))
+    val hs = transform(grams,
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast(LongType))
+    val mins = transform(
+      sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+      p => array_min(slice(hs, p, lit(w))))
+    graft.core.Tables.spread(docs)
+      .select(col(idCol), explode(array_distinct(mins)).as("fp"))
+  }
+
   /** Content fingerprints: md5 text digest plus a 60-bit numeric fingerprint
     * (first 15 md5 hex digits) usable as a join/partition key. The 60-bit
     * form is chosen because every SQL engine can reproduce it from md5,

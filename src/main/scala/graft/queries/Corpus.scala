@@ -101,6 +101,29 @@ object Corpus {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q49 — winnowing fingerprints (rolling-hash local fingerprint scheme):
+  // min 8-gram hash per 8-wide window, deduped per doc.
+  def q49_winnow_fingerprints(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowingFingerprints(docs(s, dir), k = 8, w = 8)
+      .orderBy(col("doc_id"), col("fp"))
+
+  private val q49_sql =
+    """WITH g AS (
+      |  SELECT doc_id, i,
+      |    CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 15)) AS BIGINT) AS h,
+      |    greatest(length(text) - 7, 1) AS ng
+      |  FROM documents, range(1, 100000) t(i)
+      |  WHERE i <= greatest(length(text) - 7, 1)),
+      |wins AS (
+      |  SELECT doc_id, i, ng,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
+      |  FROM g)
+      |SELECT DISTINCT doc_id, mh AS fp
+      |FROM wins WHERE i <= greatest(ng - 7, 1)
+      |ORDER BY doc_id, fp""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q36 — exact dedup by content fingerprint: canonical id + copy count per
   // group (hash-groupBy; the streaming dual is dropDuplicatesWithinWatermark).
   def q36_exact_dedup(s: SparkSession, dir: String): DataFrame =
@@ -329,6 +352,7 @@ object Corpus {
     "q34_lang_id" -> (q34_lang_id _),
     "q35_fingerprint" -> (q35_fingerprint _),
     "q36_exact_dedup" -> (q36_exact_dedup _),
+    "q49_winnow_fingerprints" -> (q49_winnow_fingerprints _),
     "q37_ngram_jaccard_pairs" -> (q37_ngram_jaccard_pairs _),
     "q48_word_jaccard_pairs" -> (q48_word_jaccard_pairs _),
     "q38_minhash_lsh_pairs" -> (q38_minhash_lsh_pairs _),
@@ -346,6 +370,7 @@ object Corpus {
     "q34_lang_id" -> q34_sql,
     "q35_fingerprint" -> q35_sql,
     "q36_exact_dedup" -> q36_sql,
+    "q49_winnow_fingerprints" -> q49_sql,
     "q37_ngram_jaccard_pairs" -> q37_sql,
     "q48_word_jaccard_pairs" -> q48_sql,
     "q38_minhash_lsh_pairs" -> q38_sql,

@@ -222,6 +222,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(!plan.contains("payload"))
   }
 
+  test("winnowing: docs sharing a long run share a fingerprint; disjoint docs mostly don't") {
+    val shared = "the entirety of this shared passage is long enough to winnow"
+    val df = Seq(
+      (1L, "prefix one " + shared),
+      (2L, shared + " suffix two"),
+      (3L, "zzz completely unrelated content qqq with nothing in common at all")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(df, 8, 8).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
   test("langId predicts deterministically with full coverage") {
     val docs = Tables.load(spark, sf001, "documents")
     val out = TextAnalysis.langId(docs).collect()
