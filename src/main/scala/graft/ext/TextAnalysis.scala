@@ -95,17 +95,26 @@ object TextAnalysis {
     * shorter than w emit the single global minimum. */
   def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // Explode + window-min rather than nested array HOFs: a lambda-level
+    // sliding min would re-evaluate the whole per-doc hash array once PER
+    // WINDOW (Spark does not hoist loop-invariant subexpressions out of
+    // higher-order-function lambdas — measured 20× slowdown). Here each
+    // gram hashes once, the running min is a codegen'd window frame, and
+    // the only shuffles are the per-doc window partition and the distinct.
     val t = col(textCol)
-    val grams = transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => t.substr(i, lit(k)))
-    val hs = transform(grams,
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast(LongType))
-    val mins = transform(
-      sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
-      p => array_min(slice(hs, p, lit(w))))
-    graft.core.Tables.spread(docs)
-      .select(col(idCol), explode(array_distinct(mins)).as("fp"))
+    val g = graft.core.Tables.spread(docs)
+      .select(col(idCol),
+        greatest(length(t) - (k - 1), lit(1)).as("ng"),
+        posexplode(transform(
+          sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+          i => t.substr(i, lit(k)))).as(Seq("pos", "gram")))
+      .withColumn("h", conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType))
+    val wdw = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    g.withColumn("mh", min(col("h")).over(wdw))
+      .filter(col("pos") <= greatest(col("ng") - (w - 1), lit(1)) - 1)
+      .select(col(idCol), col("mh").as("fp"))
+      .distinct()
   }
 
   /** Content fingerprints: md5 text digest plus a 60-bit numeric fingerprint
