@@ -347,7 +347,7 @@ object Dedup {
         explode(transform(
           sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
           i => col(textCol).substr(i, lit(n)))).as("sh"))
-      .withColumn("h", conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType))
+      .withColumn("h", TextAnalysis.hash60(col("sh")))
     val bitSums = (0 until 60).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
     }

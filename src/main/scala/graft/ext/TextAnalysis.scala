@@ -23,6 +23,12 @@ object TextAnalysis {
     * the mechanism, a set-membership ratio, is what matters). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** The engine-portable 60-bit hash: first 15 md5 hex digits as BIGINT.
+    * A cross-engine compatibility contract — every fingerprint/signature
+    * operator derives from THIS definition (oracles reproduce it in SQL). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   /** Per-document token statistics. No shuffle — a projection. */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
@@ -103,12 +109,13 @@ object TextAnalysis {
     // the only shuffles are the per-doc window partition and the distinct.
     val t = col(textCol)
     val g = graft.core.Tables.spread(docs)
+      .filter(t.isNotNull)  // a null text has no grams, hence no fingerprints
       .select(col(idCol),
         greatest(length(t) - (k - 1), lit(1)).as("ng"),
         posexplode(transform(
           sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
           i => t.substr(i, lit(k)))).as(Seq("pos", "gram")))
-      .withColumn("h", conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType))
+      .withColumn("h", hash60(col("gram")))
     val wdw = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     g.withColumn("mh", min(col("h")).over(wdw))
@@ -123,5 +130,5 @@ object TextAnalysis {
     * making cross-engine dedup joins possible. No shuffle. */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fp_md5", md5(col(textCol)))
-      .withColumn("fp60", conv(substring(col("fp_md5"), 1, 15), 16, 10).cast(LongType))
+      .withColumn("fp60", hash60(col(textCol)))
 }

@@ -48,6 +48,8 @@ object SpecLoader {
   private def sourceConf(m: Map[String, Any]): SourceConf = {
     val t = m("type").toString
     require(sourceTypes(t), s"unknown source type: $t")
+    if (Set("text_file", "csv", "json", "parquet")(t))
+      require(m.contains("path"), s"source type '$t' requires a path")
     SourceConf(t,
       address = m.get("address").map(_.toString),
       path = m.get("path").map(_.toString),
@@ -70,6 +72,8 @@ object SpecLoader {
   private def sinkConf(m: Map[String, Any]): SinkConf = {
     val t = m("type").toString
     require(sinkTypes(t), s"unknown sink type: $t")
+    if (Set("parquet", "csv", "json")(t))
+      require(m.contains("path"), s"sink type '$t' requires a path")
     SinkConf(t,
       topic = m.get("topic").map(_.toString),
       path = m.get("path").map(_.toString),

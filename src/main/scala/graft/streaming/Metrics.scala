@@ -19,6 +19,8 @@ object Metrics {
       numInputRows: Long,
       inputRowsPerSecond: Double,
       processedRowsPerSecond: Double,
+      /** triggerExecution duration — the end-to-end batch time (it already
+        * contains the sub-phases; summing the map would double-count). */
       durationMs: Long,
       stateRows: Long)
 
@@ -35,7 +37,9 @@ object Metrics {
       buf.add(BatchProgress(
         Option(p.name).getOrElse(p.id.toString), p.batchId, p.numInputRows,
         zeroIfNaN(p.inputRowsPerSecond), zeroIfNaN(p.processedRowsPerSecond),
-        p.durationMs.asScala.values.map(_.longValue).sum, stateRows))
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue)
+          .getOrElse(p.durationMs.asScala.values.map(_.longValue)
+            .maxOption.getOrElse(0L)), stateRows))
       while (buf.size() > keep) buf.poll()
     }
 

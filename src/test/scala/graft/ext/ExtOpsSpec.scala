@@ -41,6 +41,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("wordShingles + jaccardPairs == nearDupJaccardTokens at sf0.001") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val viaApi = Dedup.jaccardPairs(
+        Dedup.capDocFreq(Dedup.wordShingles(docs, 4), 500), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCollapsed = Dedup.nearDupJaccardTokens(docs, 4, 500, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaApi == viaCollapsed)
+    assert(viaCollapsed.nonEmpty)
+  }
+
   test("simhash near-identical texts collide, distinct texts do not") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
@@ -161,6 +172,7 @@ class ExtOpsSpec extends SparkSpec {
 
   test("bucketed co-located join plans with zero exchanges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
       val ev = Tables.load(spark, sf001, "events")
@@ -175,7 +187,7 @@ class ExtOpsSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join:\n$plan")
       assert(joined.count() == ev.count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS ev_b")
       spark.sql("DROP TABLE IF EXISTS usr_b")
     }

@@ -181,10 +181,10 @@ class SpecSpec extends SparkSpec {
     val q = mem.toDF().writeStream.format("memory").queryName("metrics_probe")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
-    spark.streams.removeListener(log)
-    // listener bus is async; give it a beat
+    // listener bus is async; poll BEFORE detaching or the event may be lost
     val deadline = System.currentTimeMillis() + 10000
     while (log.snapshot.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    spark.streams.removeListener(log)
     assert(log.snapshot.exists(p => p.queryName == "metrics_probe" && p.numInputRows == 3))
   }
 }
