@@ -15,23 +15,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * builds Columns directly — but SQL users get the same codegen'd functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions._
-
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fn("graft_dot_long", classOf[ArrayDotLong],
-      "exact BIGINT dot product of two ARRAY<BIGINT>",
-      es => ArrayDotLong(es(0), es(1))))
-    ext.injectFunction(fn("graft_dot_double", classOf[ArrayDotDouble],
-      "double dot product of two numeric arrays",
-      es => ArrayDotDouble(es(0), es(1))))
-    ext.injectFunction(fn("graft_cosine", classOf[ArrayCosine],
-      "cosine similarity of two numeric arrays",
-      es => ArrayCosine(es(0), es(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private def fn(name: String, cls: Class[_], usage: String,
+  /** All four custom expressions, as injectFunction-shaped entries (shared
+    * with the test-side registry registration — one source of truth for
+    * what "SQL-registered" means). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("graft_dot_long", classOf[ArrayDotLong],
+      es => ArrayDotLong(es(0), es(1))),
+    fn("graft_dot_double", classOf[ArrayDotDouble],
+      es => ArrayDotDouble(es(0), es(1))),
+    fn("graft_cosine", classOf[ArrayCosine],
+      es => ArrayCosine(es(0), es(1))),
+    fn("graft_sorted_intersect_count", classOf[SortedIntersectCount],
+      es => SortedIntersectCount(es(0), es(1))))
+
+  private def fn(name: String, cls: Class[_],
       builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
