@@ -265,7 +265,7 @@ object Dedup {
     * exact similarity). `keptReps` restricts within-group emission to
     * groups whose rep survived upstream filtering (e.g. a fully-capped
     * shingle set has no defined jaccard). */
-  private def expandRepPairs(repPairs: DataFrame, groups: DataFrame,
+  private[ext] def expandRepPairs(repPairs: DataFrame, groups: DataFrame,
       payloadCol: String, withinValue: org.apache.spark.sql.Column,
       keptReps: Option[DataFrame] = None): DataFrame = {
     val cross = repPairs
@@ -277,8 +277,10 @@ object Dedup {
         greatest(col("a"), col("b")).as("j"), col(payloadCol))
     val multi = groups.filter(size(col("members")) > 1)
     val kept = keptReps.map(k => multi.join(k, Seq("rep"), "left_semi")).getOrElse(multi)
-    val within = kept.select(explodePairs(col("members")).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), withinValue.as(payloadCol))
+    // withinValue is evaluated against `kept`, so it may reference group
+    // columns (e.g. a per-group precomputed similarity), not just literals.
+    val within = kept.select(explodePairs(col("members")).as("p"), withinValue.as(payloadCol))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col(payloadCol))
     cross.unionByName(within)
   }
 

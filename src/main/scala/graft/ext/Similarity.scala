@@ -131,6 +131,102 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** LSH-bucketed embedding near-dup PAIRS — the thresholded-pairs scale
+    * path for corpus-level embedding dedup (the all-pairs exact form,
+    * [[exactCosinePairs]] over base×base, is its small-scale verification
+    * dual — it broadcasts the full corpus and scores |B|², which dies at
+    * 100 TB).
+    *
+    * Shape (mirrors the text near-dup family in [[Dedup]]):
+    *
+    *  1. '''Exact-copy collapse''': identical embedding arrays group to one
+    *     representative (groupBy on the raw vector — bit-exact equality, no
+    *     hashing); within-group pairs are emitted with the rep's self-cosine
+    *     (exactly the score the all-pairs dual computes for an identical
+    *     pair), gated on the threshold, so copy-heavy corpora pay candidate
+    *     cost per DISTINCT vector.
+    *  2. '''Candidates''': self band-join on sign-random-projection codes —
+    *     `bands` independent codes of `planesPerBand` sign bits each
+    *     (driver-literal ±1 hyperplanes from the keyed xxhash64 family, as
+    *     in [[annLshTopK]]); reps sharing any (band, code) become a
+    *     candidate pair. Cost follows bucket occupancy, never |B|².
+    *  3. '''Verify''': exact fixed-point cosine ([[fixedPointVec]] +
+    *     [[intDot]]) — the SAME scoring as the exact dual, so every emitted
+    *     pair is a true pair with a bit-identical score (precision 1);
+    *     banding controls recall only.
+    *
+    * One shuffle builds the rep hub (shared by the band join and both
+    * verify sides via ReuseExchange + persist); the band join shuffles
+    * |reps|·bands code rows, never vectors. */
+  def annLshPairs(base: DataFrame, minCosine: Double,
+      planesPerBand: Int = 4, bands: Int = 16, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = base.sparkSession
+    val nPlanes = bands * planesPerBand
+    val coefRows = spark.range(nPlanes.toLong)
+      .select(col("id").cast(IntegerType).as("p"),
+        transform(sequence(lit(0), lit(dims - 1)), i =>
+          (pmod(xxhash64(lit("srp"), col("p"), i), lit(2)) * 2 - 1).cast(DoubleType)).as("cs"))
+      .orderBy(col("p")).collect()
+    val coefs: Array[Array[Double]] = coefRows.map(_.getSeq[Double](1).toArray)
+    val codes = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { p =>
+        val proj = ArrayMath.dotDouble(col("v"), typedLit(coefs(b * planesPerBand + p)))
+        when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+
+    // 1. exact-copy collapse on the raw vector (null vectors excluded: the
+    // all-pairs dual never scores them either).
+    val g0 = graft.core.Tables.spread(base)
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vid0"), col(vecCol).as("v"))
+      .groupBy(col("v"))
+      .agg(sort_array(collect_list(col("vid0"))).as("members"),
+        min(col("vid0")).as("rep"), count(lit(1)).as("gsize"))
+      .withColumn("x", fixedPointVec(col("v")))
+      .withColumn("n2", intDot(col("x"), col("x")))
+    // self-cosine exactly as the all-pairs dual computes it for an
+    // identical pair: dot/(√n2·√n2) — NOT lit(1.0); sqrt(x)*sqrt(x) can
+    // differ from x in the last ulp, and the dual's score is the contract.
+    val wcos = when(col("n2") === 0, lit(0.0)).otherwise(
+      col("n2").cast(DoubleType) /
+        (sqrt(col("n2").cast(DoubleType)) * sqrt(col("n2").cast(DoubleType))))
+    // expansion side: corpus-vector-free (see Dedup.slimGroups rationale)
+    val groups = g0.select(col("rep"), col("members"), wcos.as("wcos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rep hub: codes + fixed-point array + norm; three consumers (band
+    // explode + both verify sides).
+    val hub = g0.select(col("rep").as("id"), array(codes: _*).as("codes"),
+        col("x"), col("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 2. candidates: reps sharing any (band, code).
+    val banded = hub.select(col("id"), posexplode(col("codes")).as(Seq("band", "code")))
+    val cand = banded.select(col("band"), col("code"), col("id").as("i"))
+      .join(banded.select(col("band"), col("code"), col("id").as("j")), Seq("band", "code"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+      .distinct()
+
+    // 3. exact fixed-point verify (same expression family as the dual).
+    val verified = cand
+      .join(hub.select(col("id").as("i"), col("x").as("xi"), col("n2").as("n2i"))
+        .hint("shuffle_hash"), Seq("i"))
+      .join(hub.select(col("id").as("j"), col("x").as("xj"), col("n2").as("n2j"))
+        .hint("shuffle_hash"), Seq("j"))
+      .withColumn("cosine",
+        when(col("n2i") === 0 || col("n2j") === 0, lit(0.0)).otherwise(
+          intDot(col("xi"), col("xj")).cast(DoubleType) /
+            (sqrt(col("n2i").cast(DoubleType)) * sqrt(col("n2j").cast(DoubleType)))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("i"), col("j"), col("cosine"))
+
+    Dedup.expandRepPairs(verified, groups, "cosine", col("wcos"),
+      keptReps = Some(groups.filter(col("wcos") >= minCosine).select(col("rep"))))
+  }
+
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path
     * (coarse quantizer + cell-local search):
     *

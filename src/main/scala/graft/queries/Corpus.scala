@@ -301,6 +301,16 @@ object Corpus {
       |ORDER BY i, j""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q50 — LSH-bucketed embedding near-dup PAIRS (the 100 TB scale path for
+  // q41's corpus-level embedding dedup): SRP band candidates, exact
+  // fixed-point verify — every emitted pair is a true q41 pair with a
+  // bit-identical cosine (precision 1); banding controls recall only.
+  // Approximate → rows-only check; subset + recall vs q41 in ScalaTest.
+  def q50_embedding_neardup_lsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.annLshPairs(emb(s, dir), minCosine = 0.4)
+      .orderBy(col("i"), col("j"))
+
+  // --------------------------------------------------------------------------
   // q42 — LSH-bucketed approximate top-k (the 100 TB ANN path): sign-random-
   // projection buckets, bucket-local exact re-rank. No SQL oracle by design
   // (approximate); recall vs q40 is asserted in ScalaTest.
@@ -359,6 +369,7 @@ object Corpus {
     "q39_simhash_pairs" -> (q39_simhash_pairs _),
     "q40_cosine_topk" -> (q40_cosine_topk _),
     "q41_embedding_neardup" -> (q41_embedding_neardup _),
+    "q50_embedding_neardup_lsh" -> (q50_embedding_neardup_lsh _),
     "q42_ann_lsh_topk" -> (q42_ann_lsh_topk _),
     "q45_ivf_ann_topk" -> (q45_ivf_ann_topk _),
     "q43_multimodal_frames" -> (q43_multimodal_frames _)

@@ -89,6 +89,43 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.25, s"ANN recall too low: $recall")
   }
 
+  test("annLshPairs: precision 1 (bit-identical cosines) and high recall vs exact all-pairs") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    val exact = Similarity.exactCosinePairs(e, e)
+      .filter(col("qid") < col("vid") && col("cosine") >= 0.4)
+      .select(col("qid").as("i"), col("vid").as("j"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "fixture must contain embedding near-dup pairs")
+    val lsh = Similarity.annLshPairs(e, 0.4)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Double]("cosine")).toMap
+    // precision 1: every emitted pair is a true pair, with the dual's score
+    lsh.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false positive pair $k")
+      assert(exact(k) == c, s"score mismatch on $k: lsh=$c exact=${exact(k)}")
+    }
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH pair recall too low: $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("annLshPairs collapses exact-copy vectors without scoring them pairwise") {
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),   // exact copies
+      (3L, Array(0.9f, 0.1f, 0.0f)),                                   // near 1/2
+      (4L, Array(0.0f, 0.0f, 1.0f)),                                   // orthogonal
+      (5L, Array(0.0f, 0.0f, 0.0f)), (6L, Array(0.0f, 0.0f, 0.0f))    // zero copies
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.annLshPairs(base, 0.4, dims = 3)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Double]("cosine")).toMap
+    // identical non-zero copies pair at the dual's self-cosine (±1 ulp of 1)
+    assert(out.contains((1L, 2L)) && math.abs(out((1L, 2L)) - 1.0) < 1e-12)
+    // near pair found through the bands (cos ≈ 0.994)
+    assert(out.contains((1L, 3L)) && out.contains((2L, 3L)))
+    // zero vectors score 0.0 in the dual → below threshold, never emitted
+    assert(!out.keySet.exists(p => Set(5L, 6L).contains(p._1) || Set(5L, 6L).contains(p._2)))
+    // orthogonal vector never pairs
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("IVF top-k recall vs brute force, and per-query k results") {
     val e = Tables.load(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") < 16)
