@@ -32,7 +32,12 @@ object Main {
     if (streamingSources(spec.input.typ)) {
       val checkpoint = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR",
         java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-      Compiler.runStream(spark, spec, checkpoint).awaitTermination()
+      // http_server bundles its receiver: POSTs land durably in the spool
+      // dir the stream tails; receiver lives for the query's lifetime.
+      val receiver = Option.when(spec.input.typ == "http_server")(
+        graft.sources.HttpIngest.fromConf(spec.input).start())
+      try Compiler.runStream(spark, spec, checkpoint).awaitTermination()
+      finally receiver.foreach(_.stop())
     } else {
       Compiler.runBatch(spark, spec)
       spark.stop()

@@ -59,26 +59,48 @@ object Compiler {
   }
 
   /** Streaming source. `http_server` deliberately degrades the reference's
-    * synchronous-201 ack (sources.rs:70-73) to durable-accept: an external
-    * receiver spools request bodies to `path`, which Spark tails — the sync
-    * ack is incompatible with micro-batching (SURVEY.md §7.4#4). */
+    * synchronous-201 ack (sources.rs:70-73) to durable-202: the bundled
+    * [[graft.sources.HttpIngest]] receiver acks once the body is fsync'd
+    * into `config.spool_dir`, which Spark tails — the sync ack is
+    * incompatible with micro-batching (SURVEY.md §7.4#4). `wholetext`
+    * keeps one POST body = one message, as the reference's read_to_end
+    * does; `text_file` stays line-oriented. */
   def streamSource(spark: SparkSession, conf: SourceConf): DataFrame = conf.typ match {
     case "kafka" =>
       kafkaSourceOptions(conf).foldLeft(spark.readStream.format("kafka")) {
         case (r, (k, v)) => r.option(k, v)
       }.load().selectExpr("CAST(value AS STRING) AS text", "headers")
-    case "http_server" | "text_file" =>
-      spark.readStream.text(conf.path.getOrElse(sys.error("http_server/text_file needs path")))
+    case "http_server" =>
+      spark.readStream.option("wholetext", "true")
+        .text(conf.config.getOrElse("spool_dir",
+          sys.error("http_server needs config.spool_dir")))
+        .withColumnRenamed("value", "text")
+    case "text_file" =>
+      spark.readStream.text(conf.path.getOrElse(sys.error("text_file needs path")))
         .withColumnRenamed("value", "text")
     case other => sys.error(s"source '$other' is batch-only; use source")
   }
 
   /** Kafka consumer options: raw client config keys get the `kafka.` prefix
     * Spark's connector expects; topic list → `subscribe`
-    * (kafka.rs:40-59 → readStream options). */
+    * (kafka.rs:40-59 → readStream options). A bounded read
+    * (`consume_count`, kafka.rs:44-45/87-92) maps to `maxOffsetsPerTrigger`
+    * — the per-micro-batch cap — paired with [[sourceTrigger]]'s
+    * AvailableNow, which drains the backlog in capped batches and stops;
+    * the offset bound is per trigger across partitions, the closest
+    * micro-batch dual of the reference's per-message counted break. */
   def kafkaSourceOptions(conf: SourceConf): Map[String, String] =
     conf.config.map { case (k, v) => s"kafka.$k" -> v } +
-      ("subscribe" -> conf.topics.mkString(","))
+      ("subscribe" -> conf.topics.mkString(",")) ++
+      conf.consumeCount.map(n => "maxOffsetsPerTrigger" -> n.toString)
+
+  /** Trigger for a spec run: bounded reads (consume_count) drain-and-stop
+    * via AvailableNow; unbounded sources run the default micro-batch loop. */
+  def sourceTrigger(conf: SourceConf): org.apache.spark.sql.streaming.Trigger =
+    if (conf.consumeCount.isDefined)
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    else
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
 
   /** Kafka producer options (kafka.rs:106-121). */
   def kafkaSinkOptions(conf: SinkConf): Map[String, String] =
@@ -140,5 +162,6 @@ object Compiler {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     streamSink(pipeline(spec)(streamSource(spark, spec.input)), spec.output)
       .option("checkpointLocation", checkpoint)
+      .trigger(sourceTrigger(spec.input))
       .start()
 }

@@ -7,13 +7,16 @@ package graft.spec
   */
 final case class Spec(input: SourceConf, pipeline: Seq[ProcConf], output: SinkConf)
 
-/** A source plugin config: `type` + free-form fields (sources.rs, kafka.rs). */
+/** A source plugin config: `type` + free-form fields (sources.rs, kafka.rs).
+  * `consumeCount` is the reference's KafkaIn.consume_count (kafka.rs:44-45:
+  * stop after N messages; 0/absent = unbounded) — a bounded-drain read. */
 final case class SourceConf(
     typ: String,
     address: Option[String] = None,
     path: Option[String] = None,
     topics: Seq[String] = Nil,
-    config: Map[String, String] = Map.empty)
+    config: Map[String, String] = Map.empty,
+    consumeCount: Option[Long] = None)
 
 /** A processor plugin config (processors.rs, regex.rs). */
 final case class ProcConf(

@@ -54,7 +54,8 @@ object SpecLoader {
       address = m.get("address").map(_.toString),
       path = m.get("path").map(_.toString),
       topics = m.get("topics").map(strList).getOrElse(Nil),
-      config = m.get("config").map(strMap).getOrElse(Map.empty))
+      config = m.get("config").map(strMap).getOrElse(Map.empty),
+      consumeCount = m.get("consume_count").map(_.toString.toLong).filter(_ > 0))
   }
 
   private def procConf(m: Map[String, Any]): ProcConf = {

@@ -65,6 +65,32 @@ class SpecSpec extends SparkSpec {
     assert(snk("topic") == "out-topic" && snk("kafka.bootstrap.servers") == "localhost:9092")
   }
 
+  test("kafka bounded read: consume_count -> maxOffsetsPerTrigger + AvailableNow") {
+    import org.apache.spark.sql.streaming.Trigger
+    val spec = SpecLoader.load(
+      """input:
+        |  type: kafka
+        |  topics: ["t"]
+        |  consume_count: 42
+        |  config: {bootstrap.servers: "localhost:9092"}
+        |pipeline: {processors: []}
+        |output: {type: stdout}
+        |""".stripMargin)
+    assert(spec.input.consumeCount.contains(42L))
+    val opts = Compiler.kafkaSourceOptions(spec.input)
+    assert(opts("maxOffsetsPerTrigger") == "42")
+    assert(Compiler.sourceTrigger(spec.input) == Trigger.AvailableNow())
+    // unbounded: no cap, default micro-batch trigger (consume_count 0 ==
+    // unbounded, kafka.rs:87)
+    val unbounded = spec.input.copy(consumeCount = None)
+    assert(!Compiler.kafkaSourceOptions(unbounded).contains("maxOffsetsPerTrigger"))
+    assert(Compiler.sourceTrigger(unbounded) == Trigger.ProcessingTime(0L))
+    assert(SpecLoader.load(
+      """input: {type: kafka, topics: ["t"], consume_count: 0}
+        |output: {type: stdout}
+        |""".stripMargin).input.consumeCount.isEmpty)
+  }
+
   test("kafka payload: key from metadata partition_key, default 0 (kafka.rs:133)") {
     import spark.implicits._
     val df = Seq(("a", Map("partition_key" -> "7")), ("b", Map.empty[String, String]))
@@ -167,6 +193,69 @@ class SpecSpec extends SparkSpec {
     val out = spark.read.json(s"$dir/out").select("text").collect()
       .map(_.getString(0)).sorted
     assert(out.toSeq == Seq("bacon one", "bacon two"))
+  }
+
+  test("http_server e2e: POST -> receiver -> spool -> stream -> parquet sink") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val dir = java.nio.file.Files.createTempDirectory("graft-http").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/spool"))
+    val spec = SpecLoader.load(
+      s"""input:
+         |  type: http_server
+         |  address: "127.0.0.1:0"
+         |  path: /post
+         |  config: {spool_dir: "$dir/spool"}
+         |pipeline:
+         |  processors: [{type: replace, from: cheese, to: bacon}]
+         |output: {type: parquet, path: "$dir/out"}
+         |""".stripMargin)
+    val rx = graft.sources.HttpIngest.fromConf(spec.input).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def send(req: HttpRequest.Builder): HttpResponse[String] =
+        client.send(req.build(), HttpResponse.BodyHandlers.ofString())
+      def url(p: String) = URI.create(s"http://127.0.0.1:${rx.boundPort}$p")
+      // protocol fidelity (sources.rs:50-61): method checked before path
+      assert(send(HttpRequest.newBuilder(url("/post")).GET()).statusCode() == 405)
+      assert(send(HttpRequest.newBuilder(url("/nope"))
+        .POST(HttpRequest.BodyPublishers.ofString("x"))).statusCode() == 404)
+      // durable-202 accepts; a multi-line body must stay ONE message
+      assert(send(HttpRequest.newBuilder(url("/post"))
+        .POST(HttpRequest.BodyPublishers.ofString("cheese one"))).statusCode() == 202)
+      assert(send(HttpRequest.newBuilder(url("/post"))
+        .POST(HttpRequest.BodyPublishers.ofString("cheese two\nstill two"))).statusCode() == 202)
+      val q = Compiler.runStream(spark, spec, s"$dir/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.read.parquet(s"$dir/out").collect().map(_.getString(0)).sorted
+      assert(out.toSeq == Seq("bacon one", "bacon two\nstill two"))
+    } finally rx.stop()
+  }
+
+  test("streaming spec e2e: checkpointed file stream across two input batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val spec = SpecLoader.load(
+      s"""input: {type: text_file, path: "$dir/in"}
+         |pipeline:
+         |  processors:
+         |    - type: replace
+         |      from: cheese
+         |      to: bacon
+         |    - type: regex_split
+         |      re: ","
+         |output: {type: parquet, path: "$dir/out"}
+         |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/a.txt"), "cheese,a\n")
+    val q1 = Compiler.runStream(spark, spec, s"$dir/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    // second batch lands after a full stop: the checkpoint must resume
+    // without reprocessing a.txt
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/b.txt"), "cheese,b\n")
+    val q2 = Compiler.runStream(spark, spec, s"$dir/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$dir/out").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("a", "b", "bacon", "bacon"))
   }
 
   test("streaming metrics listener records batch progress") {
