@@ -105,7 +105,7 @@ object Dedup {
 
   /** Pair expansion inside a sorted posting list: every (ids[a], ids[b]),
     * a < b, as one struct row. */
-  private def explodePairs(ids: org.apache.spark.sql.Column) =
+  private[ext] def explodePairs(ids: org.apache.spark.sql.Column) =
     explode(flatten(transform(ids, (x, ix) =>
       transform(slice(ids, ix + lit(2), size(ids)), y => struct(x.as("i"), y.as("j"))))))
 

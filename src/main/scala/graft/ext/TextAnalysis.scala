@@ -124,6 +124,43 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Containment / partial-overlap pairs via shared winnowing fingerprints —
+    * the duplicate class set-similarity misses (a small doc quoted inside a
+    * big one has tiny Jaccard but every one of its fingerprints matches).
+    * `n_shared` counts shared winnowing fingerprints (integer-exact);
+    * `containment` normalizes by the SMALLER doc's fingerprint count, so a
+    * full quote scores ~1 regardless of the host document's size.
+    *
+    * Plan shape = the inverted-index pattern of [[Dedup]]: fingerprint
+    * posting lists (one groupBy — df is the list size, no self-join of the
+    * exploded table), `maxDf` caps boilerplate fingerprints shared by too
+    * many docs to be a containment signal, pairs explode from capped lists
+    * only, and one groupBy(i,j) counts the shared fingerprints. Cost
+    * follows shared-run density, never |docs|². */
+  def containmentPairs(docs: DataFrame, k: Int = 8, w: Int = 8,
+      maxDf: Int = 500, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = winnowingFingerprints(docs, k, w, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("nfp"))
+    val shared = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"), count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+      .select(Dedup.explodePairs(col("ids")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(sizes.select(col(idCol).as("i"), col("nfp").as("nfp_i"))
+        .hint("shuffle_hash"), Seq("i"))
+      .join(sizes.select(col(idCol).as("j"), col("nfp").as("nfp_j"))
+        .hint("shuffle_hash"), Seq("j"))
+      .withColumn("containment",
+        col("n_shared").cast(DoubleType) /
+          least(col("nfp_i"), col("nfp_j")).cast(DoubleType))
+      .select(col("i"), col("j"), col("n_shared"), col("containment"))
+  }
+
   /** Content fingerprints: md5 text digest plus a 60-bit numeric fingerprint
     * (first 15 md5 hex digits) usable as a join/partition key. The 60-bit
     * form is chosen because every SQL engine can reproduce it from md5,

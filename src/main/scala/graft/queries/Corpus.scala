@@ -124,6 +124,48 @@ object Corpus {
       |ORDER BY doc_id, fp""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q51 — containment / partial-overlap pairs via shared winnowing
+  // fingerprints (the dup class Jaccard misses: small doc inside big doc).
+  // n_shared is integer-exact; containment = n_shared / min(nfp) is one
+  // division of exact integers. 16-char grams (a shared run must span
+  // ≥ k+w−1 = 23 chars): 8-char grams are mostly a word+fragment and the
+  // synthetic corpus's shared vocabulary made nearly every doc pair share
+  // ≥2 of them (85k pairs from 500 docs — a selectivity failure, not a
+  // correctness one); 16-char runs are real quotation/overlap evidence
+  // (26 pairs at the same thresholds).
+  def q51_winnow_containment(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.containmentPairs(docs(s, dir), k = 16, w = 8,
+        maxDf = 50, minShared = 5)
+      .orderBy(col("i"), col("j"))
+
+  private val q51_sql =
+    """WITH g AS (
+      |  SELECT doc_id, i,
+      |    CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 16)), 1, 15)) AS BIGINT) AS h,
+      |    greatest(length(text) - 15, 1) AS ng
+      |  FROM documents, range(1, 100000) t(i)
+      |  WHERE i <= greatest(length(text) - 15, 1)),
+      |wins AS (
+      |  SELECT doc_id, i, ng,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
+      |  FROM g),
+      |fps AS (SELECT DISTINCT doc_id, mh AS fp
+      |        FROM wins WHERE i <= greatest(ng - 7, 1)),
+      |sz AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY 1),
+      |keep AS (SELECT fp FROM fps GROUP BY fp
+      |         HAVING count(*) > 1 AND count(*) <= 50),
+      |pairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+      |  FROM fps a JOIN keep USING (fp) JOIN fps b
+      |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared,
+      |  CAST(n_shared AS DOUBLE) / CAST(least(x.nfp, y.nfp) AS DOUBLE) AS containment
+      |FROM pairs JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
+      |ORDER BY i, j""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q36 — exact dedup by content fingerprint: canonical id + copy count per
   // group (hash-groupBy; the streaming dual is dropDuplicatesWithinWatermark).
   def q36_exact_dedup(s: SparkSession, dir: String): DataFrame =
@@ -363,6 +405,7 @@ object Corpus {
     "q35_fingerprint" -> (q35_fingerprint _),
     "q36_exact_dedup" -> (q36_exact_dedup _),
     "q49_winnow_fingerprints" -> (q49_winnow_fingerprints _),
+    "q51_winnow_containment" -> (q51_winnow_containment _),
     "q37_ngram_jaccard_pairs" -> (q37_ngram_jaccard_pairs _),
     "q48_word_jaccard_pairs" -> (q48_word_jaccard_pairs _),
     "q38_minhash_lsh_pairs" -> (q38_minhash_lsh_pairs _),
@@ -382,6 +425,7 @@ object Corpus {
     "q35_fingerprint" -> q35_sql,
     "q36_exact_dedup" -> q36_sql,
     "q49_winnow_fingerprints" -> q49_sql,
+    "q51_winnow_containment" -> q51_sql,
     "q37_ngram_jaccard_pairs" -> q37_sql,
     "q48_word_jaccard_pairs" -> q48_sql,
     "q38_minhash_lsh_pairs" -> q38_sql,

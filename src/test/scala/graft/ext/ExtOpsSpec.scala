@@ -284,6 +284,25 @@ class ExtOpsSpec extends SparkSpec {
     assert((fps(1L) intersect fps(3L)).isEmpty)
   }
 
+  test("containmentPairs catches a small doc quoted inside a big one (Jaccard misses it)") {
+    val quote = "this exact passage is being quoted verbatim inside a much larger host document"
+    val host = ("lots of unrelated framing text around the quotation begins here and rambles on " * 4) +
+      quote + (" and then the host document keeps going with even more unrelated material after" * 4)
+    val df = Seq(
+      (1L, quote), (2L, host),
+      (3L, "completely unrelated third document about catalyst plans and shuffles")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.containmentPairs(df, k = 8, w = 8).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("containment"))).toMap
+    assert(pairs.contains((1L, 2L)), s"containment pair missing: ${pairs.keySet}")
+    assert(pairs((1L, 2L))._2 >= 0.9, s"quote should be ~fully contained: ${pairs((1L, 2L))}")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // the same pair is invisible to whole-set Jaccard at the usual threshold
+    val jac = Dedup.nearDupJaccard(df, 16, Int.MaxValue, 0.5).collect()
+    assert(!jac.exists(r => r.getAs[Long]("i") == 1L && r.getAs[Long]("j") == 2L))
+  }
+
   test("langId predicts deterministically with full coverage") {
     val docs = Tables.load(spark, sf001, "documents")
     val out = TextAnalysis.langId(docs).collect()
