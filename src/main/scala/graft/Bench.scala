@@ -26,28 +26,37 @@ object Bench {
       qs0.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    // Two timed runs per query, report the min: a single 43-query sweep in
-    // one JVM sees occasional multi-second GC/JIT pauses that would land on
-    // a random query; min-of-2 measures the plan, not the pause. The cache
-    // is cleared BETWEEN queries (no cross-query state) but not between the
-    // two runs, so operators that persist a shared subtree keep that benefit.
+    // Three timed runs per query with EXPLICIT cache semantics (min-of-N
+    // absorbs the occasional multi-second GC/JIT pause a 50-query sweep
+    // sees): run 1 starts from a cleared cache and pays everything,
+    // including materializing any persisted hub ("cold" — the single-shot
+    // cost, comparable to a one-shot DuckDB run); runs 2-3 keep the cache
+    // ("warm" — steady state for a session running more work over the same
+    // corpus). Both are reported: `queries`/`value` carry warm (the
+    // round-over-round comparable), `queries_cold`/`total_cold` the cold
+    // truth, so hub-persisting operators can't hide their build cost.
     val results = qs0.map { case (name, fn) =>
-      spark.catalog.clearCache()
       System.gc()   // take cross-query GC debt here, not inside a timed run
-      val times = (1 to 2).flatMap { _ =>
+      graft.core.Caches.unpersistAll()
+      spark.catalog.clearCache()
+      def run(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
         }
       }
+      val cold = run()
+      val warm = (1 to 2).flatMap(_ => run())
       // a failed query reports -1 (visible), never a bogus time-to-exception
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> (cold.getOrElse(-1.0),
+        if (warm.nonEmpty) warm.min else cold.getOrElse(-1.0))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(f: ((String, (Double, Double))) => Double): String =
+      results.map { case kv => s"\"" + kv._1 + "\":" + f(kv) }.mkString("{", ",", "}")
+    val totalWarm = results.map(_._2._2).filter(_ >= 0).sum
+    val totalCold = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${obj(_._2._2)},"total_cold":$totalCold,"queries_cold":${obj(_._2._1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

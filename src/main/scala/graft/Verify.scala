@@ -24,8 +24,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators persist shared subtrees; don't let 46 queries' caches
+      // operators persist shared subtrees; don't let 50 queries' caches
       // accumulate against an unknown driver heap
+      graft.core.Caches.unpersistAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

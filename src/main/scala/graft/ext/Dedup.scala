@@ -34,10 +34,11 @@ import org.apache.spark.sql.types._
   *
   * Cache note: the pairwise ops (jaccardPairs/nearDupJaccard/
   * minhashLshPairs) persist a corpus-sized per-doc array hub into the
-  * session cache (MEMORY_AND_DISK — it feeds 3-4 plan consumers). Spark's
-  * CacheManager dedupes repeated invocations by canonical plan, but a
-  * long-lived session processing many corpora should
-  * `spark.catalog.clearCache()` between them.
+  * session cache (MEMORY_AND_DISK — it feeds 3-4 plan consumers), via
+  * [[graft.core.Caches]]: after materializing a result, call
+  * `Caches.unpersistAll()` to release exactly these hubs (Verify/Bench
+  * do, between queries) — no reliance on `clearCache()` nuking user
+  * entries too.
   *
   * Pipeline order at scale: run [[exactDedup]] FIRST and near-dup the
   * distinct texts only. Exact copies share every prefix token, so a group
@@ -140,11 +141,14 @@ object Dedup {
     // equality ⟺ shingle equality — posting lists and intersection counts
     // work directly on keys, and the sorted keys feed the merge-scan
     // verification (graft_sorted_intersect_count) with zero rework.
-    shd.groupBy(col("id"))
-      .agg(sort_array(collect_list(
-          concat(lpad(col("df").cast(StringType), 9, "0"), col("sh")))).as("shs"),
-        count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 10-digit pad covers df ≤ Int.MaxValue (jaccardPairs permits maxDf =
+    // Int.MaxValue, and Spark's lpad TRUNCATES past the pad width, which
+    // would silently scramble the rarest-first order at df ≥ 1e9).
+    graft.core.Caches.persist(
+      shd.groupBy(col("id"))
+        .agg(sort_array(collect_list(
+            concat(lpad(col("df").cast(StringType), 10, "0"), col("sh")))).as("shs"),
+          count(lit(1)).as("n")))
   }
 
   private def prefixCandidates(hub: DataFrame, minJaccard: Double): DataFrame = {
@@ -241,8 +245,8 @@ object Dedup {
     * filter read it; caching gtext alongside would double the cached
     * corpus footprint next to the shingle hub). */
   private def slimGroups(full: DataFrame): DataFrame =
-    full.select(col("rep"), col("members"), col("gsize"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.persist(
+      full.select(col("rep"), col("members"), col("gsize")))
 
   /** Capped (id=rep, sh, df) over distinct texts, df weighted by group
     * size == doc frequency over ALL copies. */
@@ -325,8 +329,8 @@ object Dedup {
       (0 until numHashes).map(k => min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
     // Four consumers (band join i/j + verify i/j) → persist, as in
     // prefixJaccardPairs.
-    val hub = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hub = graft.core.Caches.persist(
+      sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*))
     val cand = lshCandidates(hub, rowsPerBand, numHashes / rowsPerBand)
     val repPairs = verifyJaccard(cand, hub.select(col("id"), col("shs"), col("n")), minJaccard)
     // exact copies share signatures AND sets: within-group pairs are exact

@@ -194,13 +194,13 @@ object Similarity {
       col("n2").cast(DoubleType) /
         (sqrt(col("n2").cast(DoubleType)) * sqrt(col("n2").cast(DoubleType))))
     // expansion side: corpus-vector-free (see Dedup.slimGroups rationale)
-    val groups = g0.select(col("rep"), col("members"), wcos.as("wcos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = graft.core.Caches.persist(
+      g0.select(col("rep"), col("members"), wcos.as("wcos")))
     // rep hub: codes + fixed-point array + norm; three consumers (band
     // explode + both verify sides).
-    val hub = g0.select(col("rep").as("id"), array(codes: _*).as("codes"),
-        col("x"), col("n2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hub = graft.core.Caches.persist(
+      g0.select(col("rep").as("id"), array(codes: _*).as("codes"),
+        col("x"), col("n2")))
 
     // 2. candidates: reps sharing any (band, code).
     val banded = hub.select(col("id"), posexplode(col("codes")).as(Seq("band", "code")))

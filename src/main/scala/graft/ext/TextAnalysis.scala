@@ -140,8 +140,8 @@ object TextAnalysis {
   def containmentPairs(docs: DataFrame, k: Int = 8, w: Int = 8,
       maxDf: Int = 500, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fps = winnowingFingerprints(docs, k, w, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps = graft.core.Caches.persist(
+      winnowingFingerprints(docs, k, w, idCol, textCol))
     val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("nfp"))
     val shared = fps.groupBy(col("fp"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"), count(lit(1)).as("df"))

@@ -80,6 +80,23 @@ object ArrayMath {
     case ShortType   => arr.getShort(i).toDouble
     case other       => throw new IllegalStateException(s"unsupported element type $other")
   }
+
+  /** True when either side's array type admits null elements — the null
+    * checks (a branch per element in the hot loop) are emitted only then;
+    * statically null-free arrays (e.g. collect_list output) pay nothing. */
+  private[functions] def mayHaveNullElems(es: Seq[Expression]): Boolean =
+    es.exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
+
+  /** Codegen guard: on a null element, null out the whole result — the
+    * behavior of the `aggregate(zip_with(...))` HOF folds these loops
+    * replace (null propagates through the lambda into the accumulator). */
+  private[functions] def nullElemGuard(enabled: Boolean, ev: ExprCode,
+      a: String, b: String, i: String): String =
+    if (!enabled) ""
+    else s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
 }
 
 /** Exact integer dot product: ARRAY<BIGINT> × ARRAY<BIGINT> → BIGINT.
@@ -98,6 +115,11 @@ case class ArrayDotLong(left: Expression, right: Expression)
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot_long"
+  // a null ELEMENT nulls the result (HOF-fold semantics), so the output is
+  // nullable whenever the element type admits nulls — without this, codegen
+  // would emit ev.isNull as the false literal and the guard couldn't fire.
+  override def nullable: Boolean =
+    super.nullable || ArrayMath.mayHaveNullElems(Seq(left, right))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -105,16 +127,23 @@ case class ArrayDotLong(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i); i += 1
+    }
     s
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val checkNulls = ArrayMath.mayHaveNullElems(Seq(left, right))
     val (n, acc, i) = (ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("i"))
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       int $n = java.lang.Math.min($a.numElements(), $b.numElements());
       long $acc = 0L;
-      for (int $i = 0; $i < $n; $i++) { $acc += $a.getLong($i) * $b.getLong($i); }
+      for (int $i = 0; $i < $n; $i++) {
+        ${ArrayMath.nullElemGuard(checkNulls, ev, a, b, i)}
+        $acc += $a.getLong($i) * $b.getLong($i);
+      }
       ${ev.value} = $acc;
     """)
   }
@@ -131,6 +160,8 @@ case class ArrayDotDouble(left: Expression, right: Expression)
     ArrayMath.checkNumericArrays(prettyName, Seq(left, right))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot_double"
+  override def nullable: Boolean =
+    super.nullable || ArrayMath.mayHaveNullElems(Seq(left, right))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -139,17 +170,22 @@ case class ArrayDotDouble(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += ArrayMath.evalD(x, et1, i) * ArrayMath.evalD(y, et2, i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += ArrayMath.evalD(x, et1, i) * ArrayMath.evalD(y, et2, i); i += 1
+    }
     s
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val checkNulls = ArrayMath.mayHaveNullElems(Seq(left, right))
     val (et1, et2) = (ArrayMath.numericElem(left), ArrayMath.numericElem(right))
     val (n, acc, i) = (ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("i"))
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       int $n = java.lang.Math.min($a.numElements(), $b.numElements());
       double $acc = 0.0;
       for (int $i = 0; $i < $n; $i++) {
+        ${ArrayMath.nullElemGuard(checkNulls, ev, a, b, i)}
         $acc += (${ArrayMath.getD(a, et1, i)}) * (${ArrayMath.getD(b, et2, i)});
       }
       ${ev.value} = $acc;
@@ -170,6 +206,8 @@ case class ArrayCosine(left: Expression, right: Expression)
     ArrayMath.checkNumericArrays(prettyName, Seq(left, right))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  override def nullable: Boolean =
+    super.nullable || ArrayMath.mayHaveNullElems(Seq(left, right))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -181,6 +219,7 @@ case class ArrayCosine(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = ArrayMath.evalD(x, et1, i)
       val yv = ArrayMath.evalD(y, et2, i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -191,6 +230,7 @@ case class ArrayCosine(left: Expression, right: Expression)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val checkNulls = ArrayMath.mayHaveNullElems(Seq(left, right))
     val (et1, et2) = (ArrayMath.numericElem(left), ArrayMath.numericElem(right))
     val (n, i) = (ctx.freshName("n"), ctx.freshName("i"))
     val (dot, na, nb) = (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"))
@@ -199,12 +239,15 @@ case class ArrayCosine(left: Expression, right: Expression)
       int $n = java.lang.Math.min($a.numElements(), $b.numElements());
       double $dot = 0.0, $na = 0.0, $nb = 0.0;
       for (int $i = 0; $i < $n; $i++) {
+        ${ArrayMath.nullElemGuard(checkNulls, ev, a, b, i)}
         double $xv = ${ArrayMath.getD(a, et1, i)};
         double $yv = ${ArrayMath.getD(b, et2, i)};
         $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
       }
-      ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
-        : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      if (!${ev.isNull}) {
+        ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+          : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      }
     """)
   }
 
@@ -216,6 +259,11 @@ case class ArrayCosine(left: Expression, right: Expression)
   * no duplicates — the contract of graft's shingle-array hubs): a single
   * O(n+m) merge scan, codegen'd. Replaces `size(array_intersect(...))`,
   * whose per-call hash-set build dominates near-dup verification.
+  *
+  * Null elements never match (SQL: null = null is not true) and are
+  * skipped; `sort_array` places them first, so the skip preserves the
+  * merge order. The hub arrays (collect_list output) are statically
+  * null-free and pay no check.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -242,16 +290,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var j = 0
     var c = 0L
     while (i < nx && j < ny) {
-      val cmp = ordering.compare(x.get(i, elemType), y.get(j, elemType))
-      if (cmp == 0) { c += 1L; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val cmp = ordering.compare(x.get(i, elemType), y.get(j, elemType))
+        if (cmp == 0) { c += 1L; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val checkNulls = ArrayMath.mayHaveNullElems(Seq(left, right))
     val jt = CodeGenerator.javaType(elemType)
     val (nx, ny) = (ctx.freshName("nx"), ctx.freshName("ny"))
     val (i, j, c) = (ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("c"))
@@ -260,6 +313,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       int $nx = $a.numElements(); int $ny = $b.numElements();
       int $i = 0; int $j = 0; long $c = 0L;
       while ($i < $nx && $j < $ny) {
+        ${if (checkNulls) s"""if ($a.isNullAt($i)) { $i++; continue; }
+        if ($b.isNullAt($j)) { $j++; continue; }""" else ""}
         $jt $xv = ${CodeGenerator.getValue(a, elemType, i)};
         $jt $yv = ${CodeGenerator.getValue(b, elemType, j)};
         int $cmp = ${ctx.genComp(elemType, xv, yv)};

@@ -142,6 +142,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
+  test("ArrayMath null elements: numeric folds null out, sorted intersect skips") {
+    import graft.functions.ArrayMath
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        ArrayMath.dotDouble(col("a"), col("b")).as("dot"),
+        ArrayMath.cosine(col("a"), col("b")).as("cos"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out(1L) == (true, true), "null element must null the fold (HOF semantics)")
+    assert(out(2L) == (false, false))
+    val si = Seq((Seq[java.lang.Long](null, 1L, 2L, 3L), Seq[java.lang.Long](null, 2L, 4L)))
+      .toDF("a", "b")
+      .select(ArrayMath.sortedIntersectCount(col("a"), col("b")))
+      .collect().head.getLong(0)
+    assert(si == 1L, "null slots never match; non-null merge order preserved")
+  }
+
   test("saltedJoin returns exactly the plain-join result") {
     val events = Tables.load(spark, sf001, "events")
       .select(col("event_id"), col("event_type"), col("value"))

@@ -30,7 +30,10 @@ class StreamOpsSpec extends SparkSpec {
       .outputMode(mode).trigger(Trigger.AvailableNow())
     batches.foreach(mem.addData(_))
     val started = q.start()
-    started.awaitTermination(60000)
+    // stop() even after AvailableNow self-termination (no-op then): a query
+    // thread still finalizing at JVM exit races the context shutdown hook
+    // and logs a spurious "stopped SparkContext" error.
+    try started.awaitTermination(60000) finally started.stop()
     spark.table(name)
   }
 
