@@ -15,6 +15,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // AQE coalescing targets COMPRESSED shuffle bytes; the shingle/array
+      // stages are CPU-bound narrow rows that compress 4-5×, so the byte
+      // target collapses reduce parallelism ~4× below the core count at
+      // bench scale (measured 2× wall-time on q37). Keep AQE (skew joins,
+      // runtime re-plan) but pin reduce parallelism; at production scale
+      // partitions exceed the advisory size and coalescing never bites.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

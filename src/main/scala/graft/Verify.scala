@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // see Bench: byte-targeted AQE coalescing under-parallelizes the
+      // CPU-bound shingle stages at local scale
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -288,12 +288,27 @@ object Dedup {
     cross.unionByName(within)
   }
 
-  /** MinHash signature: numHashes column-wise minima of a keyed xxhash64
-    * family over the shingle set. One aggregation with map-side partial
-    * minima — the shuffle carries |docs| × numHashes longs, independent of
-    * shingle count. */
+  /** The numHashes-member MinHash family over one shingle column: the
+    * variable-length shingle STRING is hashed once, and the k-th member
+    * re-hashes that fixed-width long with seed k. Equivalent quality to
+    * hashing the string numHashes times, but the per-occurrence work is one
+    * string traversal + numHashes constant-size long hashes — at 128 hashes
+    * over billions of shingle occurrences that is the difference between
+    * hashing ~2 TB of string bytes 128× and once. (A Carter-Wegman
+    * h₁+k·h₂ combination would be cheaper still, but wrapping 64-bit
+    * arithmetic is an ANSI-mode overflow error in Spark SQL.) */
+  private def minhashFamily(sh: org.apache.spark.sql.Column, numHashes: Int) = {
+    val h = xxhash64(sh)
+    (0 until numHashes).map(k => xxhash64(h, lit(k)))
+  }
+
+  /** MinHash signature: numHashes column-wise minima of the hash family
+    * over the shingle set. One aggregation with map-side partial minima —
+    * the shuffle carries |docs| × numHashes longs, independent of shingle
+    * count. */
   def minhashSignature(sh: DataFrame, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(k => min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
+    val mins = minhashFamily(col("sh"), numHashes).zipWithIndex
+      .map { case (h, k) => min(h).as(s"m$k") }
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -326,7 +341,8 @@ object Dedup {
     val groups = slimGroups(full)
     val sh = groupShingles(full, n, maxDf).select(col("id"), col("sh"))
     val aggs = Seq(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("n")) ++
-      (0 until numHashes).map(k => min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
+      minhashFamily(col("sh"), numHashes).zipWithIndex
+        .map { case (h, k) => min(h).as(s"m$k") }
     // Four consumers (band join i/j + verify i/j) → persist, as in
     // prefixJaccardPairs.
     val hub = graft.core.Caches.persist(
