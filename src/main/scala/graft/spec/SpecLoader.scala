@@ -10,10 +10,10 @@ import scala.jdk.CollectionConverters._
 object SpecLoader {
 
   val sourceTypes = Set("stdin", "http_server", "kafka", "text_file",
-    "csv", "json", "parquet")
+    "csv", "json", "parquet", "orc")
   val processorTypes = Set("noop", "replace", "process",
     "regex_replace", "regex_split", "regex_select")
-  val sinkTypes = Set("stdout", "kafka", "parquet", "csv", "json")
+  val sinkTypes = Set("stdout", "kafka", "parquet", "csv", "json", "orc")
 
   def load(yaml: String): Spec = {
     val root = anyMap(new Yaml().load[Object](yaml))
@@ -48,7 +48,7 @@ object SpecLoader {
   private def sourceConf(m: Map[String, Any]): SourceConf = {
     val t = m("type").toString
     require(sourceTypes(t), s"unknown source type: $t")
-    if (Set("text_file", "csv", "json", "parquet")(t))
+    if (Set("text_file", "csv", "json", "parquet", "orc")(t))
       require(m.contains("path"), s"source type '$t' requires a path")
     SourceConf(t,
       address = m.get("address").map(_.toString),
@@ -73,7 +73,7 @@ object SpecLoader {
   private def sinkConf(m: Map[String, Any]): SinkConf = {
     val t = m("type").toString
     require(sinkTypes(t), s"unknown sink type: $t")
-    if (Set("parquet", "csv", "json")(t))
+    if (Set("parquet", "csv", "json", "orc")(t))
       require(m.contains("path"), s"sink type '$t' requires a path")
     SinkConf(t,
       topic = m.get("topic").map(_.toString),

@@ -258,6 +258,22 @@ class SpecSpec extends SparkSpec {
     assert(out.toSeq == Seq("a", "b", "bacon", "bacon"))
   }
 
+  test("orc source/sink round-trips through a pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    import spark.implicits._
+    Seq("cheese one", "cheese two").toDF("text").write.orc(s"$dir/in")
+    val spec = SpecLoader.load(
+      s"""input: {type: orc, path: "$dir/in"}
+         |pipeline:
+         |  processors: [{type: replace, from: cheese, to: bacon}]
+         |output: {type: orc, path: "$dir/out"}
+         |""".stripMargin)
+    Compiler.runBatch(spark, spec)
+    val out = spark.read.orc(s"$dir/out").select("text").collect()
+      .map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("bacon one", "bacon two"))
+  }
+
   test("streaming metrics listener records batch progress") {
     import graft.streaming.Metrics
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

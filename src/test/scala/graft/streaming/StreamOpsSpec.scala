@@ -104,6 +104,27 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join: purchase matches clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val cd = clicks.toDF().toDF("user_id", "click_ts").withWatermark("click_ts", "1 hour")
+    val bd = buys.toDF().toDF("buy_user", "buy_ts").withWatermark("buy_ts", "1 hour")
+    val joined = cd.join(bd,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+    clicks.addData((1L, ts(0)), (1L, ts(30)), (2L, ts(0)))
+    buys.addData((1L, ts(5)))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val rows = spark.table("ssjoin").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("click_ts")))
+    // only user 1's ts(0) click is within 10 minutes before the ts(5) buy
+    assert(rows.toSeq == Seq((1L, ts(0))))
+  }
+
   test("sliding windows assign one event to overlapping windows") {
     val out = runStream(Seq(Seq((1L, ts(7), 1L, "a", 0.0))), "sliding", "complete") { df =>
       StreamOps.slidingUserRate(df, "10 minutes")
