@@ -43,9 +43,12 @@ object Bench {
     // round-over-round comparable), `queries_cold`/`total_cold` the cold
     // truth, so hub-persisting operators can't hide their build cost.
     val results = qs0.map { case (name, fn) =>
-      System.gc()   // take cross-query GC debt here, not inside a timed run
+      // release the PREVIOUS query's caches first, THEN collect: gc before
+      // the release would leave the eviction's own GC debt to land inside
+      // the next timed cold run
       graft.core.Caches.unpersistAll()
       spark.catalog.clearCache()
+      System.gc()
       def run(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

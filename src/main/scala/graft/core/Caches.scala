@@ -1,6 +1,5 @@
 package graft.core
 
-import java.lang.ref.WeakReference
 import java.util.concurrent.ConcurrentLinkedQueue
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
@@ -14,31 +13,33 @@ import org.apache.spark.storage.StorageLevel
   *
   * Every hub goes through [[persist]]; [[unpersistAll]] releases exactly
   * the registered hubs — call it after materializing an operator's result
-  * (Verify/Bench do, between queries). References are weak, so dropped
-  * plans never pin the registry.
+  * (Verify/Bench do, between queries). References are held STRONGLY on
+  * purpose: Spark's CacheManager pins the cached data regardless, while
+  * the DataFrame wrapper itself is garbage the moment the operator
+  * returns — a weak reference would be collected by the first GC and the
+  * corpus-sized cache entry would then be unreleasable through the
+  * registry (the exact leak this class exists to prevent). The queue is
+  * drained on every [[unpersistAll]], so strong refs cannot accumulate.
   */
 object Caches {
-  private val live = new ConcurrentLinkedQueue[WeakReference[DataFrame]]
+  private val live = new ConcurrentLinkedQueue[DataFrame]
 
   /** Persist a hub (MEMORY_AND_DISK — spills instead of recomputing) and
     * register it for [[unpersistAll]]. */
   def persist(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    live.add(new WeakReference(df))
+    live.add(df)
     df
   }
 
-  /** Unpersist every registered hub still reachable. Non-blocking: block
-    * eviction runs async, so this never stalls the caller's next job. */
+  /** Unpersist every registered hub. Non-blocking: block eviction runs
+    * async, so this never stalls the caller's next job. */
   def unpersistAll(): Unit = {
-    var ref = live.poll()
-    while (ref != null) {
-      val df = ref.get()
-      if (df != null) {
-        try df.unpersist(blocking = false)
-        catch { case _: Throwable => () }
-      }
-      ref = live.poll()
+    var df = live.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      df = live.poll()
     }
   }
 }

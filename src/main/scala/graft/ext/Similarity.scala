@@ -91,29 +91,40 @@ object Similarity {
     * suit weakly-clustered data (recall ≈ 0.5 at cos 0.4) — corpora with
     * real duplicate clusters (cos ≥ 0.8) get recall ≈ 1 from the same
     * settings. */
-  def annLshTopK(queries: DataFrame, base: DataFrame, k: Int,
-      planesPerBand: Int = 6, bands: Int = 12, dims: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = queries.sparkSession
-    val nPlanes = bands * planesPerBand
-    // Same value family as the inline form: ±1 from xxhash64("srp", plane, i)
-    // with INT-typed plane and component indices.
-    val coefRows = spark.range(nPlanes.toLong)
+  /** ±1 SRP hyperplane coefficients from the keyed xxhash64 family
+    * ("srp", plane, component) — deterministic and seedless; evaluated
+    * ONCE on a `nPlanes × dims` driver-side job and embedded as literals,
+    * so per-row banding is a plain multiply-add fold, not hashing. Shared
+    * by [[annLshTopK]] and [[annLshPairs]] — one hash family, one code
+    * layout, both operators. */
+  private def srpCoefs(spark: org.apache.spark.sql.SparkSession,
+      nPlanes: Int, dims: Int): Array[Array[Double]] =
+    spark.range(nPlanes.toLong)
       .select(col("id").cast(IntegerType).as("p"),
         transform(sequence(lit(0), lit(dims - 1)), i =>
           (pmod(xxhash64(lit("srp"), col("p"), i), lit(2)) * 2 - 1).cast(DoubleType)).as("cs"))
       .orderBy(col("p")).collect()
-    val coefs: Array[Array[Double]] =
-      coefRows.map(_.getSeq[Double](1).toArray)
+      .map(_.getSeq[Double](1).toArray)
+
+  /** One band code per band: `planesPerBand` projection sign bits packed
+    * into a long (codegen'd dot per plane). */
+  private def srpCodes(vec: Column, coefs: Array[Array[Double]],
+      planesPerBand: Int, bands: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      (0 until planesPerBand).map { p =>
+        val proj = ArrayMath.dotDouble(vec, typedLit(coefs(b * planesPerBand + p)))
+        when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+
+  def annLshTopK(queries: DataFrame, base: DataFrame, k: Int,
+      planesPerBand: Int = 6, bands: Int = 12, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val coefs = srpCoefs(spark, bands * planesPerBand, dims)
 
     def banded(df: DataFrame, id: String, vec: String): DataFrame = {
-      val codes = (0 until bands).map { b =>
-        val bits = (0 until planesPerBand).map { p =>
-          val proj = ArrayMath.dotDouble(col(vec), typedLit(coefs(b * planesPerBand + p)))
-          when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-        }
-        bits.reduce(_ + _)
-      }
+      val codes = srpCodes(col(vec), coefs, planesPerBand, bands)
       df.select(col(id), col(vec), posexplode(array(codes: _*)).as(Seq("band", "code")))
     }
     val qb = banded(queries, idCol, vecCol)
@@ -162,20 +173,8 @@ object Similarity {
       planesPerBand: Int = 4, bands: Int = 16, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = base.sparkSession
-    val nPlanes = bands * planesPerBand
-    val coefRows = spark.range(nPlanes.toLong)
-      .select(col("id").cast(IntegerType).as("p"),
-        transform(sequence(lit(0), lit(dims - 1)), i =>
-          (pmod(xxhash64(lit("srp"), col("p"), i), lit(2)) * 2 - 1).cast(DoubleType)).as("cs"))
-      .orderBy(col("p")).collect()
-    val coefs: Array[Array[Double]] = coefRows.map(_.getSeq[Double](1).toArray)
-    val codes = (0 until bands).map { b =>
-      val bits = (0 until planesPerBand).map { p =>
-        val proj = ArrayMath.dotDouble(col("v"), typedLit(coefs(b * planesPerBand + p)))
-        when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
+    val codes = srpCodes(col("v"),
+      srpCoefs(spark, bands * planesPerBand, dims), planesPerBand, bands)
 
     // 1. exact-copy collapse on the raw vector (null vectors excluded: the
     // all-pairs dual never scores them either).

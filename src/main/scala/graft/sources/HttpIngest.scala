@@ -34,10 +34,10 @@ import java.util.concurrent.atomic.AtomicLong
   */
 final class HttpIngest(address: String, urlPath: String, spoolDir: String) {
 
-  private val (host, port) = address.lastIndexOf(':') match {
-    case -1 => (address, 0)
-    case i => (address.take(i), address.drop(i + 1).toInt)
-  }
+  // host[:port], with bracketed IPv6 literals ("[::1]:4195"); a missing
+  // port means the reference default 4195 (sources.rs config examples),
+  // NOT an ephemeral bind — a silent random port would strand clients.
+  private val (host, port) = HttpIngest.parseAddress(address)
 
   private val spool: Path = Paths.get(spoolDir)
   // "." prefix: Spark's file stream source ignores hidden files, so a
@@ -80,8 +80,10 @@ final class HttpIngest(address: String, urlPath: String, spoolDir: String) {
     this
   }
 
-  /** temp write → fsync → atomic rename into the spool dir: the file is
-    * either invisible or complete, never partial. */
+  /** temp write → fsync file → atomic rename → fsync DIRECTORY: the file
+    * is either invisible or complete, and once the 202 goes out its
+    * directory entry is journaled too — a rename whose metadata is lost in
+    * a crash after the ack would silently drop an acked message. */
   private def spoolDurably(body: Array[Byte]): Unit = {
     val n = seq.getAndIncrement()
     val tmp = tmpDir.resolve(f"b-$tag-$n%012d.txt")
@@ -91,6 +93,7 @@ final class HttpIngest(address: String, urlPath: String, spoolDir: String) {
     finally ch.close()
     Files.move(tmp, spool.resolve(tmp.getFileName.toString),
       StandardCopyOption.ATOMIC_MOVE)
+    HttpIngest.fsyncDir(spool)
   }
 
   private def respond(ex: HttpExchange, code: Int): Unit = {
@@ -103,6 +106,29 @@ final class HttpIngest(address: String, urlPath: String, spoolDir: String) {
 }
 
 object HttpIngest {
+  /** "host[:port]" → (host, port); bracketed IPv6 supported; missing port
+    * defaults to 4195 (the reference's example bind). */
+  private[sources] def parseAddress(address: String): (String, Int) =
+    if (address.startsWith("[")) {
+      val end = address.indexOf(']')
+      require(end > 0, s"unclosed IPv6 literal in address: $address")
+      val rest = address.drop(end + 1)
+      val p = if (rest.startsWith(":")) rest.drop(1).toInt else 4195
+      (address.substring(1, end), p)
+    } else address.lastIndexOf(':') match {
+      case -1 => (address, 4195)
+      case i => (address.take(i), address.drop(i + 1).toInt)
+    }
+
+  /** fsync a directory so a just-renamed entry survives power loss (POSIX
+    * requires a separate fsync of the parent directory). Filesystems that
+    * refuse to open directories for sync make this a no-op. */
+  private def fsyncDir(dir: Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(dir, StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException => () }
+
   /** Build from an `http_server` [[SourceConf]]: `address` = listen address
     * (reference HttpServer.address), `path` = URL path (reference
     * HttpServer.path, default "/post" per config_examples/http.yml), and

@@ -76,7 +76,8 @@ object Compiler {
           sys.error("http_server needs config.spool_dir")))
         .withColumnRenamed("value", "text")
     case "text_file" =>
-      spark.readStream.text(conf.path.getOrElse(sys.error("text_file needs path")))
+      conf.config.foldLeft(spark.readStream) { case (r, (k, v)) => r.option(k, v) }
+        .text(conf.path.getOrElse(sys.error("text_file needs path")))
         .withColumnRenamed("value", "text")
     case other => sys.error(s"source '$other' is batch-only; use source")
   }
@@ -86,9 +87,9 @@ object Compiler {
     * (kafka.rs:40-59 → readStream options). A bounded read
     * (`consume_count`, kafka.rs:44-45/87-92) maps to `maxOffsetsPerTrigger`
     * — the per-micro-batch cap — paired with [[sourceTrigger]]'s
-    * AvailableNow, which drains the backlog in capped batches and stops;
-    * the offset bound is per trigger across partitions, the closest
-    * micro-batch dual of the reference's per-message counted break. */
+    * AvailableNow and [[runStream]]'s cumulative-row stop listener (the
+    * per-batch cap alone would DRAIN a large backlog in N-record batches,
+    * not stop after N total). */
   def kafkaSourceOptions(conf: SourceConf): Map[String, String] =
     conf.config.map { case (k, v) => s"kafka.$k" -> v } +
       ("subscribe" -> conf.topics.mkString(",")) ++
@@ -157,11 +158,42 @@ object Compiler {
   /** Continuous run of a whole spec: streaming source → compiled pipeline →
     * streaming sink, checkpointed (the reference's at-least-once sync-commit
     * loop maps to Structured Streaming's checkpointed offset commit —
-    * SURVEY.md §1.4). */
+    * SURVEY.md §1.4).
+    *
+    * `consume_count` semantics: the reference stops after EXACTLY N
+    * messages (kafka.rs:87-92, a per-message counted break). Micro-batch
+    * Spark has no synchronous per-row hook, so the bound is approximated
+    * from both sides: `maxOffsetsPerTrigger` caps each batch at N records
+    * and a progress listener stops the query once cumulative input reaches
+    * N — the query consumes at least N and at most one batch past the cap
+    * (listener delivery is async). Batch-granular, documented deviation. */
   def runStream(spark: SparkSession, spec: Spec,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    streamSink(pipeline(spec)(streamSource(spark, spec.input)), spec.output)
-      .option("checkpointLocation", checkpoint)
-      .trigger(sourceTrigger(spec.input))
-      .start()
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val query =
+      streamSink(pipeline(spec)(streamSource(spark, spec.input)), spec.output)
+        .option("checkpointLocation", checkpoint)
+        .trigger(sourceTrigger(spec.input))
+        .start()
+    spec.input.consumeCount.foreach(n => stopAfterRows(spark, query, n))
+    query
+  }
+
+  /** Stop `query` once its cumulative input row count reaches `n`; the
+    * listener detaches on the query's termination (whichever comes first). */
+  private def stopAfterRows(spark: SparkSession,
+      query: org.apache.spark.sql.streaming.StreamingQuery, n: Long): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener: StreamingQueryListener = new StreamingQueryListener {
+      private var seen = 0L
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == query.id) {
+          seen += e.progress.numInputRows
+          if (seen >= n) query.stop()
+        }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) spark.streams.removeListener(this)
+    }
+    spark.streams.addListener(listener)
+  }
 }

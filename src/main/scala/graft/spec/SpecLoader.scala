@@ -50,6 +50,9 @@ object SpecLoader {
     require(sourceTypes(t), s"unknown source type: $t")
     if (Set("text_file", "csv", "json", "parquet", "orc")(t))
       require(m.contains("path"), s"source type '$t' requires a path")
+    if (t == "http_server")
+      require(m.get("config").exists(anyMap(_).contains("spool_dir")),
+        "source type 'http_server' requires config.spool_dir (durable handoff directory)")
     SourceConf(t,
       address = m.get("address").map(_.toString),
       path = m.get("path").map(_.toString),

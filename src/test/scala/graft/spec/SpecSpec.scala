@@ -91,6 +91,37 @@ class SpecSpec extends SparkSpec {
         |""".stripMargin).input.consumeCount.isEmpty)
   }
 
+  test("http_server spec without config.spool_dir fails at load") {
+    intercept[IllegalArgumentException] {
+      SpecLoader.load(
+        """input: {type: http_server, address: "0.0.0.0:4195", path: /post}
+          |output: {type: stdout}
+          |""".stripMargin)
+    }
+  }
+
+  test("consume_count stops the stream after the row bound (batch-granular)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bounded").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    (1 to 3).foreach(i =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/$i.txt"), s"line $i\n"))
+    val spec = SpecLoader.load(
+      s"""input:
+         |  type: text_file
+         |  path: "$dir/in"
+         |  consume_count: 1
+         |  config: {maxFilesPerTrigger: "1"}
+         |pipeline: {processors: [{type: noop}]}
+         |output: {type: parquet, path: "$dir/out"}
+         |""".stripMargin)
+    val q = Compiler.runStream(spark, spec, s"$dir/ckpt")
+    // the row-bound listener (or AvailableNow exhaustion) must terminate it
+    assert(q.awaitTermination(60000), "bounded stream did not terminate")
+    val out = spark.read.parquet(s"$dir/out").count()
+    // at least the bound; at most one async batch past it (documented)
+    assert(out >= 1, s"expected at least consume_count rows, got $out")
+  }
+
   test("kafka payload: key from metadata partition_key, default 0 (kafka.rs:133)") {
     import spark.implicits._
     val df = Seq(("a", Map("partition_key" -> "7")), ("b", Map.empty[String, String]))
