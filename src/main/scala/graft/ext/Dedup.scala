@@ -360,22 +360,45 @@ object Dedup {
     * any engine, which is what makes the operator oracle-checkable.
     *
     * Σ_sh w(sh)·sign_b(sh) ≡ Σ over raw occurrences of sign_b, so no
-    * (id, shingle) pre-aggregation is needed: ONE shuffle, and map-side
-    * partial aggregation shrinks it to 60 longs per doc. */
+    * (id, shingle) pre-aggregation is needed: ONE shuffle. The 60 per-bit
+    * counters are PACKED three to a long (20-bit fields at shifts
+    * 0/20/40): 20 sum columns instead of 60, one third the codegen width
+    * and shuffle bytes per doc (60 → 20 longs — at 2³⁰ docs that is
+    * ~320 GB less shuffle). Field f of packed sum g carries the ONES
+    * count of bit 3g+f; the signed sum is 2·ones − n, so bit b of the
+    * signature is set iff 2·ones_b > n — identical bits (and tie
+    * behavior: sum 0 → bit 0) to the unpacked form the oracle computes.
+    * Packing is carry-free while every ones count < 2²⁰ and the total
+    * packed sum < 2⁶³, which holds for docs up to ~4M grams — enforced
+    * with an explicit error, not silent wraparound. */
   def simhashSignature(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // The overflow guard is the EXPLODE's own sequence bound (not a
+    // side column a projection could prune away): a >4M-gram document
+    // fails loudly before any counter can wrap.
+    val ng = greatest(length(col(textCol)) - (n - 1), lit(1))
+    val guardedNg = when(ng > 4000000,
+      raise_error(concat(lit("simhashSignature: document exceeds 4M grams ("),
+        ng, lit(") — packed bit counters would overflow")))
+        .cast(org.apache.spark.sql.types.IntegerType))
+      .otherwise(ng)
     val occ = graft.core.Tables.spread(docs).select(
         col(idCol).as("id"),
         explode(transform(
-          sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+          sequence(lit(1), guardedNg),
           i => col(textCol).substr(i, lit(n)))).as("sh"))
       .withColumn("h", TextAnalysis.hash60(col("sh")))
-    val bitSums = (0 until 60).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
+    val packedSums = (0 until 20).map { g =>
+      val fields = (0 until 3).map { f =>
+        shiftleft(shiftright(col("h"), 3 * g + f).bitwiseAND(lit(1L)), 20 * f)
+      }
+      sum(fields.reduce(_ + _)).as(s"p$g")
     }
-    val agg = occ.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val aggs = packedSums :+ count(lit(1)).as("cnt")
+    val agg = occ.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     val sig = (0 until 60).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      val ones = shiftright(col(s"p${b / 3}"), 20 * (b % 3)).bitwiseAND(lit(0xFFFFFL))
+      when(ones * 2 > col("cnt"), shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col("id"), sig.as("sig"))
   }
