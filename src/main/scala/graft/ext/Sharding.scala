@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Output sharding for a training-data pipeline: assign documents to
+  * fixed-token-budget shards in a deterministic global order — the
+  * sequence-packing step before writing training shards.
+  */
+object Sharding {
+
+  /** Assign each doc the shard `floor(tokens_before / budget)` where
+    * `tokens_before` is the running token total over ascending `idCol` —
+    * the exact greedy packing a serial writer would produce (a doc
+    * crossing a boundary belongs to the shard its start offset is in).
+    *
+    * A naive global-window cumsum is a single-partition sort — a driver-
+    * sized bottleneck at corpus scale. This is the standard PARALLEL
+    * PREFIX SUM instead, three exact steps:
+    *
+    *  1. bucket docs by id range (`bucketSize` ids per bucket — id-range
+    *     bucketing is deterministic, unlike spark_partition_id);
+    *  2. per-bucket token totals (tiny: |docs|/bucketSize rows) get a
+    *     running offset via a window over BUCKETS — the only global
+    *     window, 4096× smaller than the doc table;
+    *  3. within-bucket running totals (window partitioned by bucket —
+    *     parallel across buckets) plus the broadcast bucket offset give
+    *     every doc its exact global prefix sum.
+    *
+    * Integer arithmetic throughout ⇒ bit-identical to the serial rule. */
+  def tokenBudgetShards(docs: DataFrame, budget: Long, bucketSize: Long = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val toks = docs.select(col(idCol),
+      size(split(col(textCol), " ", -1)).cast(LongType).as("n_tokens"),
+      (col(idCol) / bucketSize).cast(LongType).as("bucket"))
+    // 2. running offset per bucket (global window over the TINY bucket table)
+    val offsets = toks.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_tokens")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    // 3. within-bucket prefix (parallel across buckets) + broadcast offset
+    val wdw = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("tokens_before",
+        col("bucket_offset") + coalesce(sum(col("n_tokens")).over(wdw), lit(0L)))
+      .withColumn("shard", floor(col("tokens_before") / budget))
+      .select(col(idCol), col("n_tokens"), col("tokens_before"), col("shard"))
+  }
+}

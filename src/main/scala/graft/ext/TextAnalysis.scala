@@ -161,6 +161,25 @@ object TextAnalysis {
       .select(col("i"), col("j"), col("n_shared"), col("containment"))
   }
 
+  /** Deterministic, content-keyed train/val/test split: the bucket is the
+    * 60-bit content fingerprint mod 100, so (a) the split is reproducible
+    * across runs, engines, and cluster layouts — no RNG, no
+    * partition-order dependence — and (b) EXACT COPIES of a document land
+    * in the same split by construction, closing the classic train/test
+    * contamination hole that row-wise random splitting leaves open.
+    * Map-only: a projection, no shuffle, safe at any corpus size. */
+  def deterministicSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val bucket = pmod(hash60(col(textCol)), lit(100L))
+    docs.withColumn("split_bucket", bucket)
+      .withColumn("split",
+        when(bucket < trainPct, lit("train"))
+          .when(bucket < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Content fingerprints: md5 text digest plus a 60-bit numeric fingerprint
     * (first 15 md5 hex digits) usable as a join/partition key. The 60-bit
     * form is chosen because every SQL engine can reproduce it from md5,

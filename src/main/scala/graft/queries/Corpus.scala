@@ -166,6 +166,46 @@ object Corpus {
       |ORDER BY i, j""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q52 — deterministic content-keyed train/val/test split (80/10/10):
+  // bucket = fp60 % 100 — reproducible in any engine, and exact copies land
+  // in the same split (no train/test contamination from duplicates).
+  def q52_deterministic_split(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.deterministicSplit(docs(s, dir))
+      .select(col("doc_id"), col("split_bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  private val q52_sql =
+    """SELECT doc_id,
+      | CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 AS split_bucket,
+      | CASE WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+      |      WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+      |      ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q53 — token-budget shard packing (the sequence-packing step before
+  // writing training shards): shard = floor(running token total / budget)
+  // over ascending doc_id, computed as a distributed parallel prefix sum
+  // (see ext.Sharding) — the oracle is the serial global-window rule.
+  def q53_token_budget_shards(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sharding.tokenBudgetShards(docs(s, dir), budget = 10000)
+      .orderBy(col("doc_id"))
+
+  private val q53_sql =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tokens_before
+      |  FROM t)
+      |SELECT doc_id, n_tokens, tokens_before,
+      |  CAST(tokens_before // 10000 AS BIGINT) AS shard
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q36 — exact dedup by content fingerprint: canonical id + copy count per
   // group (hash-groupBy; the streaming dual is dropDuplicatesWithinWatermark).
   def q36_exact_dedup(s: SparkSession, dir: String): DataFrame =
@@ -404,6 +444,8 @@ object Corpus {
     "q34_lang_id" -> (q34_lang_id _),
     "q35_fingerprint" -> (q35_fingerprint _),
     "q36_exact_dedup" -> (q36_exact_dedup _),
+    "q52_deterministic_split" -> (q52_deterministic_split _),
+    "q53_token_budget_shards" -> (q53_token_budget_shards _),
     "q49_winnow_fingerprints" -> (q49_winnow_fingerprints _),
     "q51_winnow_containment" -> (q51_winnow_containment _),
     "q37_ngram_jaccard_pairs" -> (q37_ngram_jaccard_pairs _),
@@ -424,6 +466,8 @@ object Corpus {
     "q34_lang_id" -> q34_sql,
     "q35_fingerprint" -> q35_sql,
     "q36_exact_dedup" -> q36_sql,
+    "q52_deterministic_split" -> q52_sql,
+    "q53_token_budget_shards" -> q53_sql,
     "q49_winnow_fingerprints" -> q49_sql,
     "q51_winnow_containment" -> q51_sql,
     "q37_ngram_jaccard_pairs" -> q37_sql,

@@ -322,6 +322,43 @@ class ExtOpsSpec extends SparkSpec {
     assert(!jac.exists(r => r.getAs[Long]("i") == 1L && r.getAs[Long]("j") == 2L))
   }
 
+  test("deterministicSplit: copies share a split, percentages roughly hold") {
+    val docs = Tables.load(spark, sf01, "documents")
+    val out = TextAnalysis.deterministicSplit(docs).cache()
+    try {
+      // exact copies (same text) must land in the same split — the
+      // contamination guarantee
+      val perText = out.groupBy(col("text"))
+        .agg(countDistinct(col("split")).as("nsplits")).collect()
+      assert(perText.forall(_.getAs[Long]("nsplits") == 1L))
+      val counts = out.groupBy(col("split")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = counts.values.sum.toDouble
+      assert(counts("train") / n > 0.6 && counts("train") / n < 0.95, counts.toString)
+      assert(counts.keySet == Set("train", "val", "test"))
+    } finally out.unpersist()
+  }
+
+  test("tokenBudgetShards: parallel prefix sum equals the serial rule at any bucket size") {
+    val docs = Tables.load(spark, sf001, "documents")
+    def run(bs: Long) = Sharding.tokenBudgetShards(docs, budget = 5000, bucketSize = bs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tokens_before"), r.getAs[Long]("shard"))).toMap
+    val byOne = run(1)        // degenerate: every doc its own bucket
+    val byBig = run(1 << 30)  // degenerate: one bucket (pure serial window)
+    val byDefault = run(4096)
+    assert(byDefault == byBig && byDefault == byOne)
+    // serial re-check on the driver
+    val serial = docs.select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    serial.foreach { case (id, nt) =>
+      assert(byDefault(id) == (acc, acc / 5000), s"doc $id")
+      acc += nt
+    }
+    assert(byDefault.values.map(_._2).max > 0, "fixture should span multiple shards")
+  }
+
   test("langId predicts deterministically with full coverage") {
     val docs = Tables.load(spark, sf001, "documents")
     val out = TextAnalysis.langId(docs).collect()
