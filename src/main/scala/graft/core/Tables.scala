@@ -36,13 +36,24 @@ object Tables {
   /** Ensure at least default parallelism ahead of CPU-heavy map stages
     * (shingling, per-pair scoring). A small table often arrives as ONE
     * parquet split, which would serialize the expensive downstream map work
-    * onto a single core; a many-split 100 TB scan is left untouched (the
-    * probe only reads partition counts, never data). */
+    * onto a single core; a large scan is left untouched.
+    *
+    * The small/large probe reads the LOGICAL plan's size statistic
+    * (file-index bytes for file sources, row sizes for local relations) —
+    * `df.rdd.getNumPartitions` would instantiate the physical plan of the
+    * whole subtree just to read a partition count, a measurable
+    * plan-build cost on wide scans that this helper sits in front of.
+    * A table under `parallelism × maxPartitionBytes` may scan with fewer
+    * splits than cores, and repartitioning it is cheap by the same bound;
+    * anything larger already yields ≥ parallelism natural splits. */
   def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) df
     else {
-      val p = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+      val spark = df.sparkSession
+      val p = spark.sparkContext.defaultParallelism
+      val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (size < BigInt(p.toLong) * maxPartitionBytes) df.repartition(p) else df
     }
   }
 }
