@@ -320,8 +320,13 @@ object Dedup {
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"m$k")): _*)
     }
     val banded = sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    // shuffle_hash pin: the band table is |docs|·bands rows behind a
+    // Generate, whose size the estimator cannot see — a mis-broadcast of a
+    // corpus-sized side is an executor OOM at scale, and a broadcast is
+    // never right for a self-join of same-sized sides anyway.
     banded.select(col("band"), col("bh"), col("id").as("i"))
-      .join(banded.select(col("band"), col("bh"), col("id").as("j")), Seq("band", "bh"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("j")).hint("shuffle_hash"),
+        Seq("band", "bh"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"))
       .distinct()
@@ -417,7 +422,8 @@ object Dedup {
         shiftright(col("sig"), 15 * k).bitwiseAND(lit(0x7FFFL))): _*)).as(Seq("band", "bh")))
     val repPairs = banded
       .select(col("band"), col("bh"), col("id").as("i"), col("sig").as("sig_i"))
-      .join(banded.select(col("band"), col("bh"), col("id").as("j"), col("sig").as("sig_j")),
+      .join(banded.select(col("band"), col("bh"), col("id").as("j"), col("sig").as("sig_j"))
+        .hint("shuffle_hash"),  // see lshCandidates: never broadcast a banded side
         Seq("band", "bh"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"),

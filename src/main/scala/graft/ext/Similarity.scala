@@ -131,7 +131,10 @@ object Similarity {
       .select(col("band"), col("code"), col(idCol).as("qid"), col(vecCol).as("qv"))
     val bb = banded(base, idCol, vecCol)
       .select(col("band"), col("code"), col(idCol).as("vid"), col(vecCol).as("bv"))
-    val cand = qb.join(bb, Seq("band", "code"))
+    // broadcast the QUERY side explicitly: it is small by the operator's
+    // contract, while the base side is a corpus-sized Generate output the
+    // estimator could mistake for broadcastable.
+    val cand = broadcast(qb).join(bb, Seq("band", "code"))
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"), col("qv"), col("bv"))
       .dropDuplicates("qid", "vid")
@@ -201,10 +204,13 @@ object Similarity {
       g0.select(col("rep").as("id"), array(codes: _*).as("codes"),
         col("x"), col("n2")))
 
-    // 2. candidates: reps sharing any (band, code).
+    // 2. candidates: reps sharing any (band, code). shuffle_hash pin: the
+    // banded side is |reps|·bands rows behind a Generate the estimator
+    // cannot size — never let it broadcast (see Dedup.lshCandidates).
     val banded = hub.select(col("id"), posexplode(col("codes")).as(Seq("band", "code")))
     val cand = banded.select(col("band"), col("code"), col("id").as("i"))
-      .join(banded.select(col("band"), col("code"), col("id").as("j")), Seq("band", "code"))
+      .join(banded.select(col("band"), col("code"), col("id").as("j")).hint("shuffle_hash"),
+        Seq("band", "code"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"))
       .distinct()
