@@ -373,18 +373,19 @@ object Dedup {
     * count of bit 3g+f; the signed sum is 2·ones − n, so bit b of the
     * signature is set iff 2·ones_b > n — identical bits (and tie
     * behavior: sum 0 → bit 0) to the unpacked form the oracle computes.
-    * Packing is carry-free while every ones count < 2²⁰ and the total
-    * packed sum < 2⁶³, which holds for docs up to ~4M grams — enforced
-    * with an explicit error, not silent wraparound. */
+    * Packing is carry-free only while every ones count fits its 20-bit
+    * field, i.e. for docs of at most 2²⁰−1 grams (a bit's ones count is
+    * bounded by the gram count) — enforced with an explicit error, not
+    * silent carry into the neighboring field. */
   def simhashSignature(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // The overflow guard is the EXPLODE's own sequence bound (not a
     // side column a projection could prune away): a >4M-gram document
     // fails loudly before any counter can wrap.
     val ng = greatest(length(col(textCol)) - (n - 1), lit(1))
-    val guardedNg = when(ng > 4000000,
-      raise_error(concat(lit("simhashSignature: document exceeds 4M grams ("),
-        ng, lit(") — packed bit counters would overflow")))
+    val guardedNg = when(ng > 1048575,
+      raise_error(concat(lit("simhashSignature: document exceeds 2^20-1 grams ("),
+        ng, lit(") — a packed 20-bit ones counter would carry into its neighbor")))
         .cast(org.apache.spark.sql.types.IntegerType))
       .otherwise(ng)
     val occ = graft.core.Tables.spread(docs).select(

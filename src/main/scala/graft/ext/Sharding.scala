@@ -33,9 +33,16 @@ object Sharding {
   def tokenBudgetShards(docs: DataFrame, budget: Long, bucketSize: Long = 4096,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val toks = docs.select(col(idCol),
+    require(bucketSize > 0, "bucketSize must be positive")
+    // TRUE integer division throughout (Column./ on longs is a double
+    // divide — floor(double) drifts from the serial integer rule past
+    // 2⁵³). Two consumers (offsets aggregate + the final join) →
+    // persist, so the corpus is scanned and tokenized once.
+    def intDiv(x: org.apache.spark.sql.Column, d: Long) =
+      call_function("div", x, lit(d)).cast(LongType)
+    val toks = graft.core.Caches.persist(docs.select(col(idCol),
       size(split(col(textCol), " ", -1)).cast(LongType).as("n_tokens"),
-      (col(idCol) / bucketSize).cast(LongType).as("bucket"))
+      intDiv(col(idCol), bucketSize).as("bucket")))
     // 2. running offset per bucket (global window over the TINY bucket table)
     val offsets = toks.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
@@ -50,7 +57,8 @@ object Sharding {
     toks.join(broadcast(offsets), Seq("bucket"))
       .withColumn("tokens_before",
         col("bucket_offset") + coalesce(sum(col("n_tokens")).over(wdw), lit(0L)))
-      .withColumn("shard", floor(col("tokens_before") / budget))
+      .withColumn("shard",
+        call_function("div", col("tokens_before"), lit(budget)).cast(LongType))
       .select(col(idCol), col("n_tokens"), col("tokens_before"), col("shard"))
   }
 }

@@ -131,10 +131,12 @@ object Similarity {
       .select(col("band"), col("code"), col(idCol).as("qid"), col(vecCol).as("qv"))
     val bb = banded(base, idCol, vecCol)
       .select(col("band"), col("code"), col(idCol).as("vid"), col(vecCol).as("bv"))
-    // broadcast the QUERY side explicitly: it is small by the operator's
-    // contract, while the base side is a corpus-sized Generate output the
-    // estimator could mistake for broadcastable.
-    val cand = broadcast(qb).join(bb, Seq("band", "code"))
+    // shuffle_hash with the QUERY side as build: queries are the smaller
+    // side but a forced broadcast would ship every query vector `bands`
+    // times and hard-fail past the broadcast limit for large query sets —
+    // a per-partition hash build has neither problem, and the pin keeps
+    // the estimator from ever broadcasting the corpus-sized base Generate.
+    val cand = qb.hint("shuffle_hash").join(bb, Seq("band", "code"))
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"), col("qv"), col("bv"))
       .dropDuplicates("qid", "vid")
