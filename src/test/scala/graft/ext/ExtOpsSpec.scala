@@ -77,6 +77,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(viaBands == allPairs)
   }
 
+  test("simhash overflow guard fires for docs past 2^20-1 grams (not pruned away)") {
+    // 2^20+20 chars → ng > 1048575; the guard must raise, not corrupt
+    val big = Seq((1L, "x" * 1048600)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.simhashSignature(big, 16).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("grams")), s"unexpected error: $e")
+    // and a doc just under the bound still computes
+    val ok = Seq((1L, "x" * 1000)).toDF("doc_id", "text")
+    assert(Dedup.simhashSignature(ok, 16).collect().length == 1)
+  }
+
   test("brute-force top-k is self-consistent and ANN recall is reasonable") {
     val e = Tables.load(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") < 16)
