@@ -156,6 +156,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
+  test("all four graft SQL functions resolve and compute via spark.sql") {
+    graft.functions.GraftExtensions.functions
+      .foreach(org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, _))
+    val row = spark.sql(
+      """SELECT
+        |  graft_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dl,
+        |  graft_dot_double(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dd,
+        |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+        |  graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic
+        |""".stripMargin).collect().head
+    assert(row.getLong(0) == 32L)
+    assert(row.getDouble(1) == 11.0)
+    assert(row.getDouble(2) == 1.0)
+    assert(row.getLong(3) == 2L)
+  }
+
   test("ArrayMath null elements: numeric folds null out, sorted intersect skips") {
     import graft.functions.ArrayMath
     val df = Seq(
