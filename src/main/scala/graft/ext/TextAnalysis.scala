@@ -161,6 +161,21 @@ object TextAnalysis {
       .select(col("i"), col("j"), col("n_shared"), col("containment"))
   }
 
+  /** Corpus boilerplate detection: the `k` character n-grams present in
+    * the most documents (document frequency, not occurrence count — a
+    * shingle repeated inside one doc is content; one shared across
+    * thousands is template/boilerplate). The standard precursor to
+    * boilerplate stripping in web-corpus cleaning, and the data behind
+    * the near-dup operators' `maxDf` cap. One aggregation over distinct
+    * (doc, shingle) pairs + a top-k: cost is one corpus shuffle. */
+  def boilerplateNgrams(docs: DataFrame, n: Int, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Dedup.charShingles(docs, n, idCol, textCol)
+      .groupBy(col("sh"))
+      .agg(countDistinct(col("id")).as("df"))
+      .orderBy(col("df").desc, col("sh"))
+      .limit(k)
+
   /** Deterministic, content-keyed train/val/test split: the bucket is the
     * 60-bit content fingerprint mod 100, so (a) the split is reproducible
     * across runs, engines, and cluster layouts — no RNG, no

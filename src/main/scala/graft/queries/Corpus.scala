@@ -206,6 +206,20 @@ object Corpus {
       |FROM c ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q54 — boilerplate n-grams: the 16-grams shared by the most documents
+  // (document frequency, ties broken lexicographically) — the corpus-
+  // cleaning precursor behind the near-dup maxDf caps. Integer-exact.
+  def q54_boilerplate_ngrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateNgrams(docs(s, dir), n = 16, k = 50)
+
+  private val q54_sql =
+    """SELECT sh, CAST(count(*) AS BIGINT) AS df FROM (
+      |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 16) AS sh
+      |  FROM documents, range(1, 100000) t(i)
+      |  WHERE i <= greatest(length(text) - 15, 1))
+      |GROUP BY sh ORDER BY df DESC, sh LIMIT 50""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q36 — exact dedup by content fingerprint: canonical id + copy count per
   // group (hash-groupBy; the streaming dual is dropDuplicatesWithinWatermark).
   def q36_exact_dedup(s: SparkSession, dir: String): DataFrame =
@@ -446,6 +460,7 @@ object Corpus {
     "q36_exact_dedup" -> (q36_exact_dedup _),
     "q52_deterministic_split" -> (q52_deterministic_split _),
     "q53_token_budget_shards" -> (q53_token_budget_shards _),
+    "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
     "q49_winnow_fingerprints" -> (q49_winnow_fingerprints _),
     "q51_winnow_containment" -> (q51_winnow_containment _),
     "q37_ngram_jaccard_pairs" -> (q37_ngram_jaccard_pairs _),
@@ -468,6 +483,7 @@ object Corpus {
     "q36_exact_dedup" -> q36_sql,
     "q52_deterministic_split" -> q52_sql,
     "q53_token_budget_shards" -> q53_sql,
+    "q54_boilerplate_ngrams" -> q54_sql,
     "q49_winnow_fingerprints" -> q49_sql,
     "q51_winnow_containment" -> q51_sql,
     "q37_ngram_jaccard_pairs" -> q37_sql,
