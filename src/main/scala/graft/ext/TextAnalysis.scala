@@ -64,19 +64,25 @@ object TextAnalysis {
     * itself, score each document by distinct-token overlap with each
     * profile, and predict the argmax language (score desc, language asc).
     *
-    * Plan shape at scale: one shuffle to build profiles (tiny — |langs|·k
-    * rows, broadcast back), one shuffle for the per-(doc,lang) overlap
-    * count. Integer scores ⇒ deterministic across engines. */
+    * Plan shape at scale: the corpus is scanned and tokenized ONCE into a
+    * per-(doc, token) count hub (one shuffle); the language profiles are a
+    * cheap rollup of that hub (token counts per language = sum of per-doc
+    * counts) and the per-doc distinct token set is exactly the hub's key
+    * set — no second corpus scan, no separate corpus-wide distinct. The
+    * profile is |langs|·k rows broadcast back. Integer scores ⇒
+    * deterministic across engines. */
   def langId(docs: DataFrame, k: Int = 20): DataFrame = {
-    val toks = docs
+    val tokCounts = graft.core.Caches.persist(graft.core.Tables.spread(docs)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ", -1)).as("w"))
-    val profile = toks.groupBy(col("lang").as("p_lang"), col("w"))
-      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("cnt")))
+    val profile = tokCounts.groupBy(col("lang").as("p_lang"), col("w"))
+      .agg(sum(col("cnt")).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("w"))))
       .filter(col("rk") <= k)
       .select(col("p_lang"), col("w"))
-    val docToks = toks.select(col("doc_id"), col("w")).distinct()
+    val docToks = tokCounts.select(col("doc_id"), col("w"))
     val scores = docToks.join(broadcast(profile), Seq("w"))
       .groupBy(col("doc_id"), col("p_lang"))
       .agg(count(lit(1)).as("score"))
