@@ -59,6 +59,22 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Streaming dedup-at-ingest by CONTENT: the streaming dual of the batch
+    * exact dedup ([[graft.ext.Dedup.exactDedup]]/q36). Keys on the full
+    * 128-bit md5 of the text (same no-birthday-collision rationale as the
+    * batch op), keeps the first-seen copy per fingerprint inside the
+    * watermark horizon, state expires with the watermark. The standard
+    * front door of a training-data pipeline: duplicates never reach the
+    * lake. `tsCol` is the event-time column the watermark rides on. */
+  def dedupDocsByContent(docs: DataFrame, tsCol: String,
+      watermarkDelay: String = "1 hour",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp_md5", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp_md5")
+      .drop("fp_md5")
+
   case class SessionAgg(user_id: Long, n_events: Long, total_value: Double)
   case class SessionState(n: Long, total: Double)
 

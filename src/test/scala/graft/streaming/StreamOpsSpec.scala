@@ -74,6 +74,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.select("user_id").as[Long].collect().sorted.toSeq == Seq(100L, 200L))
   }
 
+  test("dedupDocsByContent keeps the first copy per content fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    mem.addData(
+      (1L, ts(0), "same content"), (2L, ts(1), "same content"),   // dup
+      (3L, ts(2), "other content"))
+    val q = StreamOps.dedupDocsByContent(df, "ts").writeStream
+      .format("memory").queryName("docdedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val out = spark.table("docdedup").collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq == Seq(1L, 3L))
+    // and the helper column does not leak into the output schema
+    assert(!spark.table("docdedup").columns.contains("fp_md5"))
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     val out = runStream(Seq(batch1), "running", "append") { df =>
       StreamOps.runningUserTotals(spark, df).toDF()
