@@ -10,6 +10,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf001 = "/root/testdata/sf0.001"
   def sf01 = "/root/testdata/sf0.01"
+
+  // operators persist shared hubs via graft.core.Caches; release them per
+  // suite so the JVM-wide session doesn't accumulate cache across suites
+  override protected def afterAll(): Unit = {
+    graft.core.Caches.unpersistAll()
+    super.afterAll()
+  }
 }
 
 object SparkSpec {
