@@ -435,6 +435,75 @@ object Dedup {
     expandRepPairs(repPairs, groups, "hamming", lit(0).cast(IntegerType))
   }
 
+  /** Connected components over near-dup pairs — the DECISION step of the
+    * dedup pipeline: pair lists say who matches whom; keeping one copy per
+    * duplicate set needs the transitive closure (A~B, B~C ⇒ one cluster
+    * {A,B,C}). Labels every node with the minimum doc id reachable from it.
+    *
+    * Algorithm: iterative min-label propagation with POINTER DOUBLING —
+    * each round every node takes the min of its own label, its neighbors'
+    * labels (one join + one groupBy), and its label's label (one self-join
+    * — the path-halving step that turns O(diameter) convergence into
+    * O(log |V|), so even chain-shaped components finish in a handful of
+    * distributed rounds). The per-round convergence check is one count on
+    * a checkpointed label table — the legitimate use of driver-side
+    * control flow (iteration), never of driver-side data.
+    *
+    * `maxIters` bounds pathological chain-shaped graphs; hitting it throws
+    * rather than returning a silently under-merged clustering. */
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val e0 = pairs.select(col("i"), col("j"))
+    val edges = e0.unionByName(e0.select(col("j").as("i"), col("i").as("j")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Iterative plans MUST cut lineage each round: persist alone keeps the
+    // logical plan growing (round N's plan embeds rounds 1..N-1 — plan
+    // stringification alone OOMs past ~20 rounds). localCheckpoint
+    // materializes the round and restarts the plan from the stored RDD;
+    // a production run over unreliable executors would use
+    // sc.setCheckpointDir + .checkpoint() for fault-tolerant truncation.
+    var labels = edges.select(col("i").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("j"), col("lbl").as("lbl_j")), Seq("j"))
+        .groupBy(col("i")).agg(min(col("lbl_j")).as("nmin"))
+      val merged = labels
+        .join(neighborMin.select(col("i").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // pointer doubling: follow one hop through the label table itself
+      // (labels always point at component members, so the lookup hits)
+      val next = merged
+        .join(merged.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next // prior rounds' checkpoint RDDs are GC'd by ContextCleaner
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    if (!converged)
+      sys.error(s"clusterPairs did not converge within $maxIters rounds")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Full dedup decision over a corpus: near-dup pairs → transitive
+    * clusters → one canonical doc (min id) per cluster; docs in no pair
+    * are their own singleton cluster. `keep` marks the survivors. */
+  def dedupDecision(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val clusters = clusterPairs(pairs)
+    docs.select(col(idCol))
+      .join(clusters.select(col("id").as(idCol), col("cluster_id")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
+
   /** Exact dedup by content fingerprint: groups are keyed on the FULL
     * 128-bit md5 (a 60-bit key would hit birthday collisions around 2³⁰
     * documents — guaranteed merges of non-duplicates at 100 TB corpus

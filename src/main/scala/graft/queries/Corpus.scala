@@ -265,6 +265,46 @@ object Corpus {
   private val q37_sql = jaccardOracle("0.5")
 
   // --------------------------------------------------------------------------
+  // q55 — the dedup DECISION: q37's near-dup pairs → transitive clusters
+  // (min-label connected components) → one canonical doc per cluster.
+  // keep=1 marks survivors; singletons keep themselves. Integer-exact;
+  // the oracle computes the closure with a recursive CTE.
+  def q55_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.nearDupJaccard(d, n = 16, maxDf = 500, minJaccard = 0.5)
+    Dedup.dedupDecision(d, pairs)
+      .select(col("doc_id"), col("cluster_id"),
+        col("keep").cast(IntegerType).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q55_sql =
+    """WITH RECURSIVE sh0 AS (
+      |  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 16) AS sh
+      |  FROM documents, range(1, 100000) t(i)
+      |  WHERE i <= greatest(length(text) - 15, 1)),
+      |keep0 AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 500),
+      |sh AS (SELECT id, sh0.sh FROM sh0 JOIN keep0 USING (sh)),
+      |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.id AS i, b.id AS j, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT i, j FROM inter JOIN sz x ON i = x.id JOIN sz y ON j = y.id
+      |  WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.5),
+      |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT i AS id, i AS r FROM edges
+      |  UNION
+      |  SELECT e.i AS id, reach.r FROM edges e JOIN reach ON e.j = reach.id),
+      |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT d.doc_id,
+      |  coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+      |  CAST(d.doc_id = coalesce(cl.cluster_id, d.doc_id) AS INT) AS keep
+      |FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q48 — WORD n-gram Jaccard near-dup (4-token shingles, df cap 500,
   // threshold 0.5): the token-level dedup most text pipelines run.
   def q48_word_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
@@ -464,6 +504,7 @@ object Corpus {
     "q49_winnow_fingerprints" -> (q49_winnow_fingerprints _),
     "q51_winnow_containment" -> (q51_winnow_containment _),
     "q37_ngram_jaccard_pairs" -> (q37_ngram_jaccard_pairs _),
+    "q55_dedup_clusters" -> (q55_dedup_clusters _),
     "q48_word_jaccard_pairs" -> (q48_word_jaccard_pairs _),
     "q38_minhash_lsh_pairs" -> (q38_minhash_lsh_pairs _),
     "q39_simhash_pairs" -> (q39_simhash_pairs _),
@@ -487,6 +528,7 @@ object Corpus {
     "q49_winnow_fingerprints" -> q49_sql,
     "q51_winnow_containment" -> q51_sql,
     "q37_ngram_jaccard_pairs" -> q37_sql,
+    "q55_dedup_clusters" -> q55_sql,
     "q48_word_jaccard_pairs" -> q48_sql,
     "q38_minhash_lsh_pairs" -> q38_sql,
     "q39_simhash_pairs" -> q39_sql,

@@ -352,6 +352,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(!jac.exists(r => r.getAs[Long]("i") == 1L && r.getAs[Long]("j") == 2L))
   }
 
+  test("clusterPairs merges transitive chains; dedupDecision keeps min per cluster") {
+    // chain 1-2-3 (no direct 1~3 edge), pair 5-6, singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val out = Dedup.dedupDecision(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false) && out(3L) == (1L, false))
+    assert(out(5L) == (5L, true) && out(6L) == (5L, false))
+    assert(out(9L) == (9L, true))
+    // a long chain exercises multi-round convergence
+    val chain = (1L until 40L).map(k => (k, k + 1)).toDF("i", "j")
+    val lbls = Dedup.clusterPairs(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbls.values.toSet == Set(1L))
+  }
+
   test("deterministicSplit: copies share a split, percentages roughly hold") {
     val docs = Tables.load(spark, sf01, "documents")
     val out = TextAnalysis.deterministicSplit(docs).cache()
