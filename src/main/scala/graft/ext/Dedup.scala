@@ -453,8 +453,16 @@ object Dedup {
     * rather than returning a silently under-merged clustering. */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     val e0 = pairs.select(col("i"), col("j"))
-    val edges = e0.unionByName(e0.select(col("j").as("i"), col("i").as("j")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registered hub (Caches invariant) + eager unpersist in the finally:
+    // a mid-loop failure must not leak a corpus-sized cache entry the
+    // registry can't release
+    val edges = graft.core.Caches.persist(
+      e0.unionByName(e0.select(col("j").as("i"), col("i").as("j"))))
+    try clusterLoop(edges, maxIters)
+    finally edges.unpersist(blocking = false)
+  }
+
+  private def clusterLoop(edges: DataFrame, maxIters: Int): DataFrame = {
     // Iterative plans MUST cut lineage each round: persist alone keeps the
     // logical plan growing (round N's plan embeds rounds 1..N-1 — plan
     // stringification alone OOMs past ~20 rounds). localCheckpoint
@@ -485,7 +493,6 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist(blocking = false)
     if (!converged)
       sys.error(s"clusterPairs did not converge within $maxIters rounds")
     labels.select(col("id"), col("lbl").as("cluster_id"))

@@ -178,7 +178,10 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     Dedup.charShingles(docs, n, idCol, textCol)
       .groupBy(col("sh"))
-      .agg(countDistinct(col("id")).as("df"))
+      // charShingles already emits distinct (id, sh) pairs (array_distinct
+      // before the explode), so a plain count IS the document frequency —
+      // countDistinct would pay the two-phase distinct aggregate for nothing
+      .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("sh"))
       .limit(k)
 

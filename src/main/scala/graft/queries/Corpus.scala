@@ -212,11 +212,14 @@ object Corpus {
   def q54_boilerplate_ngrams(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.boilerplateNgrams(docs(s, dir), n = 16, k = 50)
 
+  // text IS NOT NULL: the Spark op's explode of a null shingle array drops
+  // null-text docs, while DuckDB's greatest() ignores NULL and would emit
+  // a NULL-shingle group — latent divergence on corpora with null texts.
   private val q54_sql =
     """SELECT sh, CAST(count(*) AS BIGINT) AS df FROM (
       |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 16) AS sh
       |  FROM documents, range(1, 100000) t(i)
-      |  WHERE i <= greatest(length(text) - 15, 1))
+      |  WHERE text IS NOT NULL AND i <= greatest(length(text) - 15, 1))
       |GROUP BY sh ORDER BY df DESC, sh LIMIT 50""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -245,8 +248,11 @@ object Corpus {
   // NOTE: range(1, 100000) caps shingle positions — valid for the driver
   // fixtures (documents are ≤ a few thousand chars); a corpus with ≥100k-char
   // documents needs the bound raised in step with the data.
-  private def jaccardOracle(threshold: String): String =
-    s"""WITH sh0 AS (
+  // ONE pair-generation CTE fragment shared by q37/q38 (direct pair
+  // queries) and q55 (closure over the same pairs) — a param change edited
+  // here reaches every consumer, no embedded copies to drift.
+  private def jaccardPairCtes(threshold: String): String =
+    s"""sh0 AS (
       |  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 16) AS sh
       |  FROM documents, range(1, 100000) t(i)
       |  WHERE i <= greatest(length(text) - 15, 1)),
@@ -255,12 +261,16 @@ object Corpus {
       |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (
       |  SELECT a.id AS i, b.id AS j, count(*) AS c
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
-      |SELECT i, j,
-      |  CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) AS jaccard
-      |FROM inter JOIN sz x ON i = x.id JOIN sz y ON j = y.id
-      |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= $threshold
-      |ORDER BY i, j""".stripMargin
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT i, j,
+      |    CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) AS jaccard
+      |  FROM inter JOIN sz x ON i = x.id JOIN sz y ON j = y.id
+      |  WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= $threshold)""".stripMargin
+
+  private def jaccardOracle(threshold: String): String =
+    s"""WITH ${jaccardPairCtes(threshold)}
+      |SELECT i, j, jaccard FROM pairs ORDER BY i, j""".stripMargin
 
   private val q37_sql = jaccardOracle("0.5")
 
@@ -279,19 +289,7 @@ object Corpus {
   }
 
   private val q55_sql =
-    """WITH RECURSIVE sh0 AS (
-      |  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 16) AS sh
-      |  FROM documents, range(1, 100000) t(i)
-      |  WHERE i <= greatest(length(text) - 15, 1)),
-      |keep0 AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 500),
-      |sh AS (SELECT id, sh0.sh FROM sh0 JOIN keep0 USING (sh)),
-      |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
-      |inter AS (
-      |  SELECT a.id AS i, b.id AS j, count(*) AS c
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT i, j FROM inter JOIN sz x ON i = x.id JOIN sz y ON j = y.id
-      |  WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.5),
+    s"""WITH RECURSIVE ${jaccardPairCtes("0.5")},
       |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
       |reach(id, r) AS (
       |  SELECT DISTINCT i AS id, i AS r FROM edges

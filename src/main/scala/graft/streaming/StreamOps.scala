@@ -68,12 +68,17 @@ object StreamOps {
     * lake. `tsCol` is the event-time column the watermark rides on. */
   def dedupDocsByContent(docs: DataFrame, tsCol: String,
       watermarkDelay: String = "1 hour",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    // internal key column: "fp_md5" is this library's PUBLIC fingerprint
+    // name (TextAnalysis.fingerprint) — a plain withColumn would silently
+    // overwrite and then drop a caller's column of that name
+    val key = "__graft_dedup_fp"
     docs
-      .withColumn("fp_md5", md5(col(textCol)))
+      .withColumn(key, md5(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("fp_md5")
-      .drop("fp_md5")
+      .dropDuplicatesWithinWatermark(key)
+      .drop(key)
+  }
 
   case class SessionAgg(user_id: Long, n_events: Long, total_value: Double)
   case class SessionState(n: Long, total: Double)
