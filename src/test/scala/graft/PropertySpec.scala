@@ -88,6 +88,31 @@ object GraftProps extends Properties("graft") {
         expect.forall { case (k, v) => math.abs(got(k) - v) < 1e-12 }
     }
 
+  property("clusterPairs == union-find connected components") =
+    Prop.forAll(Gen.chooseNum(2, 10).flatMap(n =>
+        Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, n.toLong), Gen.chooseNum(0L, n.toLong)))
+          .map(_.filter(p => p._1 != p._2)))) { edges0 =>
+      {
+        // an all-self-loop draw degenerates to a fixed single edge
+        val edges = (if (edges0.isEmpty) List((0L, 1L)) else edges0)
+          .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+        val got = Dedup.clusterPairs(edges.toDF("i", "j"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expect = parent.keys.map(k => k -> find(k)).toMap
+        got == expect
+      }
+    }
+
   private val sortedArrGen: Gen[Seq[Long]] =
     Gen.chooseNum(0, 30).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0L, 40L)).map(_.distinct.sorted))
