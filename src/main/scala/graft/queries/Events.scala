@@ -169,6 +169,56 @@ object Events {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q56 — conversion funnel (ordered stage progression): per user, the
+  // earliest view, the earliest click AT OR AFTER that view, and the
+  // earliest purchase at or after that click; stage = how far they got.
+  // Each stage is an equi join on user_id + min aggregate — the funnel
+  // shrinks monotonically, so later stages join ever-smaller sides. All
+  // time comparisons in epoch-ms (engine-consistent; see class doc).
+  def q56_funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("view_ms"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ms") >= col("view_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("click_ms"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ms") >= col("click_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("purchase_ms"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        (lit(1) + when(col("click_ms").isNotNull, 1).otherwise(0)
+          + when(col("purchase_ms").isNotNull, 1).otherwise(0)).cast("int"))
+      .select(col("user_id"), col("view_ms"), col("click_ms"),
+        col("purchase_ms"), col("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q56_sql =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS view_ms
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS click_ms
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) >= v.view_ms
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS purchase_ms
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= c.click_ms
+      |  GROUP BY 1)
+      |SELECT v.user_id, v.view_ms, c.click_ms, p.purchase_ms,
+      |  CAST(1 + (CASE WHEN c.click_ms IS NOT NULL THEN 1 ELSE 0 END)
+      |         + (CASE WHEN p.purchase_ms IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS stage
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q47 — sketches (SURVEY §2.4): HyperLogLog++ distinct counts and t-digest
   // style approximate percentiles, both mergeable map-side partials (the
   // 100 TB aggregation shape: shuffle carries sketch bytes, not rows).
@@ -193,7 +243,8 @@ object Events {
     "q22_asof_purchase_click" -> (q22_asof_purchase_click _),
     "q23_hourly_type_counts" -> (q23_hourly_type_counts _),
     "q24_sessionize" -> (q24_sessionize _),
-    "q25_dedup_keep_first" -> (q25_dedup_keep_first _)
+    "q25_dedup_keep_first" -> (q25_dedup_keep_first _),
+    "q56_funnel" -> (q56_funnel _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -202,6 +253,7 @@ object Events {
     "q22_asof_purchase_click" -> q22_sql,
     "q23_hourly_type_counts" -> q23_sql,
     "q24_sessionize" -> q24_sql,
-    "q25_dedup_keep_first" -> q25_sql
+    "q25_dedup_keep_first" -> q25_sql,
+    "q56_funnel" -> q56_sql
   )
 }
