@@ -219,6 +219,33 @@ object Events {
       |ORDER BY user_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q57 — cohort retention: users bucketed by the week of their first event
+  // (the cohort), counted per week-offset of later activity — the classic
+  // retention matrix. Integer week arithmetic (true integer division — see
+  // Sharding on Column./) so both engines bucket identically; the distinct
+  // (user, week) activity set makes a plain count the distinct-user count.
+  def q57_cohort_retention(s: SparkSession, dir: String): DataFrame = {
+    val wk = call_function("div", unix_millis(col("ts")), lit(604800000L))
+    val e = ev(s, dir).select(col("user_id"), wk.as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    e.distinct()
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  private val q57_sql =
+    """WITH f AS (
+      |  SELECT user_id, min(epoch_ms(ts) // 604800000) AS cohort_wk
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk FROM events)
+      |SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q47 — sketches (SURVEY §2.4): HyperLogLog++ distinct counts and t-digest
   // style approximate percentiles, both mergeable map-side partials (the
   // 100 TB aggregation shape: shuffle carries sketch bytes, not rows).
@@ -244,7 +271,8 @@ object Events {
     "q23_hourly_type_counts" -> (q23_hourly_type_counts _),
     "q24_sessionize" -> (q24_sessionize _),
     "q25_dedup_keep_first" -> (q25_dedup_keep_first _),
-    "q56_funnel" -> (q56_funnel _)
+    "q56_funnel" -> (q56_funnel _),
+    "q57_cohort_retention" -> (q57_cohort_retention _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -254,6 +282,7 @@ object Events {
     "q23_hourly_type_counts" -> q23_sql,
     "q24_sessionize" -> q24_sql,
     "q25_dedup_keep_first" -> q25_sql,
-    "q56_funnel" -> q56_sql
+    "q56_funnel" -> q56_sql,
+    "q57_cohort_retention" -> q57_sql
   )
 }
