@@ -169,30 +169,42 @@ object Events {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------------------
-  // q56 — conversion funnel (ordered stage progression): per user, the
-  // earliest view, the earliest click AT OR AFTER that view, and the
-  // earliest purchase at or after that click; stage = how far they got.
-  // Each stage is an equi join on user_id + min aggregate — the funnel
-  // shrinks monotonically, so later stages join ever-smaller sides. All
-  // time comparisons in epoch-ms (engine-consistent; see class doc).
+  // Conversion funnel operator: per user, the earliest stage-1 event, the
+  // earliest stage-2 event AT OR AFTER it, and so on down an arbitrary
+  // ordered stage list; `stage` = how far the user got. Each stage is an
+  // equi join on the user + a min aggregate — the funnel shrinks
+  // monotonically, so later stages join ever-smaller sides. Callers pass
+  // an integer-ms time column (epoch-ms is the engine-consistent unit —
+  // see class doc).
+  def funnel(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      msCol: String = "ms"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, "funnel stages must be distinct")
+    def ofType(st: String) =
+      events.filter(col(typeCol) === st).select(col(userCol), col(msCol))
+    val head = ofType(stages.head).groupBy(col(userCol))
+      .agg(min(col(msCol)).as(s"${stages.head}_ms"))
+    // each later stage: earliest qualifying event at or after the user's
+    // previous-stage time (scanLeft threads the (name, frame) pair through)
+    val mins = stages.tail.scanLeft(stages.head -> head) { case ((prevName, prevDf), st) =>
+      st -> ofType(st)
+        .join(prevDf, Seq(userCol))
+        .filter(col(msCol) >= col(s"${prevName}_ms"))
+        .groupBy(col(userCol)).agg(min(col(msCol)).as(s"${st}_ms"))
+    }.map(_._2)
+    val joined = mins.reduce((a, b) => a.join(b, Seq(userCol), "left"))
+    val stageNum = stages.tail.map(st =>
+        when(col(s"${st}_ms").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1): org.apache.spark.sql.Column)(_ + _)
+    joined.withColumn("stage", stageNum.cast("int"))
+  }
+
+  // q56 — the view → click → purchase funnel over the events table.
   def q56_funnel(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir).select(col("user_id"), col("event_type"),
       unix_millis(col("ts")).as("ms"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ms")).as("view_ms"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, Seq("user_id"))
-      .filter(col("ms") >= col("view_ms"))
-      .groupBy(col("user_id")).agg(min(col("ms")).as("click_ms"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, Seq("user_id"))
-      .filter(col("ms") >= col("click_ms"))
-      .groupBy(col("user_id")).agg(min(col("ms")).as("purchase_ms"))
-    v.join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
-      .withColumn("stage",
-        (lit(1) + when(col("click_ms").isNotNull, 1).otherwise(0)
-          + when(col("purchase_ms").isNotNull, 1).otherwise(0)).cast("int"))
+    funnel(e, Seq("view", "click", "purchase"))
       .select(col("user_id"), col("view_ms"), col("click_ms"),
         col("purchase_ms"), col("stage"))
       .orderBy(col("user_id"))
