@@ -34,12 +34,11 @@ object Sharding {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(bucketSize > 0, "bucketSize must be positive")
-    // TRUE integer division throughout (Column./ on longs is a double
-    // divide — floor(double) drifts from the serial integer rule past
-    // 2⁵³). Two consumers (offsets aggregate + the final join) →
-    // persist, so the corpus is scanned and tokenized once.
-    def intDiv(x: org.apache.spark.sql.Column, d: Long) =
-      call_function("div", x, lit(d)).cast(LongType)
+    // TRUE integer division throughout (graft.queries.intDiv — Column./
+    // on longs is a double divide). Two consumers (offsets aggregate +
+    // the final join) → persist, so the corpus is scanned and tokenized
+    // once.
+    import graft.queries.intDiv
     val toks = graft.core.Caches.persist(docs.select(col(idCol),
       size(split(col(textCol), " ", -1)).cast(LongType).as("n_tokens"),
       intDiv(col(idCol), bucketSize).as("bucket")))
@@ -57,8 +56,7 @@ object Sharding {
     toks.join(broadcast(offsets), Seq("bucket"))
       .withColumn("tokens_before",
         col("bucket_offset") + coalesce(sum(col("n_tokens")).over(wdw), lit(0L)))
-      .withColumn("shard",
-        call_function("div", col("tokens_before"), lit(budget)).cast(LongType))
+      .withColumn("shard", intDiv(col("tokens_before"), budget))
       .select(col(idCol), col("n_tokens"), col("tokens_before"), col("shard"))
   }
 }

@@ -233,12 +233,14 @@ object Events {
   // --------------------------------------------------------------------------
   // q57 — cohort retention: users bucketed by the week of their first event
   // (the cohort), counted per week-offset of later activity — the classic
-  // retention matrix. Integer week arithmetic (true integer division — see
-  // Sharding on Column./) so both engines bucket identically; the distinct
-  // (user, week) activity set makes a plain count the distinct-user count.
+  // retention matrix. Integer week arithmetic (graft.queries.intDiv) so
+  // both engines bucket identically; the distinct (user, week) activity
+  // set makes a plain count the distinct-user count. The week table feeds
+  // two consumers (first-event aggregate + distinct activity) → persist,
+  // one events scan.
   def q57_cohort_retention(s: SparkSession, dir: String): DataFrame = {
-    val wk = call_function("div", unix_millis(col("ts")), lit(604800000L))
-    val e = ev(s, dir).select(col("user_id"), wk.as("wk"))
+    val e = graft.core.Caches.persist(ev(s, dir)
+      .select(col("user_id"), graft.queries.intDiv(unix_millis(col("ts")), 604800000L).as("wk")))
     val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
     e.distinct()
       .join(first, Seq("user_id"))

@@ -34,4 +34,11 @@ package object queries {
 
   /** Deterministic mean: exact decimal sum divided by count, in DOUBLE. */
   def davg2(c: Column): Column = (dsum2(c) / count(lit(1))).cast(DoubleType)
+
+  /** TRUE integer division (Column./ on longs is a double divide, whose
+    * floor drifts from the integer rule past 2⁵³ — a bug class this repo
+    * has already hit). Matches DuckDB's `//` including truncation
+    * direction. */
+  def intDiv(x: Column, d: Long): Column =
+    call_function("div", x, lit(d)).cast(LongType)
 }

@@ -89,28 +89,32 @@ object GraftProps extends Properties("graft") {
     }
 
   property("clusterPairs == union-find connected components") =
-    Prop.forAll(Gen.chooseNum(2, 10).flatMap(n =>
-        Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, n.toLong), Gen.chooseNum(0L, n.toLong)))
-          .map(_.filter(p => p._1 != p._2)))) { edges0 =>
-      {
-        // an all-self-loop draw degenerates to a fixed single edge
-        val edges = (if (edges0.isEmpty) List((0L, 1L)) else edges0)
-          .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
-        val got = Dedup.clusterPairs(edges.toDF("i", "j"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        // driver-side union-find reference
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
-        edges.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val expect = parent.keys.map(k => k -> find(k)).toMap
-        got == expect
+    // ONE clusterPairs run per evaluation (per the file's batching
+    // discipline — the iterative loop costs several jobs): the generated
+    // graphs are offset into disjoint id ranges and unioned; components of
+    // a disjoint union are the union of per-graph components.
+    Prop.forAll(Gen.listOfN(6,
+        Gen.chooseNum(2, 10).flatMap(n =>
+          Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, n.toLong), Gen.chooseNum(0L, n.toLong)))
+            .map(_.filter(p => p._1 != p._2))))) { graphs =>
+      val edges = graphs.zipWithIndex.flatMap { case (g, k) =>
+        (if (g.isEmpty) List((0L, 1L)) else g) // all-self-loop draw → one fixed edge
+          .map(p => (1000L * k + math.min(p._1, p._2), 1000L * k + math.max(p._1, p._2)))
+      }.distinct
+      val got = Dedup.clusterPairs(edges.toDF("i", "j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
       }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(k => k -> find(k)).toMap
+      got == expect
     }
 
   private val sortedArrGen: Gen[Seq[Long]] =
