@@ -13,7 +13,21 @@ import org.apache.spark.storage.StorageLevel
   *
   * Every hub goes through [[persist]]; [[unpersistAll]] releases exactly
   * the registered hubs — call it after materializing an operator's result
-  * (Verify/Bench do, between queries). References are held STRONGLY on
+  * (Verify/Bench do, between queries).
+  *
+  * '''Concurrency contract''': the registry is session-global, not
+  * operator-scoped. It assumes the serial driver pattern above — one
+  * operator materialized, then released. Two operators running
+  * CONCURRENTLY on one SparkSession must not interleave with
+  * [[unpersistAll]]: a call from one would release the other's live hubs
+  * mid-query (correctness is unaffected — Spark recomputes the subtree —
+  * but the persist's entire benefit is silently lost). Concurrent callers
+  * should skip unpersistAll until all in-flight operators finish, or run
+  * per-query sessions (`spark.newSession()` shares the cache manager, so
+  * true isolation needs separate registries per session — the serial
+  * contract is the supported mode).
+  *
+  * References are held STRONGLY on
   * purpose: Spark's CacheManager pins the cached data regardless, while
   * the DataFrame wrapper itself is garbage the moment the operator
   * returns — a weak reference would be collected by the first GC and the

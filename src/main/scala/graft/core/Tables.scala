@@ -44,14 +44,16 @@ object Tables {
     * whole subtree just to read a partition count, a measurable
     * plan-build cost on wide scans that this helper sits in front of.
     * A table under `parallelism × maxPartitionBytes` may scan with fewer
-    * splits than cores, and repartitioning it is cheap by the same bound
-    * (a small many-file table gets one bounded round-robin exchange it
-    * didn't strictly need — the price of never physically planning here);
-    * anything larger already yields ≥ parallelism natural splits. Plans
-    * with UNKNOWN stats (RDD-backed frames report the defaultSizeInBytes
-    * sentinel) fall back to the physical partition-count probe — treating
-    * the sentinel as "large" would silently return the single-core
-    * serialization this helper exists to prevent. */
+    * splits than cores; for those the cheap physical partition-count probe
+    * decides (a small plan is cheap to plan physically, and skipping the
+    * probe would add an exchange to frames that already have ≥ p splits —
+    * e.g. a small many-file table). Anything statted larger already yields
+    * ≥ parallelism natural splits and is left untouched. Plans with
+    * UNKNOWN stats (RDD-backed frames report the defaultSizeInBytes
+    * sentinel — and so do joined plans whose multiplied stats saturate
+    * past it) take the same probe path — treating the sentinel as "large"
+    * would silently return the single-core serialization this helper
+    * exists to prevent. */
   def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) df
     else {
@@ -59,9 +61,10 @@ object Tables {
       val p = spark.sparkContext.defaultParallelism
       val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
       val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (size >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
-        if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-      } else if (size < BigInt(p.toLong) * maxPartitionBytes) df.repartition(p)
+      val knownLarge = size < BigInt(spark.sessionState.conf.defaultSizeInBytes) &&
+        size >= BigInt(p.toLong) * maxPartitionBytes
+      if (knownLarge) df
+      else if (df.rdd.getNumPartitions < p) df.repartition(p)
       else df
     }
   }

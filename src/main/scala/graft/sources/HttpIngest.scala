@@ -107,18 +107,33 @@ final class HttpIngest(address: String, urlPath: String, spoolDir: String) {
 
 object HttpIngest {
   /** "host[:port]" → (host, port); bracketed IPv6 supported; missing port
-    * defaults to 4195 (the reference's example bind). */
-  private[sources] def parseAddress(address: String): (String, Int) =
+    * defaults to 4195 (the reference's example bind). An UNbracketed
+    * multi-colon address is rejected rather than guessed at: "::1" would
+    * otherwise split at the last colon into host ":" port 1, silently
+    * binding the wrong thing — IPv6 literals must be written "[::1]:4195". */
+  private[graft] def parseAddress(address: String): (String, Int) =
     if (address.startsWith("[")) {
       val end = address.indexOf(']')
       require(end > 0, s"unclosed IPv6 literal in address: $address")
       val rest = address.drop(end + 1)
-      val p = if (rest.startsWith(":")) rest.drop(1).toInt else 4195
+      val p = if (rest.startsWith(":")) parsePort(rest.drop(1), address) else 4195
       (address.substring(1, end), p)
-    } else address.lastIndexOf(':') match {
-      case -1 => (address, 4195)
-      case i => (address.take(i), address.drop(i + 1).toInt)
+    } else {
+      require(address.count(_ == ':') <= 1,
+        s"ambiguous address '$address': bracket IPv6 literals as [host]:port")
+      address.lastIndexOf(':') match {
+        case -1 => (address, 4195)
+        case i => (address.take(i), parsePort(address.drop(i + 1), address))
+      }
     }
+
+  private def parsePort(s: String, address: String): Int = {
+    require(s.nonEmpty && s.forall(_.isDigit) && s.length <= 5,
+      s"invalid port '$s' in address: $address")
+    val p = s.toInt
+    require(p <= 65535, s"port out of range in address: $address")
+    p
+  }
 
   /** fsync a directory so a just-renamed entry survives power loss (POSIX
     * requires a separate fsync of the parent directory). Filesystems that

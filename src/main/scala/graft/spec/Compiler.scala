@@ -179,7 +179,15 @@ object Compiler {
   }
 
   /** Stop `query` once its cumulative input row count reaches `n`; the
-    * listener detaches on the query's termination (whichever comes first). */
+    * listener detaches on the query's termination (whichever comes first).
+    *
+    * The listener bus is async and sheds events when its queue backs up, so
+    * a listener alone could overshoot the bound by MORE than the documented
+    * one batch (or, for non-AvailableNow sources, never fire at all on a
+    * dropped event). A daemon polling thread cross-checks
+    * `query.lastProgress` directly — synchronous state no bus can drop —
+    * accumulating rows per distinct batchId; whichever counter reaches `n`
+    * first stops the query. */
   private def stopAfterRows(spark: SparkSession,
       query: org.apache.spark.sql.streaming.StreamingQuery, n: Long): Unit = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
@@ -195,5 +203,23 @@ object Compiler {
         if (e.id == query.id) spark.streams.removeListener(this)
     }
     spark.streams.addListener(listener)
+    val poller = new Thread(() => {
+      var seen = 0L
+      var lastBatch = -1L
+      while (query.isActive && seen < n) {
+        val p = query.lastProgress
+        if (p != null && p.batchId > lastBatch) {
+          // lastProgress can skip intermediate batches between polls; the
+          // listener covers those — together the two bounds are tight to
+          // one batch whenever either channel delivers.
+          seen += p.numInputRows
+          lastBatch = p.batchId
+          if (seen >= n) { try query.stop() catch { case _: Throwable => () } }
+        }
+        Thread.sleep(50)
+      }
+    }, s"graft-stop-after-rows-${query.id}")
+    poller.setDaemon(true)
+    poller.start()
   }
 }

@@ -323,4 +323,20 @@ class SpecSpec extends SparkSpec {
     spark.streams.removeListener(log)
     assert(log.snapshot.exists(p => p.queryName == "metrics_probe" && p.numInputRows == 3))
   }
+
+  test("http_server address parsing: defaults, IPv6 brackets, rejects") {
+    import graft.sources.HttpIngest.{parseAddress => pa}
+    assert(pa("0.0.0.0:4195") == ("0.0.0.0", 4195))
+    assert(pa("localhost") == ("localhost", 4195))
+    assert(pa("[::1]:8080") == ("::1", 8080))
+    assert(pa("[::1]") == ("::1", 4195))
+    // unbracketed IPv6 would mis-split at the last colon — reject, not guess
+    assertThrows[IllegalArgumentException](pa("::1"))
+    assertThrows[IllegalArgumentException](pa("fe80::1:4195"))
+    // non-numeric / out-of-range ports fail with the address in the message
+    val e = intercept[IllegalArgumentException](pa("host:http"))
+    assert(e.getMessage.contains("host:http"))
+    assertThrows[IllegalArgumentException](pa("host:99999"))
+    assertThrows[IllegalArgumentException](pa("[::1]:nope"))
+  }
 }
