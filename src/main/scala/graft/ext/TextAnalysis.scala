@@ -204,6 +204,115 @@ object TextAnalysis {
           .otherwise(lit("test")))
   }
 
+  /** Gopher-style repetition statistics — the standard quality filters for
+    * web-corpus cleaning (Rae et al., "Scaling Language Models" §A1.1 list
+    * repeated-n-gram fractions among their document filters): documents
+    * dominated by a few repeated tokens/n-grams are boilerplate, spam, or
+    * degenerate generation, and get filtered before training.
+    *
+    * Per document:
+    *   - `n_tokens` — whitespace-token count;
+    *   - `type_token_ratio` — distinct / total tokens (low ⇒ repetitive);
+    *   - `top_unigram_frac` — occurrences of the most frequent token / total;
+    *   - `dup_token_frac` — fraction of occurrences whose token appears >1×;
+    *   - `top_bigram_frac` — occurrences of the most frequent word bigram /
+    *     bigram count (0.0 for docs with fewer than 2 tokens).
+    *
+    * Every ratio is ONE division of two exact integers — bit-identical
+    * across engines (IEEE division is correctly rounded), so the operator
+    * is hash-exact oracle-checkable. Plan shape: two independent
+    * count-then-rollup aggregations (unigrams, bigrams) joined on doc id —
+    * both partial-aggregate before their shuffle, and the bigram explode is
+    * map-only. Linear in corpus size; no driver-side anything. */
+  def repetitionStats(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = graft.core.Tables.spread(docs)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("t"))
+    val uni = base
+      .select(col(idCol), explode(split(col("t"), " ", -1)).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("cnt")).as("max_uni"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_cnt"))
+    val ws = split(col("t"), " ", -1)
+    val bi = base.filter(size(ws) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", slice(ws, i, lit(2))))).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("max_bi"))
+    uni.join(bi, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("type_token_ratio"),
+        (col("max_uni").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("top_unigram_frac"),
+        (col("dup_cnt").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("dup_token_frac"),
+        coalesce(col("max_bi").cast(DoubleType) / col("n_bigrams").cast(DoubleType),
+          lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Benchmark-contamination check — the decontamination step every serious
+    * training pipeline runs before training: flag corpus documents sharing
+    * word n-grams with a held-out benchmark/eval set, so evaluation isn't
+    * measuring memorization of leaked test data.
+    *
+    * Emits one row per CONTAMINATED corpus document: the doc id, its
+    * distinct-gram count, how many of those grams appear anywhere in the
+    * benchmark, and the contaminated fraction (one exact-integer division).
+    *
+    * Scale posture: the benchmark side is the small one by nature (eval
+    * suites are thousands of documents against a 100 TB corpus), so its
+    * distinct gram set is BROADCAST — the corpus side stays a map-only
+    * scan + broadcast semi-probe followed by one per-doc count; the corpus
+    * is never shuffled on the gram key. For an unusually large benchmark
+    * set `broadcastBench = false` degrades to a shuffle join on the gram.
+    * The gram rule is [[Dedup.wordShingles]]'s (docs shorter than n tokens
+    * contribute all their tokens as one gram). */
+  def ngramContamination(corpus: DataFrame, bench: DataFrame, n: Int,
+      broadcastBench: Boolean = true,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cg = Dedup.wordShingles(corpus, n, idCol, textCol)
+    val bg0 = Dedup.wordShingles(bench, n, idCol, textCol).select(col("sh")).distinct()
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    val sizes = cg.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val hits = cg.join(bg, Seq("sh"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
+    hits.join(sizes, Seq("id"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("contamination_frac"))
+  }
+
+  /** Deterministic stratified sampling: per-stratum keep rates in basis
+    * points of 10000, keyed on the CONTENT hash (same bucketing family as
+    * [[deterministicSplit]]) — reproducible across runs/engines/cluster
+    * layouts, and exact copies of a document sample identically, so
+    * rebalancing (e.g. downsampling a dominant language) never splits a
+    * duplicate group. Strata missing from `ratesBp` get `defaultBp`
+    * (0 = drop — the conservative default for unexpected strata; a null
+    * stratum takes the default too). Map-only: a filter projection, no
+    * shuffle, safe at any corpus size. */
+  def stratifiedSample(docs: DataFrame, ratesBp: Map[String, Int],
+      strataCol: String = "lang", defaultBp: Int = 0,
+      textCol: String = "text"): DataFrame = {
+    require(ratesBp.values.forall(v => v >= 0 && v <= 10000) &&
+      defaultBp >= 0 && defaultBp <= 10000,
+      s"keep rates must be basis points in [0, 10000]: $ratesBp default=$defaultBp")
+    val bucket = pmod(hash60(col(textCol)), lit(10000L))
+    // deterministic fold order — the when-chain must be identical run-to-run
+    val thr = ratesBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.withColumn("sample_bucket", bucket)
+      .filter(bucket < thr)
+  }
+
   /** Content fingerprints: md5 text digest plus a 60-bit numeric fingerprint
     * (first 15 md5 hex digits) usable as a join/partition key. The 60-bit
     * form is chosen because every SQL engine can reproduce it from md5,

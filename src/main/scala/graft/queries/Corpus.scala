@@ -223,6 +223,102 @@ object Corpus {
       |GROUP BY sh ORDER BY df DESC, sh LIMIT 50""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q58 — Gopher-style repetition statistics (type-token ratio, top
+  // unigram/bigram fraction, duplicate-token fraction): the quality filters
+  // that drop boilerplate/degenerate documents before training. Every ratio
+  // is one division of exact integers — hash-exact across engines.
+  def q58_repetition_stats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(docs(s, dir))
+      .orderBy(col("doc_id"))
+
+  private val q58_sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |uc AS (SELECT doc_id, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_types, max(cnt) AS max_uni,
+      |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+      |  FROM uc GROUP BY 1),
+      |wl AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |       FROM documents WHERE text IS NOT NULL),
+      |bg0 AS (
+      |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS b
+      |  FROM wl, range(1, 100000) t(i)
+      |  WHERE len(ws) >= 2 AND i <= len(ws) - 1),
+      |bc AS (SELECT doc_id, b, count(*) AS cnt FROM bg0 GROUP BY 1, 2),
+      |bg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |         max(cnt) AS max_bi FROM bc GROUP BY 1)
+      |SELECT uni.doc_id, n_tokens,
+      |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+      |  CAST(max_uni AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_unigram_frac,
+      |  CAST(dup_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_token_frac,
+      |  coalesce(CAST(max_bi AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0)
+      |    AS top_bigram_frac
+      |FROM uni LEFT JOIN bg ON uni.doc_id = bg.doc_id
+      |ORDER BY uni.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q59 — benchmark contamination: train-split documents sharing word
+  // 3-grams with the test split (the decontamination check run before
+  // training; the splits are q52's deterministic content-keyed buckets, so
+  // the whole check is reproducible end-to-end). Integer-exact counts, one
+  // exact division.
+  def q59_contamination(s: SparkSession, dir: String): DataFrame = {
+    val split = TextAnalysis.deterministicSplit(docs(s, dir))
+    TextAnalysis.ngramContamination(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "test"), n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q59_sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |cg AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS sh
+      |  FROM w, range(1, 100000) t(i)
+      |  WHERE bucket < 80 AND i <= greatest(len(ws) - 2, 1)),
+      |bg AS (
+      |  SELECT DISTINCT
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS sh
+      |  FROM w, range(1, 100000) t(i)
+      |  WHERE bucket >= 90 AND i <= greatest(len(ws) - 2, 1)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM cg GROUP BY 1),
+      |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      |         FROM cg JOIN bg USING (sh) GROUP BY 1)
+      |SELECT doc_id, n_grams, n_contaminated,
+      |  CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE)
+      |    AS contamination_frac
+      |FROM hits JOIN sz USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q60 — deterministic stratified sampling: content-hash-keyed per-language
+  // keep rates (downsample the dominant language, keep the rest) — the
+  // corpus-rebalancing step, reproducible across engines and safe against
+  // duplicate groups straddling the sample boundary.
+  def q60_stratified_sample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stratifiedSample(docs(s, dir),
+        ratesBp = Map("en" -> 3000, "zh" -> 5000,
+          "de" -> 10000, "fr" -> 10000, "es" -> 10000))
+      .select(col("doc_id"), col("lang"), col("sample_bucket"))
+      .orderBy(col("doc_id"))
+
+  private val q60_sql =
+    """SELECT doc_id, lang,
+      | CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 10000 AS sample_bucket
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 10000 <
+      |  CASE WHEN lang = 'en' THEN 3000 WHEN lang = 'zh' THEN 5000
+      |       WHEN lang IN ('de', 'fr', 'es') THEN 10000 ELSE 0 END
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q36 — exact dedup by content fingerprint: canonical id + copy count per
   // group (hash-groupBy; the streaming dual is dropDuplicatesWithinWatermark).
   def q36_exact_dedup(s: SparkSession, dir: String): DataFrame =
@@ -499,6 +595,9 @@ object Corpus {
     "q52_deterministic_split" -> (q52_deterministic_split _),
     "q53_token_budget_shards" -> (q53_token_budget_shards _),
     "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
+    "q58_repetition_stats" -> (q58_repetition_stats _),
+    "q59_contamination" -> (q59_contamination _),
+    "q60_stratified_sample" -> (q60_stratified_sample _),
     "q49_winnow_fingerprints" -> (q49_winnow_fingerprints _),
     "q51_winnow_containment" -> (q51_winnow_containment _),
     "q37_ngram_jaccard_pairs" -> (q37_ngram_jaccard_pairs _),
@@ -523,6 +622,9 @@ object Corpus {
     "q52_deterministic_split" -> q52_sql,
     "q53_token_budget_shards" -> q53_sql,
     "q54_boilerplate_ngrams" -> q54_sql,
+    "q58_repetition_stats" -> q58_sql,
+    "q59_contamination" -> q59_sql,
+    "q60_stratified_sample" -> q60_sql,
     "q49_winnow_fingerprints" -> q49_sql,
     "q51_winnow_containment" -> q51_sql,
     "q37_ngram_jaccard_pairs" -> q37_sql,

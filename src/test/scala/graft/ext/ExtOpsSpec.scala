@@ -412,4 +412,62 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.length == docs.count())
     assert(out.forall(_.getAs[Long]("score") > 0))
   }
+
+  test("repetitionStats: hand-computed ratios, single-token doc, null text") {
+    val df = Seq(
+      (1L, Some("a a a b")),   // 4 tokens, 2 types; bigrams: "a a"×2, "a b"
+      (2L, Some("x")),         // 1 token — no bigrams, all ratios trivial
+      (3L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(3L), "null text contributes no row")
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_tokens") == 4L)
+    assert(d1.getAs[Double]("type_token_ratio") == 0.5)
+    assert(d1.getAs[Double]("top_unigram_frac") == 0.75)
+    assert(d1.getAs[Double]("dup_token_frac") == 0.75)
+    assert(d1.getAs[Double]("top_bigram_frac") == 2.0 / 3.0)
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_tokens") == 1L)
+    assert(d2.getAs[Double]("type_token_ratio") == 1.0)
+    assert(d2.getAs[Double]("dup_token_frac") == 0.0)
+    assert(d2.getAs[Double]("top_bigram_frac") == 0.0)
+  }
+
+  test("ngramContamination flags planted benchmark overlap only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),    // contains bench trigram
+      (2L, "zeta eta theta iota kappa")          // disjoint
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "beta gamma delta unrelated tail")).toDF("doc_id", "text")
+    def run(bcast: Boolean) = TextAnalysis
+      .ngramContamination(corpus, bench, n = 3, broadcastBench = bcast).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_contaminated"))).toMap
+    val out = run(bcast = true)
+    assert(out.keySet == Set(1L), "only the overlapping doc is flagged")
+    assert(out(1L) == (3L, 1L)) // 3 trigrams, 1 shared ("beta gamma delta")
+    assert(run(bcast = false) == out, "shuffle path computes the same result")
+  }
+
+  test("stratifiedSample: deterministic, copy-consistent, rate-monotone") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val rates = Map("en" -> 3000, "zh" -> 5000, "de" -> 10000,
+      "fr" -> 10000, "es" -> 10000)
+    def ids(r: Map[String, Int]) = TextAnalysis.stratifiedSample(docs, r)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val once = ids(rates)
+    assert(ids(rates) == once, "same rates must sample identically")
+    // rate 10000 keeps every stratum in the map; absent strata drop
+    val all = ids(rates.map { case (k, _) => k -> 10000 })
+    assert(all == docs.filter(col("text").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(once.subsetOf(all), "lower rates sample subsets of higher rates")
+    // exact copies sample identically (content-keyed bucket)
+    val dup = Seq((1L, "en", "copy me"), (2L, "en", "copy me")).toDF("doc_id", "lang", "text")
+    val kept = TextAnalysis.stratifiedSample(dup, Map("en" -> 5000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.isEmpty || kept == Set(1L, 2L))
+  }
 }
