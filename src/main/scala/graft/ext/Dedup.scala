@@ -57,15 +57,23 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n))))
 
-  /** Distinct word (whitespace-token) n-grams of one text value; texts
-    * with fewer than n tokens contribute all their tokens as one shingle
-    * (the word-level analogue of the short-text rule). */
-  private def wordShingleArray(text: org.apache.spark.sql.Column, n: Int) = {
+  /** Word (whitespace-token) n-grams of one text value, in order and with
+    * duplicates — the single source of the word-gram rule: texts with fewer
+    * than n tokens contribute all their tokens as one gram (the word-level
+    * analogue of the short-text rule). Shared by the shingle sets below and
+    * by [[TextAnalysis.repetitionStats]]'s bigram counting, so a change to
+    * the gram rule reaches every consumer. */
+  private[ext] def wordNgramArray(text: org.apache.spark.sql.Column, n: Int) = {
     val ws = split(text, " ", -1)
-    array_distinct(transform(
+    transform(
       sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(ws, i, lit(n)))))
+      i => concat_ws(" ", slice(ws, i, lit(n))))
   }
+
+  /** Distinct word n-gram SET of one text value ([[wordNgramArray]]
+    * deduplicated — the set-semantics form the Jaccard operators need). */
+  private def wordShingleArray(text: org.apache.spark.sql.Column, n: Int) =
+    array_distinct(wordNgramArray(text, n))
 
   /** Character n-gram shingle set, one row per distinct (id, shingle).
     * Documents shorter than n contribute their whole text as one shingle.

@@ -237,11 +237,11 @@ object TextAnalysis {
         count(lit(1)).as("n_types"),
         max(col("cnt")).as("max_uni"),
         sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_cnt"))
-    val ws = split(col("t"), " ", -1)
-    val bi = base.filter(size(ws) >= 2)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", slice(ws, i, lit(2))))).as("b"))
+    // Dedup.wordNgramArray(_, 2) on a ≥2-token doc is exactly the bigram
+    // list (the short-doc whole-text rule only kicks in below 2 tokens,
+    // which the filter excludes) — one shared gram rule, no inline copy.
+    val bi = base.filter(size(split(col("t"), " ", -1)) >= 2)
+      .select(col(idCol), explode(Dedup.wordNgramArray(col("t"), 2)).as("b"))
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol)).agg(
         sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("max_bi"))
@@ -278,12 +278,20 @@ object TextAnalysis {
       broadcastBench: Boolean = true,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cg = Dedup.wordShingles(corpus, n, idCol, textCol)
-    val bg0 = Dedup.wordShingles(bench, n, idCol, textCol).select(col("sh")).distinct()
-    val bg = if (broadcastBench) broadcast(bg0) else bg0
-    val sizes = cg.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
-    val hits = cg.join(bg, Seq("sh"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
-    hits.join(sizes, Seq("id"))
+    val bg0 = Dedup.wordShingles(bench, n, idCol, textCol)
+      .select(col("sh")).distinct().withColumn("hit", lit(1))
+    // ONE pass over the corpus grams: a left join marks benchmark hits
+    // (bg is distinct, so ≤1 match per gram) and a single per-doc
+    // aggregation counts total and contaminated grams together — the
+    // corpus is never shingled twice. The non-broadcast fallback pins
+    // shuffle_hash: both sides sit behind a Generate whose cardinality
+    // the estimator cannot see, and AQE mis-broadcasting an exploded
+    // corpus-sized side is this repo's recorded OOM pitfall.
+    val bg = if (broadcastBench) broadcast(bg0) else bg0.hint("shuffle_hash")
+    cg.join(bg, Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
       .select(col("id").as(idCol), col("n_grams"), col("n_contaminated"),
         (col("n_contaminated").cast(DoubleType) / col("n_grams").cast(DoubleType))
           .as("contamination_frac"))
@@ -296,7 +304,11 @@ object TextAnalysis {
     * rebalancing (e.g. downsampling a dominant language) never splits a
     * duplicate group. Strata missing from `ratesBp` get `defaultBp`
     * (0 = drop — the conservative default for unexpected strata; a null
-    * stratum takes the default too). Map-only: a filter projection, no
+    * stratum takes the default too). NULL-text rows are always dropped,
+    * whatever the rate: a null has no content hash, hence no deterministic
+    * bucket — the conservative choice for a sampler (note the asymmetry
+    * with [[deterministicSplit]], which keeps every row and routes null
+    * text to its otherwise-branch). Map-only: a filter projection, no
     * shuffle, safe at any corpus size. */
   def stratifiedSample(docs: DataFrame, ratesBp: Map[String, Int],
       strataCol: String = "lang", defaultBp: Int = 0,

@@ -116,6 +116,8 @@ object HttpIngest {
       val end = address.indexOf(']')
       require(end > 0, s"unclosed IPv6 literal in address: $address")
       val rest = address.drop(end + 1)
+      require(rest.isEmpty || rest.startsWith(":"),
+        s"unexpected '$rest' after bracketed literal in address: $address")
       val p = if (rest.startsWith(":")) parsePort(rest.drop(1), address) else 4195
       (address.substring(1, end), p)
     } else {

@@ -207,14 +207,22 @@ object Compiler {
       var seen = 0L
       var lastBatch = -1L
       while (query.isActive && seen < n) {
-        val p = query.lastProgress
-        if (p != null && p.batchId > lastBatch) {
-          // lastProgress can skip intermediate batches between polls; the
-          // listener covers those — together the two bounds are tight to
-          // one batch whenever either channel delivers.
+        // recentProgress (a ring of the last ~100 progresses) rather than
+        // lastProgress: batches completing faster than the poll interval
+        // would otherwise be skipped and their rows never counted.
+        for (p <- query.recentProgress if p.batchId > lastBatch) {
           seen += p.numInputRows
           lastBatch = p.batchId
-          if (seen >= n) { try query.stop() catch { case _: Throwable => () } }
+        }
+        if (seen >= n) {
+          try query.stop()
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              // stop() can time out past spark.sql.streaming.stopTimeout on
+              // a wedged query thread — surface it, the bound is unenforced
+              System.err.println(
+                s"[graft] stopAfterRows: query.stop() failed: ${e.getMessage}")
+          }
         }
         Thread.sleep(50)
       }

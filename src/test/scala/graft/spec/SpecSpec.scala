@@ -338,5 +338,8 @@ class SpecSpec extends SparkSpec {
     assert(e.getMessage.contains("host:http"))
     assertThrows[IllegalArgumentException](pa("host:99999"))
     assertThrows[IllegalArgumentException](pa("[::1]:nope"))
+    // trailing garbage after the bracket (forgotten colon) must not
+    // silently fall back to the default port
+    assertThrows[IllegalArgumentException](pa("[::1]8080"))
   }
 }
