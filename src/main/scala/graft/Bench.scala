@@ -62,11 +62,19 @@ object Bench {
       name -> (cold.getOrElse(-1.0),
         if (warm.nonEmpty) warm.min else cold.getOrElse(-1.0))
     }
+    // Millisecond precision: sub-ms digits are noise, and the contract line
+    // must stay SHORT — the driver parses it from a bounded tail window, and
+    // a 60-query map at full double precision overflows that window (the
+    // r1-r3 `parsed: null`). The cold detail goes to stderr for the same
+    // reason: one compact stdout JSON line, nothing after it.
+    def fmt(d: Double): String = f"$d%.3f"
     def obj(f: ((String, (Double, Double))) => Double): String =
-      results.map { case kv => s"\"" + kv._1 + "\":" + f(kv) }.mkString("{", ",", "}")
+      results.map { case kv => s"\"" + kv._1 + "\":" + fmt(f(kv)) }.mkString("{", ",", "}")
     val totalWarm = results.map(_._2._2).filter(_ >= 0).sum
     val totalCold = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${obj(_._2._2)},"total_cold":$totalCold,"queries_cold":${obj(_._2._1)},"sf":"$sfDir"}""")
+    System.err.println(
+      s"""[bench] cold: {"total_cold":${fmt(totalCold)},"queries_cold":${obj(_._2._1)}}""")
+    println(s"""{"metric":"total","value":${fmt(totalWarm)},"unit":"sec","queries":${obj(_._2._2)},"total_cold":${fmt(totalCold)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

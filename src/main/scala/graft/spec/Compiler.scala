@@ -51,7 +51,7 @@ object Compiler {
     // contract applies only if the file provides (or a processor derives)
     // a `text` column. `config` keys map to reader options (header,
     // multiLine, ...).
-    case "csv" | "json" | "parquet" | "orc" =>
+    case "csv" | "json" | "parquet" | "orc" | "xml" =>
       conf.config.foldLeft(spark.read.format(conf.typ)) {
         case (r, (k, v)) => r.option(k, v)
       }.load(conf.path.get)
@@ -117,7 +117,7 @@ object Compiler {
       df.select(col("text")).toLocalIterator().forEachRemaining {
         (r: Row) => println(r.getString(0))
       }
-    case "parquet" | "csv" | "json" | "orc" =>
+    case "parquet" | "csv" | "json" | "orc" | "xml" =>
       conf.config.foldLeft(df.write.format(conf.typ).mode("append")) {
         case (w, (k, v)) => w.option(k, v)
       }.save(conf.path.get)
@@ -131,7 +131,7 @@ object Compiler {
   /** Streaming sink writer (start()/awaitTermination at the call site). */
   def streamSink(df: DataFrame, conf: SinkConf): DataStreamWriter[Row] = conf.typ match {
     case "stdout" => df.writeStream.format("console")
-    case "parquet" | "csv" | "json" | "orc" =>
+    case "parquet" | "csv" | "json" | "orc" | "xml" =>
       conf.config.foldLeft(df.writeStream.format(conf.typ)) {
         case (w, (k, v)) => w.option(k, v)
       }.option("path", conf.path.get)

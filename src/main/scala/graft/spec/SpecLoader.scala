@@ -10,10 +10,10 @@ import scala.jdk.CollectionConverters._
 object SpecLoader {
 
   val sourceTypes = Set("stdin", "http_server", "kafka", "text_file",
-    "csv", "json", "parquet", "orc")
+    "csv", "json", "parquet", "orc", "xml")
   val processorTypes = Set("noop", "replace", "process",
     "regex_replace", "regex_split", "regex_select")
-  val sinkTypes = Set("stdout", "kafka", "parquet", "csv", "json", "orc")
+  val sinkTypes = Set("stdout", "kafka", "parquet", "csv", "json", "orc", "xml")
 
   def load(yaml: String): Spec = {
     val root = anyMap(new Yaml().load[Object](yaml))
@@ -48,7 +48,7 @@ object SpecLoader {
   private def sourceConf(m: Map[String, Any]): SourceConf = {
     val t = m("type").toString
     require(sourceTypes(t), s"unknown source type: $t")
-    if (Set("text_file", "csv", "json", "parquet", "orc")(t))
+    if (Set("text_file", "csv", "json", "parquet", "orc", "xml")(t))
       require(m.contains("path"), s"source type '$t' requires a path")
     if (t == "http_server")
       require(m.get("config").exists(anyMap(_).contains("spool_dir")),
@@ -76,7 +76,7 @@ object SpecLoader {
   private def sinkConf(m: Map[String, Any]): SinkConf = {
     val t = m("type").toString
     require(sinkTypes(t), s"unknown sink type: $t")
-    if (Set("parquet", "csv", "json", "orc")(t))
+    if (Set("parquet", "csv", "json", "orc", "xml")(t))
       require(m.contains("path"), s"sink type '$t' requires a path")
     SinkConf(t,
       topic = m.get("topic").map(_.toString),

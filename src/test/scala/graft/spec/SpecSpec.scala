@@ -289,6 +289,29 @@ class SpecSpec extends SparkSpec {
     assert(out.toSeq == Seq("a", "b", "bacon", "bacon"))
   }
 
+  test("xml source/sink round-trips through a pipeline (Spark 4 built-in)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    import spark.implicits._
+    Seq("cheese one", "cheese two").toDF("text").write
+      .format("xml").option("rootTag", "docs").option("rowTag", "doc").save(s"$dir/in")
+    val spec = SpecLoader.load(
+      s"""input:
+         |  type: xml
+         |  path: $dir/in
+         |  config: {rowTag: doc}
+         |pipeline:
+         |  processors: [{type: replace, from: cheese, to: bacon}]
+         |output:
+         |  type: xml
+         |  path: $dir/out
+         |  config: {rootTag: docs, rowTag: doc}
+         |""".stripMargin)
+    Compiler.runBatch(spark, spec)
+    val out = spark.read.format("xml").option("rowTag", "doc").load(s"$dir/out")
+      .select("text").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("bacon one", "bacon two"))
+  }
+
   test("orc source/sink round-trips through a pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     import spark.implicits._
