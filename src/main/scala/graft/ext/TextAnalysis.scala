@@ -325,6 +325,74 @@ object TextAnalysis {
       .filter(bucket < thr)
   }
 
+  /** Per-document novelty score: the fraction of a document's distinct word
+    * n-grams that occur in NO other document (corpus df = 1) — the inverse
+    * signal of [[boilerplateNgrams]]: high novelty marks original content,
+    * low novelty marks template/recombined text. Integer counts, one exact
+    * division.
+    *
+    * Plan shape: the posting-list pattern — one groupBy(gram) computes the
+    * document frequency AND keeps the posting list, which explodes back to
+    * (doc, gram, df) without re-joining the exploded gram table against a
+    * df table (a join whose build side the estimator cannot size — the
+    * recorded AQE mis-broadcast pitfall). Two shuffles total (gram rollup,
+    * per-doc count), both partial-aggregated. */
+  def noveltyScore(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Dedup.wordShingles(docs, n, idCol, textCol)
+      .groupBy(col("sh"))
+      .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("df"))
+      .select(col("df"), explode(col("ids")).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("novelty_frac"))
+
+  /** Per-document length-percentile rank and outlier flag within a stratum
+    * (default: language) — the degenerate-length filter (truncated or
+    * run-on documents) of a corpus-cleaning pipeline. `pct_lt`/`pct_le`
+    * are the exact fractions of same-stratum documents strictly shorter /
+    * no longer than this one; a document is an outlier when `pct_le` ≤
+    * `low` (the shortest `low` fraction) or `pct_lt` ≥ `high`.
+    *
+    * Scale design — a DISTRIBUTED HISTOGRAM, not a per-stratum window
+    * sort: per-(stratum, length) counts aggregate first (the result is
+    * |strata| × |distinct lengths| rows — tiny next to the corpus), the
+    * cumulative sum runs over THAT small table (the window partition is a
+    * stratum's distinct lengths, thousands of rows, never the corpus), and
+    * the per-doc rank arrives by broadcast-joining the cutoff table back.
+    * A `percent_rank` window straight over the corpus would serialize each
+    * stratum through one partition at 100 TB; `percentile()` buffers every
+    * value per group on one executor. Exact integer ratios — oracle-exact,
+    * unlike approx_percentile, with bounded memory everywhere. */
+  def lengthOutliers(docs: DataFrame, low: Double = 0.01, high: Double = 0.99,
+      strataCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withLen = graft.core.Tables.spread(docs)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(strataCol),
+        size(split(col(textCol), " ", -1)).cast(LongType).as("n_tokens"))
+    val hist = withLen.groupBy(col(strataCol), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("n_tokens"))
+    val cum = hist
+      .withColumn("le", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy(col(strataCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(strataCol), col("n_tokens"),
+        ((col("le") - col("cnt")).cast(DoubleType) / col("total").cast(DoubleType))
+          .as("pct_lt"),
+        (col("le").cast(DoubleType) / col("total").cast(DoubleType)).as("pct_le"))
+    withLen.join(broadcast(cum), Seq(strataCol, "n_tokens"))
+      .select(col(idCol), col(strataCol), col("n_tokens"),
+        col("pct_lt"), col("pct_le"),
+        (col("pct_le") <= low || col("pct_lt") >= high).as("is_outlier"))
+  }
+
   /** Content fingerprints: md5 text digest plus a 60-bit numeric fingerprint
     * (first 15 md5 hex digits) usable as a join/partition key. The 60-bit
     * form is chosen because every SQL engine can reproduce it from md5,

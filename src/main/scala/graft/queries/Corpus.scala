@@ -319,6 +319,56 @@ object Corpus {
       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q61 — novelty score: fraction of a doc's distinct word 3-grams that no
+  // other document contains (corpus df = 1) — the inverse of boilerplate
+  // detection. Integer counts, one exact division.
+  def q61_novelty_score(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.noveltyScore(docs(s, dir), n = 3)
+      .orderBy(col("doc_id"))
+
+  private val q61_sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS sh
+      |  FROM w, range(1, 100000) t(i)
+      |  WHERE i <= greatest(len(ws) - 2, 1)),
+      |dft AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS novelty_frac
+      |FROM sh0 JOIN dft USING (sh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q62 — length outliers: exact per-language length-percentile ranks from a
+  // distributed histogram (per-(lang, n_tokens) counts + cumulative sums
+  // over that SMALL table — never a corpus-wide window sort), flagging the
+  // shortest 1% and longest 1%.
+  def q62_length_outliers(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthOutliers(docs(s, dir), low = 0.01, high = 0.99)
+      .withColumn("is_outlier", col("is_outlier").cast(IntegerType))
+      .orderBy(col("doc_id"))
+
+  private val q62_sql =
+    """WITH wl AS (
+      |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE text IS NOT NULL),
+      |hist AS (SELECT lang, n_tokens, count(*) AS cnt FROM wl GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens) - cnt AS DOUBLE)
+      |      / CAST(sum(cnt) OVER (PARTITION BY lang) AS DOUBLE) AS pct_lt,
+      |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens) AS DOUBLE)
+      |      / CAST(sum(cnt) OVER (PARTITION BY lang) AS DOUBLE) AS pct_le
+      |  FROM hist)
+      |SELECT wl.doc_id, wl.lang, wl.n_tokens, pct_lt, pct_le,
+      |  CAST(pct_le <= 0.01 OR pct_lt >= 0.99 AS INT) AS is_outlier
+      |FROM wl JOIN cum USING (lang, n_tokens)
+      |ORDER BY wl.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q36 — exact dedup by content fingerprint: canonical id + copy count per
   // group (hash-groupBy; the streaming dual is dropDuplicatesWithinWatermark).
   def q36_exact_dedup(s: SparkSession, dir: String): DataFrame =
@@ -598,6 +648,8 @@ object Corpus {
     "q58_repetition_stats" -> (q58_repetition_stats _),
     "q59_contamination" -> (q59_contamination _),
     "q60_stratified_sample" -> (q60_stratified_sample _),
+    "q61_novelty_score" -> (q61_novelty_score _),
+    "q62_length_outliers" -> (q62_length_outliers _),
     "q49_winnow_fingerprints" -> (q49_winnow_fingerprints _),
     "q51_winnow_containment" -> (q51_winnow_containment _),
     "q37_ngram_jaccard_pairs" -> (q37_ngram_jaccard_pairs _),
@@ -625,6 +677,8 @@ object Corpus {
     "q58_repetition_stats" -> q58_sql,
     "q59_contamination" -> q59_sql,
     "q60_stratified_sample" -> q60_sql,
+    "q61_novelty_score" -> q61_sql,
+    "q62_length_outliers" -> q62_sql,
     "q49_winnow_fingerprints" -> q49_sql,
     "q51_winnow_containment" -> q51_sql,
     "q37_ngram_jaccard_pairs" -> q37_sql,

@@ -451,6 +451,32 @@ class ExtOpsSpec extends SparkSpec {
     assert(run(bcast = false) == out, "shuffle path computes the same result")
   }
 
+  test("noveltyScore: shared grams score 0, unique grams score 1") {
+    val df = Seq(
+      (1L, "a b c d"),  // trigrams: "a b c" (shared), "b c d" (unique)
+      (2L, "a b c x")   // trigrams: "a b c" (shared), "b c x" (unique)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(df, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty_frac"))).toMap
+    assert(out(1L) == (2L, 1L, 0.5) && out(2L) == (2L, 1L, 0.5))
+  }
+
+  test("lengthOutliers flags exactly the percentile tails per stratum") {
+    val df = (1 to 100).map(i => (i.toLong, "en", Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.lengthOutliers(df, low = 0.01, high = 0.99).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 100)
+    // doc 1 (shortest 1%): pct_le = 0.01 <= low; doc 100: pct_lt = 0.99 >= high
+    assert(out(1L).getAs[Boolean]("is_outlier"))
+    assert(out(100L).getAs[Boolean]("is_outlier"))
+    assert((2L to 99L).forall(i => !out(i).getAs[Boolean]("is_outlier")))
+    assert(out(50L).getAs[Double]("pct_lt") == 0.49)
+    assert(out(50L).getAs[Double]("pct_le") == 0.50)
+  }
+
   test("stratifiedSample: deterministic, copy-consistent, rate-monotone") {
     val docs = Tables.load(spark, sf001, "documents")
     val rates = Map("en" -> 3000, "zh" -> 5000, "de" -> 10000,
