@@ -460,14 +460,42 @@ object Dedup {
     * `maxIters` bounds pathological chain-shaped graphs; hitting it throws
     * rather than returning a silently under-merged clustering. */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
-    val e0 = pairs.select(col("i"), col("j"))
-    // registered hub (Caches invariant) + eager unpersist in the finally:
-    // a mid-loop failure must not leak a corpus-sized cache entry the
-    // registry can't release
-    val edges = graft.core.Caches.persist(
-      e0.unionByName(e0.select(col("j").as("i"), col("i").as("j"))))
-    try clusterLoop(edges, maxIters)
-    finally edges.unpersist(blocking = false)
+    // Persist the DIRECTED pairs, not the symmetric union: the union reads
+    // its input twice (once per direction), and an unpersisted `pairs` is
+    // typically the full near-dup operator plan — caching below the union
+    // evaluates that plan once instead of twice (measured: the double
+    // evaluation was most of q55's wall time). The symmetric union itself
+    // is a trivial re-read of the cached rows. Like every operator hub,
+    // e0 is registered in Caches and released by the caller's
+    // unpersistAll() — NOT eagerly in a finally here: the pair plan is
+    // exactly what a session's next dedup query over the same corpus
+    // re-uses, and a mid-loop failure still cannot leak the entry past
+    // the registry.
+    val e0 = graft.core.Caches.persist(pairs.select(col("i"), col("j")))
+    val edges = e0.unionByName(e0.select(col("j").as("i"), col("i").as("j")))
+    locally {
+      // Size the loop's shuffle parallelism from the ACTUAL edge count
+      // (the count also materializes the hub before iteration): the label
+      // table is |touched vertices| rows — usually orders of magnitude
+      // smaller than the corpus — and each round runs several shuffles
+      // over it. At the session default every one of those pays the full
+      // partition-count scheduling quantum (32 × ~6 stages × ~8 rounds of
+      // near-empty tasks dominated q55's wall time); at 100 TB edge
+      // volumes the bytes-per-partition clamp returns the session default
+      // unchanged. Conf save/restore relies on the serial-session contract
+      // documented on [[graft.core.Caches]].
+      val spark = edges.sparkSession
+      val default = spark.sessionState.conf.numShufflePartitions
+      val parts = math.min(default.toLong,
+        math.max(1L, 2L * e0.count() / 2_000_000L)).toInt
+      val saved = spark.conf.getOption("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try clusterLoop(edges, maxIters)
+      finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
+    }
   }
 
   private def clusterLoop(edges: DataFrame, maxIters: Int): DataFrame = {
@@ -486,20 +514,26 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("j"), col("lbl").as("lbl_j")), Seq("j"))
         .groupBy(col("i")).agg(min(col("lbl_j")).as("nmin"))
+      // `old` rides along so convergence is a filter-count on the
+      // checkpointed round itself — not an extra join back to the
+      // previous labels (one fewer shuffle per round)
       val merged = labels
         .join(neighborMin.select(col("i").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
       // pointer doubling: follow one hop through the label table itself
       // (labels always point at component members, so the lookup hits)
       val next = merged
         .join(merged.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("old"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next // prior rounds' checkpoint RDDs are GC'd by ContextCleaner
+      val changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select(col("id"), col("lbl")) // prior checkpoints GC'd by ContextCleaner
       converged = changed == 0
       iter += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter changed=$changed t=${System.nanoTime()}")
     }
     if (!converged)
       sys.error(s"clusterPairs did not converge within $maxIters rounds")
