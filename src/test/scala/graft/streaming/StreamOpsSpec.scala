@@ -143,6 +143,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, ts(0))))
   }
 
+  test("quality ops run unchanged on a document stream (projection shapes)") {
+    // tokenStats / qualityScore / deterministicSplit / stratifiedSample are
+    // pure projections, so the SAME operator code compiles into a streaming
+    // plan with no watermark or state — the ingest-time quality-filter
+    // pipeline of a training-data feed.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "lang", "text")
+    val filtered = graft.ext.TextAnalysis.stratifiedSample(
+      graft.ext.TextAnalysis.qualityScore(
+        graft.ext.TextAnalysis.tokenStats(docs)), Map("en" -> 10000))
+    assert(filtered.isStreaming)
+    val q = filtered.writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    mem.addData(Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "de", "der hund lief im park"),   // stratum absent from rates → dropped
+      (3L, "en", "big data small data")))
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    val out = spark.table("quality_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L).getAs[Long]("n_ws_tokens") == 6L)
+    assert(out(1L).getAs[Double]("stopword_ratio") == 2.0 / 6.0)
+  }
+
   test("sliding windows assign one event to overlapping windows") {
     val out = runStream(Seq(Seq((1L, ts(7), 1L, "a", 0.0))), "sliding", "complete") { df =>
       StreamOps.slidingUserRate(df, "10 minutes")
