@@ -296,28 +296,32 @@ object Dedup {
     cross.unionByName(within)
   }
 
-  /** The numHashes-member MinHash family over one shingle column: the
-    * variable-length shingle STRING is hashed once, and the k-th member
-    * re-hashes that fixed-width long with seed k. Equivalent quality to
-    * hashing the string numHashes times, but the per-occurrence work is one
-    * string traversal + numHashes constant-size long hashes — at 128 hashes
-    * over billions of shingle occurrences that is the difference between
-    * hashing ~2 TB of string bytes 128× and once. (A Carter-Wegman
-    * h₁+k·h₂ combination would be cheaper still, but wrapping 64-bit
-    * arithmetic is an ANSI-mode overflow error in Spark SQL.) */
-  private def minhashFamily(sh: org.apache.spark.sql.Column, numHashes: Int) = {
-    val h = xxhash64(sh)
+  /** The numHashes-member MinHash family over an ALREADY-HASHED shingle
+    * (a long column): the k-th member re-hashes the fixed-width long with
+    * seed k. Equivalent quality to hashing the string numHashes times, but
+    * the per-occurrence work is one string traversal + numHashes
+    * constant-size long hashes — at 128 hashes over billions of shingle
+    * occurrences that is the difference between hashing ~2 TB of string
+    * bytes 128× and once. Callers project `xxhash64(sh)` BEFORE the
+    * aggregation: the min-aggregate update path runs inside
+    * ObjectHashAggregate (forced by the sibling collect_list), which does
+    * no whole-stage codegen and no cross-aggregate subexpression sharing —
+    * an inline string hash there is recomputed once per MEMBER per row,
+    * 128 string traversals instead of one. (A Carter-Wegman h₁+k·h₂
+    * combination would be cheaper still, but wrapping 64-bit arithmetic is
+    * an ANSI-mode overflow error in Spark SQL.) */
+  private def minhashFamily(h: org.apache.spark.sql.Column, numHashes: Int) =
     (0 until numHashes).map(k => xxhash64(h, lit(k)))
-  }
 
   /** MinHash signature: numHashes column-wise minima of the hash family
     * over the shingle set. One aggregation with map-side partial minima —
     * the shuffle carries |docs| × numHashes longs, independent of shingle
     * count. */
   def minhashSignature(sh: DataFrame, numHashes: Int): DataFrame = {
-    val mins = minhashFamily(col("sh"), numHashes).zipWithIndex
+    val hashed = sh.select(col("id"), xxhash64(col("sh")).as("h0"))
+    val mins = minhashFamily(col("h0"), numHashes).zipWithIndex
       .map { case (h, k) => min(h).as(s"m$k") }
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: signature split into `bands` groups of `rowsPerBand`,
@@ -352,9 +356,10 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val full = textGroups(docs, idCol, textCol)
     val groups = slimGroups(full)
-    val sh = groupShingles(full, n, maxDf).select(col("id"), col("sh"))
+    val sh = groupShingles(full, n, maxDf)
+      .select(col("id"), col("sh"), xxhash64(col("sh")).as("h0"))
     val aggs = Seq(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("n")) ++
-      minhashFamily(col("sh"), numHashes).zipWithIndex
+      minhashFamily(col("h0"), numHashes).zipWithIndex
         .map { case (h, k) => min(h).as(s"m$k") }
     // Four consumers (band join i/j + verify i/j) → persist, as in
     // prefixJaccardPairs.
