@@ -400,4 +400,128 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fp_md5", md5(col(textCol)))
       .withColumn("fp60", hash60(col(textCol)))
+
+  /** PII patterns, kept in the Java∩RE2 regex subset (no lookaround, no
+    * backreferences) so the DuckDB oracles run them verbatim. Deliberately
+    * simple canonical forms — a production deployment swaps in its
+    * compliance team's pattern set; the OPERATOR (count + ordered redact,
+    * one codegen'd projection) is what this module ships. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.)[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction — the scrubbing pass a training-data
+    * pipeline runs before anything else sees the text: counts each PII
+    * class on the ORIGINAL text, then redacts in a fixed order
+    * (email → phone → IPv4; email first because its local part may embed
+    * digit runs the narrower patterns would otherwise mangle first).
+    * Counts let the pipeline both FILTER (drop PII-dense docs) and audit
+    * redaction volume. Map-only: one codegen'd projection, no shuffle —
+    * linear at any corpus size. */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    // null text → null counts (SQL semantics; size() alone would yield the
+    // legacy -1 sentinel), null redacted — rows are never dropped: a
+    // redaction pass must stay total on its input
+    def cnt(re: String) =
+      when(t.isNull, lit(null).cast(LongType))
+        .otherwise(size(regexp_extract_all(t, lit(re), lit(0))).cast(LongType))
+    docs
+      .withColumn("n_emails", cnt(EmailRe))
+      .withColumn("n_phones", cnt(PhoneRe))
+      .withColumn("n_ips", cnt(Ipv4Re))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
+  }
+
+  /** Corpus-level bigram collocation statistics: for every adjacent word
+    * pair, its count, the component unigram counts, and the LIFT
+    * p(w1,w2) / (p(w1)·p(w2)) — the log-free core of PMI (monotone in it,
+    * so ranking by lift IS ranking by PMI, without the cross-engine
+    * last-ulp hazard of `ln`). The ratio is composed of exactly three
+    * IEEE divisions and one multiply with fixed association, so
+    * independent engines reproduce it bit-for-bit.
+    *
+    * Plan shape: ONE tokenization pass feeds both the unigram and bigram
+    * rollups (two aggregations, each partial-aggregated before its
+    * shuffle); the corpus totals are 1-row broadcast scalar subqueries;
+    * the unigram joins hit the bigram table on its natural key. Cost is
+    * linear in token count. `minCount` prunes the rare-pair tail BEFORE
+    * the joins — at web scale the c_ab=1 tail is most of the distinct
+    * pairs and carries no collocation signal. */
+  def collocations(docs: DataFrame, minCount: Long = 20,
+      textCol: String = "text"): DataFrame = {
+    val ws = docs.filter(col(textCol).isNotNull)
+      .select(split(col(textCol), " ", -1).as("ws"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+    val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nu = uni.agg(count(lit(1)).as("n_u"))
+    val bi = ws.filter(size(col("ws")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + lit(1)).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val nb = bi.agg(count(lit(1)).as("n_b"))
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .join(ucnt.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(ucnt.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab").cast(DoubleType) / col("n_b").cast(DoubleType)) /
+          ((col("c_a").cast(DoubleType) / col("n_u").cast(DoubleType)) *
+            (col("c_b").cast(DoubleType) / col("n_u").cast(DoubleType)))).as("lift"))
+  }
+
+  /** Overlapping token-window chunking — the context-window prep step that
+    * turns documents into model-sized pieces: windows of `window` tokens
+    * every `stride` tokens (stride < window ⇒ overlap). A document emits
+    * chunks while `idx·stride < n_tokens`, so every token lands in ≥1
+    * chunk and a short document emits exactly one. Map-only (explode of a
+    * per-row sequence — no shuffle, no state), so it runs at any corpus
+    * size; the output carries (chunk_idx, start_token, n_chunk_tokens) so
+    * downstream packing/attribution never re-derives positions. */
+  def chunkTokens(docs: DataFrame, window: Int = 32, stride: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0, s"window=$window stride=$stride must be positive")
+    val ws = split(col(textCol), " ", -1)
+    // last chunk index: greatest idx with idx·stride < n  ⟺  (n-1) div stride
+    // (n ≥ 1 always: split("") = [""]); floor() is exact here — (n-1)/stride
+    // as doubles is exact for any corpus-plausible n < 2^52
+    val lastIdx = floor((size(ws) - 1).cast(DoubleType) / lit(stride.toDouble)).cast(IntegerType)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), lastIdx),
+        idx => {
+          val start = idx * stride + 1
+          val toks = slice(ws, start, lit(window))
+          struct(idx.cast(LongType).as("chunk_idx"),
+            start.cast(LongType).as("start_token"),
+            size(toks).cast(LongType).as("n_chunk_tokens"),
+            concat_ws(" ", toks).as("chunk_text"))
+        })).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.start_token"),
+        col("c.n_chunk_tokens"), col("c.chunk_text"))
+  }
+
+  /** URL domain statistics: extract every `http(s)://host` occurrence and
+    * aggregate per domain — the source-mix audit (and blocklist hook) of a
+    * web-corpus pipeline. `n_docs` counts documents mentioning the domain,
+    * `n_urls` total occurrences. One extraction projection (codegen'd,
+    * pattern in the Java∩RE2 subset) + one aggregation; the per-(doc,
+    * domain) distinct for n_docs rides the same shuffle as the count. */
+  val UrlDomainRe = "https?://([A-Za-z0-9.-]+)"
+  def domainStats(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(UrlDomainRe), lit(1))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_urls"))
 }

@@ -635,6 +635,167 @@ object Corpus {
       |FROM documents ORDER BY media_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q63 — PII detection + redaction. The fixture corpus is sampled from a
+  // clean vocabulary and contains no PII, so the query PLANTS deterministic
+  // email/phone/IPv4 strings derived from doc_id — both engines compute the
+  // identical planted input, and the operator's matching and ordered
+  // redaction are exercised for real (counts 1/1/1 per doc, and the
+  // redacted text is hash-compared byte-for-byte).
+  private def plantPii(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast(StringType),
+      lit("@mail"), pmod(col("doc_id"), lit(7L)).cast(StringType),
+      lit(".example.com call 555-"),
+      lpad(pmod(col("doc_id") * 7, lit(1000L)).cast(StringType), 3, "0"),
+      lit("-"),
+      lpad(pmod(col("doc_id") * 13, lit(10000L)).cast(StringType), 4, "0"),
+      lit(" ip 10."), pmod(col("doc_id"), lit(256L)).cast(StringType),
+      lit(".0."), pmod(col("doc_id") * 3, lit(256L)).cast(StringType)).as("text"))
+
+  def q63_pii_redact(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiRedact(plantPii(docs(s, dir)))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        col("redacted"))
+      .orderBy(col("doc_id"))
+
+  // one planted-input CTE fragment shared by q63/q68-style queries; the
+  // regexes interpolate from the SAME TextAnalysis constants the operator
+  // compiles, so pattern and oracle cannot drift
+  // NOTE: every line ENDS with its || — q63_sql interpolates this fragment
+  // into a .stripMargin string, and a line STARTING with || would lose one
+  // pipe to the margin stripper (the classic interpolate-then-strip trap)
+  private val piiPlantSql =
+    """SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      '@mail' || CAST(doc_id % 7 AS VARCHAR) ||
+      '.example.com call 555-' ||
+      lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+      lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') ||
+      ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+      '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) AS t
+      FROM documents"""
+
+  private val q63_sql =
+    s"""WITH p AS ($piiPlantSql)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(t, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+      |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+      |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS redacted
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q64 — bigram collocation statistics ranked by lift (the log-free core
+  // of PMI — monotone in it, so the ranking is the PMI ranking without the
+  // cross-engine last-ulp hazard of ln). Counts are integer-exact; lift is
+  // three IEEE divisions and one multiply with fixed association.
+  def q64_collocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(docs(s, dir), minCount = 20)
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(50)
+
+  private val q64_sql =
+    """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL),
+      |uni AS (SELECT unnest(w) AS t FROM ws),
+      |ucnt AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+      |nu AS (SELECT count(*) AS n_u FROM uni),
+      |big AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2
+      |        FROM ws, range(1, 100000) t(i) WHERE i <= len(w) - 1),
+      |nb AS (SELECT count(*) AS n_b FROM big),
+      |bcnt AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2
+      |         HAVING count(*) >= 20)
+      |SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+      |  (CAST(c_ab AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+      |  ((CAST(a.c AS DOUBLE) / CAST(n_u AS DOUBLE)) *
+      |   (CAST(b.c AS DOUBLE) / CAST(n_u AS DOUBLE))) AS lift
+      |FROM bcnt JOIN ucnt a ON w1 = a.t JOIN ucnt b ON w2 = b.t, nu, nb
+      |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q65 — unpivot (melt): a wide per-language source-count matrix back to
+  // long (lang, source, cnt) rows via Dataset.unpivot — the schema-reshape
+  // op for feeding wide aggregates to long-format consumers. Oracle is the
+  // UNION ALL expansion of the same wide CTE.
+  def q65_unpivot(s: SparkSession, dir: String): DataFrame = {
+    val srcs = (0 to 4).map(i => s"src$i")
+    val wide = docs(s, dir).groupBy(col("lang")).agg(
+      count(when(col("source") === srcs.head, 1)).as(srcs.head),
+      srcs.tail.map(sc => count(when(col("source") === sc, 1)).as(sc)): _*)
+    wide.unpivot(Array(col("lang")), srcs.map(col).toArray, "source", "cnt")
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val q65_sql =
+    """WITH wide AS (
+      |  SELECT lang,
+      |    count(*) FILTER (WHERE source = 'src0') AS src0,
+      |    count(*) FILTER (WHERE source = 'src1') AS src1,
+      |    count(*) FILTER (WHERE source = 'src2') AS src2,
+      |    count(*) FILTER (WHERE source = 'src3') AS src3,
+      |    count(*) FILTER (WHERE source = 'src4') AS src4
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, source, cnt FROM (
+      |  SELECT lang, 'src0' AS source, src0 AS cnt FROM wide
+      |  UNION ALL SELECT lang, 'src1', src1 FROM wide
+      |  UNION ALL SELECT lang, 'src2', src2 FROM wide
+      |  UNION ALL SELECT lang, 'src3', src3 FROM wide
+      |  UNION ALL SELECT lang, 'src4', src4 FROM wide)
+      |ORDER BY lang, source""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q67 — overlapping token-window chunking (32-token windows, stride 16):
+  // the context-window prep op. Integer positions and byte-exact chunk
+  // text make it fully hash-checkable.
+  def q67_doc_chunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(docs(s, dir), window = 32, stride = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q67_sql =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+      |            FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |        CAST(i * 16 + 1 AS BIGINT) AS start_token,
+      |        w[CAST(i * 16 + 1 AS INT):CAST(i * 16 + 32 AS INT)] AS toks
+      |      FROM ws, range(0, 100000) t(i)
+      |      WHERE i <= (len(w) - 1) // 16)
+      |SELECT doc_id, chunk_idx, start_token,
+      |  CAST(len(toks) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(toks, ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q68 — URL domain statistics over planted deterministic URLs (the
+  // fixture corpus has none — same rationale as q63): each doc mentions
+  // one of 50 host domains and one of 3 cdn domains; the operator
+  // extracts and aggregates per domain.
+  def q68_domain_stats(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      lit(" see https://host"), pmod(col("doc_id"), lit(50L)).cast(StringType),
+      lit(".example.org/p/"), col("doc_id").cast(StringType),
+      lit(" and http://cdn"), pmod(col("doc_id"), lit(3L)).cast(StringType),
+      lit(".example.net/x")).as("text"))
+    TextAnalysis.domainStats(planted).orderBy(col("domain"))
+  }
+
+  private val q68_sql =
+    s"""WITH p AS (
+      |  SELECT doc_id, text || ' see https://host' || CAST(doc_id % 50 AS VARCHAR)
+      |    || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+      |    || ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+      |    || '.example.net/x' AS t
+      |  FROM documents),
+      |d AS (SELECT doc_id,
+      |        unnest(regexp_extract_all(t, '${TextAnalysis.UrlDomainRe}', 1)) AS domain
+      |      FROM p)
+      |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  count(*) AS n_urls
+      |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -662,7 +823,12 @@ object Corpus {
     "q50_embedding_neardup_lsh" -> (q50_embedding_neardup_lsh _),
     "q42_ann_lsh_topk" -> (q42_ann_lsh_topk _),
     "q45_ivf_ann_topk" -> (q45_ivf_ann_topk _),
-    "q43_multimodal_frames" -> (q43_multimodal_frames _)
+    "q43_multimodal_frames" -> (q43_multimodal_frames _),
+    "q63_pii_redact" -> (q63_pii_redact _),
+    "q64_collocations" -> (q64_collocations _),
+    "q65_unpivot" -> (q65_unpivot _),
+    "q67_doc_chunks" -> (q67_doc_chunks _),
+    "q68_domain_stats" -> (q68_domain_stats _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -689,6 +855,11 @@ object Corpus {
     "q40_cosine_topk" -> q40_sql,
     "q41_embedding_neardup" -> q41_sql,
     // q42: approximate — rows-only check by design
-    "q43_multimodal_frames" -> q43_sql
+    "q43_multimodal_frames" -> q43_sql,
+    "q63_pii_redact" -> q63_sql,
+    "q64_collocations" -> q64_sql,
+    "q65_unpivot" -> q65_sql,
+    "q67_doc_chunks" -> q67_sql,
+    "q68_domain_stats" -> q68_sql
   )
 }

@@ -277,8 +277,44 @@ object Events {
 
   // --------------------------------------------------------------------------
 
+  // --------------------------------------------------------------------------
+  // q66 — RANGE-frame window aggregation over event time: per event, the
+  // count and value-sum of the same user's events in the trailing 5
+  // minutes (the sliding-window feature every sessionless rate metric
+  // needs). Complements q08's ROWS frame — a RANGE frame bounds by VALUE
+  // distance on the ordering key, so same-millisecond peers always share a
+  // frame regardless of row order. Values are floor-scaled to integer
+  // millis before summing: an integer sum is frame-order-independent,
+  // where a double sum would expose each engine's addition order.
+  // One shuffle (the user_id window partition).
+  def q66_range_frame(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("ms"),
+      floor(col("value") * lit(1000.0)).as("vmilli"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-300000L, 0L)
+    e.select(col("event_id"), col("user_id"), col("ms"),
+        count(lit(1)).over(w).as("n_5min"),
+        sum(col("vmilli")).over(w).as("sum_milli_5min"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q66_sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+      |    CAST(floor(value * 1000) AS BIGINT) AS vmilli
+      |  FROM events)
+      |SELECT event_id, user_id, ms,
+      |  count(*) OVER w AS n_5min,
+      |  CAST(sum(vmilli) OVER w AS BIGINT) AS sum_milli_5min
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+      |  RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_sketches" -> (q47_sketches _),
+    "q66_range_frame" -> (q66_range_frame _),
     "q44_json_props" -> (q44_json_props _),
     "q21_event_pairs_within_5min" -> (q21_event_pairs_within_5min _),
     "q22_asof_purchase_click" -> (q22_asof_purchase_click _),
@@ -291,6 +327,7 @@ object Events {
 
   def oracle: Map[String, String] = Map(
     "q44_json_props" -> q44_sql,
+    "q66_range_frame" -> q66_sql,
     "q21_event_pairs_within_5min" -> q21_sql,
     "q22_asof_purchase_click" -> q22_sql,
     "q23_hourly_type_counts" -> q23_sql,

@@ -496,4 +496,64 @@ class ExtOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.isEmpty || kept == Set(1L, 2L))
   }
+
+  test("piiRedact counts and redacts each class; rows stay total on null text") {
+    val df = Seq(
+      (1L, "mail a@b.org and c.d@e-f.co.uk call 555-123-4567 ip 10.0.0.1 end"),
+      (2L, "no pii here"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 2L)
+    assert(out(1L).getAs[Long]("n_phones") == 1L)
+    assert(out(1L).getAs[Long]("n_ips") == 1L)
+    assert(out(1L).getAs[String]("redacted") ==
+      "mail <EMAIL> and <EMAIL> call <PHONE> ip <IP> end")
+    assert(out(2L).getAs[String]("redacted") == "no pii here")
+    assert(out.size == 3 && out(3L).get(out(3L).fieldIndex("n_emails")) == null,
+      "null text keeps its row with null counts")
+  }
+
+  test("collocations: hand-computed lift on a controlled corpus") {
+    // "x y" appears 3×; tokens: x:3 y:3 z:2 (n_u=8); bigrams: 4+2 (n_b=6)
+    val df = Seq((1L, "x y z x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(df, minCount = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[String]("w1"), r.getAs[String]("w2")) == ("x", "y"))
+    assert(r.getAs[Long]("c_ab") == 3L && r.getAs[Long]("c_a") == 3L
+      && r.getAs[Long]("c_b") == 3L)
+    assert(r.getAs[Double]("lift") == (3.0 / 6.0) / ((3.0 / 8.0) * (3.0 / 8.0)))
+  }
+
+  test("chunkTokens: overlap coverage, exact positions, short-doc single chunk") {
+    val toks = (1 to 40).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, toks), (2L, "just three tokens")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, window = 32, stride = 16).collect()
+    val doc1 = out.filter(_.getLong(0) == 1L).sortBy(_.getAs[Long]("chunk_idx"))
+    // 40 tokens → chunk starts 1, 17, 33 (idx·16 < 40)
+    assert(doc1.map(_.getAs[Long]("start_token")).toSeq == Seq(1L, 17L, 33L))
+    assert(doc1.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(32L, 24L, 8L))
+    assert(doc1(0).getAs[String]("chunk_text").startsWith("t1 t2 ")
+      && doc1(2).getAs[String]("chunk_text") == (33 to 40).map(i => s"t$i").mkString(" "))
+    // every token of the doc appears in at least one chunk (stride < window)
+    val covered = doc1.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+    assert(covered == (1 to 40).map(i => s"t$i").toSet)
+    val doc2 = out.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2.head.getAs[Long]("n_chunk_tokens") == 3L)
+  }
+
+  test("domainStats: doc-distinct vs occurrence counts") {
+    val df = Seq(
+      (1L, "see https://a.example.org/x and http://a.example.org/y"),
+      (2L, "only https://b.example.net/z here"),
+      (3L, "again https://a.example.org/w")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.domainStats(df).collect()
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_urls"))).toMap
+    assert(out("a.example.org") == (2L, 3L))
+    assert(out("b.example.net") == (1L, 1L))
+  }
 }
