@@ -16,6 +16,10 @@ run / fork := true
 // (BENCH_r02.parsed == null). StdoutOutput hands the forked JVM the real
 // stdout/stderr instead.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own "[success] Total time: ..." epilogue would then be the
+// LAST stdout line, after the JSON — suppress it so the contract line ends
+// the stream.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

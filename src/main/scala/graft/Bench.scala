@@ -22,6 +22,11 @@ object Bench {
       // runtime re-plan) but pin reduce parallelism; at production scale
       // partitions exceed the advisory size and coalescing never bites.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // NOT raised: spark.sql.objectHashAggregate.sortBased.fallbackThreshold.
+      // The collect_list hubs fall back to sort-based aggregation past 128
+      // in-memory groups, but raising the threshold measured zero win at
+      // bench scale, and the fallback is the memory-SAFE behavior when a
+      // production partition holds millions of groups of growing arrays.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
