@@ -463,7 +463,60 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q69 — exact per-group percentiles the DISTRIBUTED way (ext.Stats):
+  // histogram + cumulative rank, never a per-group sort or percentile()
+  // buffer. Prices are floor-scaled to integer cents first: rank selection
+  // is then pure integer comparison, and the only floating steps (the
+  // even-median halving, the rank product) are single fixed-association
+  // IEEE ops — hash-exact across engines, unlike interpolating percentile
+  // built-ins.
+  def q69_group_percentiles(s: SparkSession, dir: String): DataFrame = {
+    val cents = t(s, dir, "lineitem").select(col("l_returnflag"),
+      floor(col("l_extendedprice") * lit(100.0)).as("cents"))
+    graft.ext.Stats.groupedPercentiles(cents, "l_returnflag", "cents",
+        discPs = Seq(0.9))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q69_sql =
+    """WITH h AS (
+      |  SELECT l_returnflag AS g, CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+      |    count(*) AS cnt
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+      |c AS (
+      |  SELECT g, v, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+      |  FROM h)
+      |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN v END) +
+      |       max(CASE WHEN cum - cnt < (n + 2) // 2 AND (n + 2) // 2 <= cum THEN v END)
+      |    AS DOUBLE) / 2.0 AS median,
+      |  CAST(max(CASE WHEN cum - cnt < CAST(ceil(0.9 * n) AS BIGINT)
+      |                 AND CAST(ceil(0.9 * n) AS BIGINT) <= cum THEN v END)
+      |    AS BIGINT) AS p90
+      |FROM c GROUP BY g ORDER BY g""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q70 — fixed-width histogram ($100 buckets over extended price): the
+  // distribution-profiling op behind threshold choices. Bucket index is
+  // one IEEE subtract/divide/floor — identical in any engine; counts and
+  // min/max are exact pass-throughs.
+  def q70_price_histogram(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Stats.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+        lo = 0.0, width = 100.0)
+      .orderBy(col("bucket"))
+
+  private val q70_sql =
+    """SELECT CAST(floor((l_extendedprice - 0.0) / 100.0) AS BIGINT) AS bucket,
+      |  count(*) AS cnt, min(l_extendedprice) AS v_min, max(l_extendedprice) AS v_max
+      |FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_group_percentiles" -> (q69_group_percentiles _),
+    "q70_price_histogram" -> (q70_price_histogram _),
     "q01_pricing_summary" -> (q01_pricing_summary _),
     "q02_filter_project" -> (q02_filter_project _),
     "q03_top_unshipped_orders" -> (q03_top_unshipped_orders _),
@@ -488,6 +541,8 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q69_group_percentiles" -> q69_sql,
+    "q70_price_histogram" -> q70_sql,
     "q01_pricing_summary" -> q01_sql,
     "q02_filter_project" -> q02_sql,
     "q03_top_unshipped_orders" -> q03_sql,

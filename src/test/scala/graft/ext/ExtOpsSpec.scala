@@ -544,6 +544,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(doc2.length == 1 && doc2.head.getAs[Long]("n_chunk_tokens") == 3L)
   }
 
+  test("groupedPercentiles: hand-computed median/p90, odd and even groups") {
+    // a: [10,20,30,40] (even)  → median (20+30)/2 = 25.0, p90 rank ⌈3.6⌉=4 → 40
+    // b: [5,5,7]       (odd)   → median rank 2 → 5.0,     p90 rank ⌈2.7⌉=3 → 7
+    val df = (Seq(10L, 20L, 30L, 40L).map(("a", _)) ++ Seq(5L, 5L, 7L).map(("b", _)))
+      .toDF("g", "v")
+    val out = Stats.groupedPercentiles(df, "g", "v", Seq(0.9)).collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("median"), r.getAs[Long]("p90"))).toMap
+    assert(out("a") == (4L, 25.0, 40L))
+    assert(out("b") == (3L, 5.0, 7L))
+  }
+
+  test("histogram: bucket boundaries, counts, exact min/max") {
+    val df = Seq(0.0, 99.9, 100.0, 150.0, 250.0).map(Tuple1(_)).toDF("v")
+    val out = Stats.histogram(df, "v", lo = 0.0, width = 100.0).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("v_min"), r.getAs[Double]("v_max"))).toMap
+    assert(out(0L) == (2L, 0.0, 99.9))
+    assert(out(1L) == (2L, 100.0, 150.0))
+    assert(out(2L) == (1L, 250.0, 250.0))
+  }
+
   test("domainStats: doc-distinct vs occurrence counts") {
     val df = Seq(
       (1L, "see https://a.example.org/x and http://a.example.org/y"),
