@@ -514,8 +514,43 @@ object Relational {
       |FROM lineitem WHERE l_extendedprice IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q71 — the full ranking-function family in one window (row_number, rank,
+  // dense_rank, ntile, percent_rank, cume_dist) per customer by price.
+  // The ordering key is made UNIQUE (price desc, orderkey) so every rank
+  // function is deterministic; percent_rank/cume_dist are single integer
+  // divisions under a unique order — hash-exact across engines.
+  def q71_rank_family(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("nt", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("rn") <= 8)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q71_sql =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER w AS rn,
+      |    rank() OVER w AS rk,
+      |    dense_rank() OVER w AS drk,
+      |    ntile(4) OVER w AS nt,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rn <= 8 ORDER BY o_custkey, rn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_group_percentiles" -> (q69_group_percentiles _),
+    "q71_rank_family" -> (q71_rank_family _),
     "q70_price_histogram" -> (q70_price_histogram _),
     "q01_pricing_summary" -> (q01_pricing_summary _),
     "q02_filter_project" -> (q02_filter_project _),
@@ -542,6 +577,7 @@ object Relational {
 
   def oracle: Map[String, String] = Map(
     "q69_group_percentiles" -> q69_sql,
+    "q71_rank_family" -> q71_sql,
     "q70_price_histogram" -> q70_sql,
     "q01_pricing_summary" -> q01_sql,
     "q02_filter_project" -> q02_sql,

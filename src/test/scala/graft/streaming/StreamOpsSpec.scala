@@ -170,6 +170,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("stopword_ratio") == 2.0 / 6.0)
   }
 
+  test("PII scrub + chunking run unchanged on a document stream") {
+    // piiRedact and chunkTokens are map-only (projection + generator), so
+    // the SAME operator code compiles into a streaming plan — the
+    // ingest-time PII scrub and chunk-prep of a training-data feed.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val scrubbed = graft.ext.TextAnalysis.chunkTokens(
+      graft.ext.TextAnalysis.piiRedact(docs)
+        .select(col("doc_id"), col("redacted").as("text")),
+      window = 4, stride = 2)
+    assert(scrubbed.isStreaming)
+    val q = scrubbed.writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    mem.addData(Seq(
+      (1L, "mail me at a@b.org or call 555-123-4567 today ok")))
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    val out = spark.table("pii_stream").collect()
+      .sortBy(_.getAs[Long]("chunk_idx"))
+    // redacted: "mail me at <EMAIL> or call <PHONE> today ok" → 9 tokens,
+    // chunks start at tokens 1,3,5,7,9
+    assert(out.map(_.getAs[Long]("start_token")).toSeq == Seq(1L, 3L, 5L, 7L, 9L))
+    assert(out.head.getAs[String]("chunk_text") == "mail me at <EMAIL>")
+    assert(out.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+      .intersect(Set("a@b.org", "555-123-4567")).isEmpty)
+  }
+
   test("sliding windows assign one event to overlapping windows") {
     val out = runStream(Seq(Seq((1L, ts(7), 1L, "a", 0.0))), "sliding", "complete") { df =>
       StreamOps.slidingUserRate(df, "10 minutes")
