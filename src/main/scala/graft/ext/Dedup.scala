@@ -558,6 +558,36 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("cluster_id"))
   }
 
+  /** Blocked fuzzy-match pairs — the entity-resolution primitive (match a
+    * dirty feed against a catalog, reconcile name variants): candidate
+    * pairs come from a BLOCKING key (caller-chosen — first token, phonetic
+    * code, a prefix), and an exact edit-distance verify keeps pairs with
+    * `levenshtein ≤ maxEdit`. Classic blocking-and-verification shape:
+    * cost is Σ block² bounded by `maxBlock` (oversized blocks are dropped
+    * whole, like the near-dup df caps — a block too common to discriminate
+    * is boilerplate, not a match signal), never |rows|².
+    * One groupBy for block sizes (semi-join filter), one self-join on the
+    * block key; the verify is a codegen'd levenshtein in the map stage. */
+  def fuzzyMatchPairs(df: DataFrame, block: org.apache.spark.sql.Column,
+      maxEdit: Int, maxBlock: Int = 500,
+      idCol: String = "id", strCol: String = "name"): DataFrame = {
+    val b = graft.core.Tables.spread(df)
+      .filter(col(strCol).isNotNull)
+      .select(col(idCol).as("id"), col(strCol).as("s"), block.as("blk"))
+    val kept = b.join(
+      b.groupBy(col("blk")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBlock).select(col("blk")),
+      Seq("blk"), "left_semi")
+    kept.select(col("blk"), col("id").as("i"), col("s").as("s_i"))
+      .join(kept.select(col("blk"), col("id").as("j"), col("s").as("s_j"))
+        .hint("shuffle_hash"),  // see lshCandidates: never broadcast a blocked side
+        Seq("blk"))
+      .filter(col("i") < col("j"))
+      .withColumn("edit_dist", levenshtein(col("s_i"), col("s_j")))
+      .filter(col("edit_dist") <= maxEdit)
+      .select(col("i"), col("j"), col("edit_dist"))
+  }
+
   /** Exact dedup by content fingerprint: groups are keyed on the FULL
     * 128-bit md5 (a 60-bit key would hit birthday collisions around 2³⁰
     * documents — guaranteed merges of non-duplicates at 100 TB corpus

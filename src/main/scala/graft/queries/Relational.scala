@@ -548,9 +548,47 @@ object Relational {
       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
       |WHERE rn <= 8 ORDER BY o_custkey, rn""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q72 — blocked fuzzy matching (entity resolution): a deterministically
+  // "dirtied" feed (one appended typo letter keyed on the part id) is
+  // matched against the clean catalog — blocking on the first name token,
+  // exact levenshtein ≤ 1 verify (Dedup.fuzzyMatchPairs). The fixture's
+  // names carry no natural typos (all dist ≤ 2 pairs are exact copies), so
+  // the dirty feed is planted q63-style: both engines derive the identical
+  // input, and the edit-distance verify is exercised for real.
+  def q72_fuzzy_name_match(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_partkey") < 500)
+    val clean = p.select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val dirty = p.select((col("p_partkey") + 100000L).as("id"),
+      concat(col("p_name"), lit("abcdefghijklmnopqrstuvwxyz")
+        .substr(pmod(col("p_partkey"), lit(26L)).cast(IntegerType) + 1, lit(1))).as("name"))
+    graft.ext.Dedup.fuzzyMatchPairs(clean.unionByName(dirty),
+        block = element_at(split(col("name"), " ", -1), 1), maxEdit = 1)
+      .filter(col("i") < 100000L && col("j") >= 100000L)
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val q72_sql =
+    """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 500),
+      |u AS (
+      |  SELECT p_partkey AS id, p_name AS name FROM p
+      |  UNION ALL
+      |  SELECT p_partkey + 100000 AS id,
+      |    p_name || substr('abcdefghijklmnopqrstuvwxyz',
+      |      CAST(p_partkey % 26 AS INT) + 1, 1) AS name FROM p),
+      |b AS (SELECT id, name, string_split(name, ' ')[1] AS blk FROM u),
+      |sz AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 500),
+      |bb AS (SELECT b.id, b.name, b.blk FROM b JOIN sz USING (blk))
+      |SELECT x.id AS i, y.id AS j, levenshtein(x.name, y.name) AS edit_dist
+      |FROM bb x JOIN bb y ON x.blk = y.blk AND x.id < y.id
+      |WHERE levenshtein(x.name, y.name) <= 1
+      |  AND x.id < 100000 AND y.id >= 100000
+      |ORDER BY i, j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_group_percentiles" -> (q69_group_percentiles _),
     "q71_rank_family" -> (q71_rank_family _),
+    "q72_fuzzy_name_match" -> (q72_fuzzy_name_match _),
     "q70_price_histogram" -> (q70_price_histogram _),
     "q01_pricing_summary" -> (q01_pricing_summary _),
     "q02_filter_project" -> (q02_filter_project _),
@@ -578,6 +616,7 @@ object Relational {
   def oracle: Map[String, String] = Map(
     "q69_group_percentiles" -> q69_sql,
     "q71_rank_family" -> q71_sql,
+    "q72_fuzzy_name_match" -> q72_sql,
     "q70_price_histogram" -> q70_sql,
     "q01_pricing_summary" -> q01_sql,
     "q02_filter_project" -> q02_sql,

@@ -544,6 +544,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(doc2.length == 1 && doc2.head.getAs[Long]("n_chunk_tokens") == 3L)
   }
 
+  test("fuzzyMatchPairs: blocking bounds candidates, edit distance verifies") {
+    val df = Seq(
+      (1L, "red bolt"), (2L, "red boat"),   // same block, dist 1 (l→a)
+      (3L, "red bolt"),                      // dist 0 to 1
+      (4L, "blue bolt")                      // other block — never compared
+    ).toDF("id", "name")
+    val blk = element_at(split(col("name"), " ", -1), 1)
+    val d2 = Dedup.fuzzyMatchPairs(df, blk, maxEdit = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("edit_dist"))).toSet
+    assert(d2 == Set((1L, 2L, 1), (1L, 3L, 0), (2L, 3L, 1)))
+    // "red bolt" vs "blue bolt" is dist 3 anyway, but even a dist-0
+    // cross-block pair would be invisible: blocking is the candidate gate
+    val d0 = Dedup.fuzzyMatchPairs(df, blk, maxEdit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d0 == Set((1L, 3L)))
+    // an oversized block drops whole
+    val capped = Dedup.fuzzyMatchPairs(df, blk, maxEdit = 2, maxBlock = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.isEmpty)
+  }
+
   test("groupedPercentiles: hand-computed median/p90, odd and even groups") {
     // a: [10,20,30,40] (even)  → median (20+30)/2 = 25.0, p90 rank ⌈3.6⌉=4 → 40
     // b: [5,5,7]       (odd)   → median rank 2 → 5.0,     p90 rank ⌈2.7⌉=3 → 7
