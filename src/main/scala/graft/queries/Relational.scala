@@ -585,10 +585,63 @@ object Relational {
       |  AND x.id < 100000 AND y.id >= 100000
       |ORDER BY i, j""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q73 — FULL OUTER join of two sparse aggregates (high-balance customer
+  // and supplier counts per nation): each side misses nations the other
+  // has, so both outer directions actually fire. Shuffle on the join key;
+  // coalesced zero counts keep the output null-free and hash-stable.
+  def q73_full_outer(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val su = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q73_sql =
+    """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+      |           FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+      |      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+      |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+      |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q74 — the SQL entry surface: temp views + spark.sql with correlated
+  // EXISTS / NOT EXISTS subqueries (Catalyst rewrites them to semi/anti
+  // joins — same physical shapes as q04/q15, reached through SQL instead
+  // of the DataFrame API). The oracle runs the equivalent SQL in DuckDB.
+  def q74_sql_exists(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+  }
+
+  private val q74_sql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_group_percentiles" -> (q69_group_percentiles _),
     "q71_rank_family" -> (q71_rank_family _),
     "q72_fuzzy_name_match" -> (q72_fuzzy_name_match _),
+    "q73_full_outer" -> (q73_full_outer _),
+    "q74_sql_exists" -> (q74_sql_exists _),
     "q70_price_histogram" -> (q70_price_histogram _),
     "q01_pricing_summary" -> (q01_pricing_summary _),
     "q02_filter_project" -> (q02_filter_project _),
@@ -617,6 +670,8 @@ object Relational {
     "q69_group_percentiles" -> q69_sql,
     "q71_rank_family" -> q71_sql,
     "q72_fuzzy_name_match" -> q72_sql,
+    "q73_full_outer" -> q73_sql,
+    "q74_sql_exists" -> q74_sql,
     "q70_price_histogram" -> q70_sql,
     "q01_pricing_summary" -> q01_sql,
     "q02_filter_project" -> q02_sql,
