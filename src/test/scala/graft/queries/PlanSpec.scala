@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression guards for the scale-critical claims the
+  * query pack makes in its docs: filters/projections reach the parquet
+  * scan, map-only operators stay shuffle-free, and dimension joins
+  * broadcast. These are the properties that decide 100 TB behavior —
+  * a correctness-preserving refactor that silently breaks one of them
+  * would pass every oracle check and still regress the cluster story. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q02 filter+projection push down to the parquet scan") {
+    val p = plan(Relational.q02_filter_project(spark, sf001))
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"no pushed filters in:\n$p")
+    // projection pruning: the scan must not read every lineitem column
+    assert(p.contains("ReadSchema"), p)
+  }
+
+  test("map-only operators plan without a single exchange") {
+    // piiRedact, chunkTokens, deterministicSplit, fingerprint: projection/
+    // generator shapes — at 100 TB an accidental shuffle here would be the
+    // dominant cost of the whole pipeline
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    for ((name, df) <- Seq(
+        "piiRedact" -> graft.ext.TextAnalysis.piiRedact(docs),
+        "chunkTokens" -> graft.ext.TextAnalysis.chunkTokens(docs),
+        "deterministicSplit" -> graft.ext.TextAnalysis.deterministicSplit(docs),
+        "fingerprint" -> graft.ext.TextAnalysis.fingerprint(docs))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name plans a shuffle:\n$p")
+    }
+  }
+
+  test("dimension join broadcasts the small side (q05 shape)") {
+    val p = plan(Relational.q05_local_supplier_volume(spark, sf001))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"expected a broadcast dimension join:\n$p")
+  }
+
+  test("histogram aggregates partially before its one shuffle") {
+    val li = graft.core.Tables.load(spark, sf001, "lineitem")
+    val p = plan(graft.ext.Stats.histogram(li, "l_extendedprice", 0.0, 100.0))
+    // partial + final hash aggregate around the one exchange
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined, p)
+  }
+}
