@@ -57,11 +57,13 @@ object Stats {
       max(when(col("cum") - col("cnt") < r && r <= col("cum"), col("v")))
     val m1 = graft.queries.intDiv(col("n") + 1, 2)
     val m2 = graft.queries.intDiv(col("n") + 2, 2)
-    val pAggs = discPs.map { p =>
-      // ⌈p·n⌉ via the double product both engines compute identically; the
-      // label encodes the fraction in basis points (p90 → 9000 ÷ 100)
-      at(ceil(lit(p) * col("n")).cast(LongType))
-        .as(s"p${math.round(p * 100)}")
+    val labels = discPs.map(p => s"p${math.round(p * 100)}")
+    require(labels.distinct.size == labels.size,
+      s"percentile labels collide (fractions closer than 1%): $discPs -> $labels")
+    val pAggs = discPs.zip(labels).map { case (p, label) =>
+      // ⌈p·n⌉ via the double product both engines compute identically;
+      // the label is the whole-percent name (0.9 → p90)
+      at(ceil(lit(p) * col("n")).cast(LongType)).as(label)
     }
     val aggs = Seq(max(col("n")).as("n"),
       ((at(m1) + at(m2)).cast(DoubleType) / lit(2.0)).as("median")) ++ pAggs

@@ -408,7 +408,7 @@ object TextAnalysis {
     * one codegen'd projection) is what this module ships. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-  val Ipv4Re = "([0-9]{1,3}\\.)[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   /** PII detection + redaction — the scrubbing pass a training-data
     * pipeline runs before anything else sees the text: counts each PII
@@ -446,28 +446,35 @@ object TextAnalysis {
     * IEEE divisions and one multiply with fixed association, so
     * independent engines reproduce it bit-for-bit.
     *
-    * Plan shape: ONE tokenization pass feeds both the unigram and bigram
-    * rollups (two aggregations, each partial-aggregated before its
-    * shuffle); the corpus totals are 1-row broadcast scalar subqueries;
-    * the unigram joins hit the bigram table on its natural key. Cost is
-    * linear in token count. `minCount` prunes the rare-pair tail BEFORE
-    * the joins — at web scale the c_ab=1 tail is most of the distinct
-    * pairs and carries no collocation signal. */
+    * Plan shape: the corpus is split into token arrays ONCE into a
+    * persisted hub (the [[graft.core.Caches]] convention — the unigram and
+    * bigram generators are different explodes, so ReuseExchange alone
+    * cannot share the tokenization between them); each rollup is
+    * partial-aggregated before its shuffle; the corpus totals are derived
+    * from the rollups themselves (sum of unigram counts = token count, sum
+    * of pre-filter bigram counts = bigram count — never a third/fourth
+    * corpus pass) and broadcast as 1-row scalar subqueries; the unigram
+    * joins hit the bigram table on its natural key. Cost is linear in
+    * token count. `minCount` prunes the rare-pair tail BEFORE the joins —
+    * at web scale the c_ab=1 tail is most of the distinct pairs and
+    * carries no collocation signal. */
   def collocations(docs: DataFrame, minCount: Long = 20,
       textCol: String = "text"): DataFrame = {
-    val ws = docs.filter(col(textCol).isNotNull)
-      .select(split(col(textCol), " ", -1).as("ws"))
-    val uni = ws.select(explode(col("ws")).as("w"))
-    val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val nu = uni.agg(count(lit(1)).as("n_u"))
-    val bi = ws.filter(size(col("ws")) >= 2)
+    val ws = graft.core.Caches.persist(
+      docs.filter(col(textCol).isNotNull)
+        .select(split(col(textCol), " ", -1).as("ws")))
+    val ucnt = ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nu = ucnt.agg(sum(col("c")).as("n_u"))
+    val bcnt0 = ws.filter(size(col("ws")) >= 2)
       .select(explode(transform(
         sequence(lit(1), size(col("ws")) - 1),
         i => struct(element_at(col("ws"), i).as("w1"),
           element_at(col("ws"), i + lit(1)).as("w2")))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val nb = bi.agg(count(lit(1)).as("n_b"))
-    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val nb = bcnt0.agg(sum(col("c_ab")).as("n_b"))
+    bcnt0
       .filter(col("c_ab") >= minCount)
       .join(ucnt.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
       .join(ucnt.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))

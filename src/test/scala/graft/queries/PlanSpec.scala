@@ -17,8 +17,13 @@ class PlanSpec extends SparkSpec {
     val p = plan(Relational.q02_filter_project(spark, sf001))
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
       s"no pushed filters in:\n$p")
-    // projection pruning: the scan must not read every lineitem column
-    assert(p.contains("ReadSchema"), p)
+    // projection pruning: the ReadSchema must carry only the projected
+    // columns + the filter columns — a scan mentioning l_returnflag (or any
+    // other unused lineitem column) is reading the whole row
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.nonEmpty, p)
+    for (unused <- Seq("l_returnflag", "l_shipdate", "l_partkey", "l_tax"))
+      assert(!readSchema.contains(unused), s"unpruned column $unused in $readSchema")
   }
 
   test("map-only operators plan without a single exchange") {
