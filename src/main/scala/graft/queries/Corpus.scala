@@ -796,6 +796,69 @@ object Corpus {
       |FROM d GROUP BY domain ORDER BY domain""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q75 — the pre-training cleaning pass END-TO-END, as ONE Catalyst plan:
+  // quality-score filter (q33's operator) ∧ repetition filter (q58's) →
+  // exact dedup keeping canonicals (q36's) → deterministic content-keyed
+  // split (q52's). The showcase composition: every stage is a library
+  // operator, Catalyst fuses the lot, and the oracle chains the SAME
+  // verified SQL fragments — so the composition is hash-exact, not just
+  // each piece. Thresholds (0.5 / 0.2) sit mid-distribution on the
+  // fixture so both filters genuinely bite.
+  def q75_clean_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val q = TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality_score"))
+    val r = TextAnalysis.repetitionStats(d).select(col("doc_id"), col("top_bigram_frac"))
+    val kept = d.select(col("doc_id"), col("text"))
+      .join(q, Seq("doc_id")).join(r, Seq("doc_id"))
+      .filter(col("quality_score") >= 0.5 && col("top_bigram_frac") <= 0.2)
+    val ded = Dedup.exactDedup(kept)
+      .filter(col("doc_id") === col("canonical_id"))
+    val withText = ded.select(col("doc_id"), col("fp60"))
+      .join(kept.select(col("doc_id"), col("text")), Seq("doc_id"))
+    TextAnalysis.deterministicSplit(withText)
+      .select(col("doc_id"), col("fp60"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q75_sql =
+    """WITH qs AS (
+      |  SELECT doc_id,
+      |    ((CAST(len(list_filter(string_split(text,' '),
+      |        x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+      |       / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.4)
+      |     + ((greatest(0.0, 1.0 - abs((CAST(length(replace(text,' ','')) AS DOUBLE)
+      |          / CAST(len(string_split(text,' ')) AS DOUBLE)) - 5.0) / 5.0)) * 0.4)
+      |     + (least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.2)
+      |      AS quality_score
+      |  FROM documents),
+      |wl AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |       FROM documents WHERE text IS NOT NULL),
+      |bg0 AS (
+      |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS b
+      |  FROM wl, range(1, 100000) t(i)
+      |  WHERE len(ws) >= 2 AND i <= len(ws) - 1),
+      |bc AS (SELECT doc_id, b, count(*) AS cnt FROM bg0 GROUP BY 1, 2),
+      |bg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |         max(cnt) AS max_bi FROM bc GROUP BY 1),
+      |rep AS (SELECT wl.doc_id,
+      |          coalesce(CAST(max_bi AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0)
+      |            AS top_bigram_frac
+      |        FROM wl LEFT JOIN bg USING (doc_id)),
+      |kept AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  JOIN qs USING (doc_id) JOIN rep USING (doc_id)
+      |  WHERE qs.quality_score >= 0.5 AND rep.top_bigram_frac <= 0.2),
+      |fp AS (SELECT doc_id, text, md5(text) AS m,
+      |         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp60 FROM kept),
+      |canon AS (SELECT m, min(doc_id) AS cid FROM fp GROUP BY m),
+      |ded AS (SELECT fp.doc_id, fp.fp60 FROM fp
+      |        JOIN canon ON fp.m = canon.m AND fp.doc_id = canon.cid)
+      |SELECT doc_id, fp60,
+      |  CASE WHEN fp60 % 100 < 80 THEN 'train'
+      |       WHEN fp60 % 100 < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM ded ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -828,7 +891,8 @@ object Corpus {
     "q64_collocations" -> (q64_collocations _),
     "q65_unpivot" -> (q65_unpivot _),
     "q67_doc_chunks" -> (q67_doc_chunks _),
-    "q68_domain_stats" -> (q68_domain_stats _)
+    "q68_domain_stats" -> (q68_domain_stats _),
+    "q75_clean_pipeline" -> (q75_clean_pipeline _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -860,6 +924,7 @@ object Corpus {
     "q64_collocations" -> q64_sql,
     "q65_unpivot" -> q65_sql,
     "q67_doc_chunks" -> q67_sql,
-    "q68_domain_stats" -> q68_sql
+    "q68_domain_stats" -> q68_sql,
+    "q75_clean_pipeline" -> q75_sql
   )
 }
