@@ -859,6 +859,30 @@ object Corpus {
       |FROM ded ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q76 — pivot proper (the inverse reshape of q65's unpivot): per-language
+  // counts spread into one column per source via RelationalGroupedDataset
+  // .pivot with an EXPLICIT value list — never the value-discovering
+  // overload, which runs a distinct scan on the driver and caps out at
+  // spark.sql.pivotMaxValues at scale. Absent combinations are coalesced
+  // to 0 to match SQL conditional-count semantics.
+  def q76_pivot(s: SparkSession, dir: String): DataFrame = {
+    val srcs = (0 to 4).map(i => s"src$i")
+    docs(s, dir).filter(col("source").isin(srcs: _*))
+      .groupBy(col("lang")).pivot("source", srcs).agg(count(lit(1)))
+      .select(col("lang") +: srcs.map(sc => coalesce(col(sc), lit(0L)).as(sc)): _*)
+      .orderBy(col("lang"))
+  }
+
+  private val q76_sql =
+    """SELECT lang,
+      |  count(*) FILTER (WHERE source = 'src0') AS src0,
+      |  count(*) FILTER (WHERE source = 'src1') AS src1,
+      |  count(*) FILTER (WHERE source = 'src2') AS src2,
+      |  count(*) FILTER (WHERE source = 'src3') AS src3,
+      |  count(*) FILTER (WHERE source = 'src4') AS src4
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -892,7 +916,8 @@ object Corpus {
     "q65_unpivot" -> (q65_unpivot _),
     "q67_doc_chunks" -> (q67_doc_chunks _),
     "q68_domain_stats" -> (q68_domain_stats _),
-    "q75_clean_pipeline" -> (q75_clean_pipeline _)
+    "q75_clean_pipeline" -> (q75_clean_pipeline _),
+    "q76_pivot" -> (q76_pivot _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -925,6 +950,7 @@ object Corpus {
     "q65_unpivot" -> q65_sql,
     "q67_doc_chunks" -> q67_sql,
     "q68_domain_stats" -> q68_sql,
-    "q75_clean_pipeline" -> q75_sql
+    "q75_clean_pipeline" -> q75_sql,
+    "q76_pivot" -> q76_sql
   )
 }

@@ -312,9 +312,60 @@ object Events {
       |  RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q77 — time-series gap fill + forward fill: per-user hourly grid from
+  // first to last activity (explode of a per-row sequence — distributed,
+  // each user generates only its own span), hourly value sums left-joined
+  // on, missing hours forward-filled with the last observed value
+  // (`last(..., ignoreNulls)` over an unbounded-preceding frame — the
+  // standard LOCF). Values floor-scale to integer millis before summing so
+  // the per-hour sums are addition-order-proof across engines. Bounded to
+  // user_id < 100 to keep the verification output a sane size; the plan
+  // itself is linear in grid rows at any scale.
+  def q77_gap_fill(s: SparkSession, dir: String): DataFrame = {
+    val hour = 3600000L
+    val e = ev(s, dir).filter(col("user_id") < 100)
+      .select(col("user_id"),
+        (unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(hour))).as("hour_ms"),
+        floor(col("value") * lit(1000.0)).as("vmilli"))
+    val perHour = e.groupBy(col("user_id"), col("hour_ms"))
+      .agg(sum(col("vmilli")).as("v"))
+    val grid = perHour.groupBy(col("user_id"))
+      .agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(hour))).as("hour_ms"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perHour, Seq("user_id", "hour_ms"), "left")
+      .select(col("user_id"), col("hour_ms"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+        col("v").isNull.cast(org.apache.spark.sql.types.IntegerType).as("is_gap"))
+      .orderBy(col("user_id"), col("hour_ms"))
+  }
+
+  private val q77_sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hour_ms,
+      |    CAST(floor(value * 1000) AS BIGINT) AS vmilli
+      |  FROM events WHERE user_id < 100),
+      |ph AS (SELECT user_id, hour_ms, CAST(sum(vmilli) AS BIGINT) AS v
+      |       FROM e GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(min(hour_ms), max(hour_ms), 3600000))
+      |    AS hour_ms
+      |  FROM ph GROUP BY user_id)
+      |SELECT g.user_id, g.hour_ms,
+      |  last_value(ph.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |    ORDER BY g.hour_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS v_filled,
+      |  CAST(ph.v IS NULL AS INT) AS is_gap
+      |FROM grid g LEFT JOIN ph ON g.user_id = ph.user_id AND g.hour_ms = ph.hour_ms
+      |ORDER BY g.user_id, g.hour_ms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_sketches" -> (q47_sketches _),
     "q66_range_frame" -> (q66_range_frame _),
+    "q77_gap_fill" -> (q77_gap_fill _),
     "q44_json_props" -> (q44_json_props _),
     "q21_event_pairs_within_5min" -> (q21_event_pairs_within_5min _),
     "q22_asof_purchase_click" -> (q22_asof_purchase_click _),
@@ -328,6 +379,7 @@ object Events {
   def oracle: Map[String, String] = Map(
     "q44_json_props" -> q44_sql,
     "q66_range_frame" -> q66_sql,
+    "q77_gap_fill" -> q77_sql,
     "q21_event_pairs_within_5min" -> q21_sql,
     "q22_asof_purchase_click" -> q22_sql,
     "q23_hourly_type_counts" -> q23_sql,
