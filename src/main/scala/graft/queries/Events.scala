@@ -313,33 +313,21 @@ object Events {
       |ORDER BY event_id""".stripMargin
 
   // --------------------------------------------------------------------------
-  // q77 — time-series gap fill + forward fill: per-user hourly grid from
-  // first to last activity (explode of a per-row sequence — distributed,
-  // each user generates only its own span), hourly value sums left-joined
-  // on, missing hours forward-filled with the last observed value
-  // (`last(..., ignoreNulls)` over an unbounded-preceding frame — the
-  // standard LOCF). Values floor-scale to integer millis before summing so
+  // q77 — time-series gap fill + forward fill (operators.TimeSeries): each
+  // user's hourly value sums regularized onto its own [first, last]-hour
+  // grid with LOCF. Values floor-scale to integer millis before summing so
   // the per-hour sums are addition-order-proof across engines. Bounded to
   // user_id < 100 to keep the verification output a sane size; the plan
   // itself is linear in grid rows at any scale.
   def q77_gap_fill(s: SparkSession, dir: String): DataFrame = {
     val hour = 3600000L
-    val e = ev(s, dir).filter(col("user_id") < 100)
+    val perHour = ev(s, dir).filter(col("user_id") < 100)
       .select(col("user_id"),
         (unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(hour))).as("hour_ms"),
         floor(col("value") * lit(1000.0)).as("vmilli"))
-    val perHour = e.groupBy(col("user_id"), col("hour_ms"))
+      .groupBy(col("user_id"), col("hour_ms"))
       .agg(sum(col("vmilli")).as("v"))
-    val grid = perHour.groupBy(col("user_id"))
-      .agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
-      .select(col("user_id"),
-        explode(sequence(col("lo"), col("hi"), lit(hour))).as("hour_ms"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_ms"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(perHour, Seq("user_id", "hour_ms"), "left")
-      .select(col("user_id"), col("hour_ms"),
-        last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
-        col("v").isNull.cast(org.apache.spark.sql.types.IntegerType).as("is_gap"))
+    graft.operators.TimeSeries.gapFillLocf(perHour, "user_id", "hour_ms", "v", hour)
       .orderBy(col("user_id"), col("hour_ms"))
   }
 

@@ -544,6 +544,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(doc2.length == 1 && doc2.head.getAs[Long]("n_chunk_tokens") == 3L)
   }
 
+  test("gapFillLocf: grid spans per key, LOCF fills, observed rows untouched") {
+    // key "a": buckets 0,30 observed → grid 0,10,20,30; 10 & 20 carry v(0)
+    // key "b": single bucket → single-row grid, no gaps
+    val df = Seq(("a", 0L, 5L), ("a", 30L, 7L), ("b", 20L, 9L))
+      .toDF("k", "t", "v")
+    val out = graft.operators.TimeSeries.gapFillLocf(df, "k", "t", "v", stepMs = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("v_filled"), r.getAs[Int]("is_gap"))).toMap
+    assert(out.size == 5)
+    assert(out(("a", 0L)) == (5L, 0) && out(("a", 30L)) == (7L, 0))
+    assert(out(("a", 10L)) == (5L, 1) && out(("a", 20L)) == (5L, 1))
+    assert(out(("b", 20L)) == (9L, 0))
+  }
+
   test("fuzzyMatchPairs: blocking bounds candidates, edit distance verifies") {
     val df = Seq(
       (1L, "red bolt"), (2L, "red boat"),   // same block, dist 1 (l→a)
