@@ -194,14 +194,22 @@ object TextAnalysis {
     * Map-only: a projection, no shuffle, safe at any corpus size. */
   def deterministicSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
       textCol: String = "text"): DataFrame = {
-    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
-      s"invalid split percentages: train=$trainPct val=$valPct")
     val bucket = pmod(hash60(col(textCol)), lit(100L))
     docs.withColumn("split_bucket", bucket)
-      .withColumn("split",
-        when(bucket < trainPct, lit("train"))
-          .when(bucket < trainPct + valPct, lit("val"))
-          .otherwise(lit("test")))
+      .withColumn("split", splitLabel(bucket, trainPct, valPct))
+  }
+
+  /** The split rule of [[deterministicSplit]] on an ALREADY-COMPUTED
+    * 0-99 bucket — for callers that carry the content hash (e.g. a dedup
+    * output's fp60: `splitLabel(pmod(col("fp60"), lit(100L)))`) and must
+    * not re-hash the corpus text just to label splits. */
+  def splitLabel(bucket: org.apache.spark.sql.Column,
+      trainPct: Int = 80, valPct: Int = 10): org.apache.spark.sql.Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
   }
 
   /** Gopher-style repetition statistics — the standard quality filters for

@@ -799,29 +799,51 @@ object Corpus {
   // q75 — the pre-training cleaning pass END-TO-END, as ONE Catalyst plan:
   // quality-score filter (q33's operator) ∧ repetition filter (q58's) →
   // exact dedup keeping canonicals (q36's) → deterministic content-keyed
-  // split (q52's). The showcase composition: every stage is a library
+  // split (q52's rule, applied to the dedup's own fp60 — no text re-hash,
+  // no join back). The showcase composition: every stage is a library
   // operator, Catalyst fuses the lot, and the oracle chains the SAME
   // verified SQL fragments — so the composition is hash-exact, not just
-  // each piece. Thresholds (0.5 / 0.2) sit mid-distribution on the
-  // fixture so both filters genuinely bite.
+  // each piece. EVERY stage DECIDES on the gate fixture — the fixture
+  // alone cannot make that true (its repetitive docs all fail the quality
+  // filter too, so the repetition stage would be along for the ride), so
+  // the corpus is unioned with two planted classes both engines derive
+  // identically: a re-crawl (the first 50 docs again under new ids —
+  // re-crawled pages being the canonical exact-dup source; they pass the
+  // filters and die at dedup) and 20 degenerate docs built to PASS
+  // quality (stopword-rich, ~100 tokens, mean length near 5) yet FAIL
+  // repetition (one phrase repeated 33× → top_bigram_frac ≈ 0.33); an
+  // inverted predicate or broken canonical election changes the hash.
   def q75_clean_pipeline(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val q = TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality_score"))
+    val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+    val degen = s.range(20000L, 20020L).select(col("id").as("doc_id"),
+      concat(repeat(lit("the stream of "), 33), lit("end"),
+        col("id").cast(StringType)).as("text"))
+    val d = d0
+      .unionByName(d0.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      .unionByName(degen)
+    val q = TextAnalysis.qualityScore(d)
+      .select(col("doc_id"), col("text"), col("quality_score"))
     val r = TextAnalysis.repetitionStats(d).select(col("doc_id"), col("top_bigram_frac"))
-    val kept = d.select(col("doc_id"), col("text"))
-      .join(q, Seq("doc_id")).join(r, Seq("doc_id"))
-      .filter(col("quality_score") >= 0.5 && col("top_bigram_frac") <= 0.2)
+    val kept = q.join(r, Seq("doc_id"))
+      .filter(col("quality_score") >= 0.5 && col("top_bigram_frac") <= 0.1)
     val ded = Dedup.exactDedup(kept)
       .filter(col("doc_id") === col("canonical_id"))
-    val withText = ded.select(col("doc_id"), col("fp60"))
-      .join(kept.select(col("doc_id"), col("text")), Seq("doc_id"))
-    TextAnalysis.deterministicSplit(withText)
-      .select(col("doc_id"), col("fp60"), col("split"))
+    ded.select(col("doc_id"), col("fp60"),
+        TextAnalysis.splitLabel(pmod(col("fp60"), lit(100L))).as("split"))
       .orderBy(col("doc_id"))
   }
 
   private val q75_sql =
-    """WITH qs AS (
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+      |  UNION ALL
+      |  SELECT 20000 + i AS doc_id,
+      |    repeat('the stream of ', 33) || 'end' || CAST(20000 + i AS VARCHAR) AS text
+      |  FROM range(0, 20) t(i)),
+      |qs AS (
       |  SELECT doc_id,
       |    ((CAST(len(list_filter(string_split(text,' '),
       |        x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
@@ -830,9 +852,9 @@ object Corpus {
       |          / CAST(len(string_split(text,' ')) AS DOUBLE)) - 5.0) / 5.0)) * 0.4)
       |     + (least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.2)
       |      AS quality_score
-      |  FROM documents),
+      |  FROM corpus),
       |wl AS (SELECT doc_id, string_split(text, ' ') AS ws
-      |       FROM documents WHERE text IS NOT NULL),
+      |       FROM corpus WHERE text IS NOT NULL),
       |bg0 AS (
       |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS b
       |  FROM wl, range(1, 100000) t(i)
@@ -845,9 +867,9 @@ object Corpus {
       |            AS top_bigram_frac
       |        FROM wl LEFT JOIN bg USING (doc_id)),
       |kept AS (
-      |  SELECT d.doc_id, d.text FROM documents d
+      |  SELECT d.doc_id, d.text FROM corpus d
       |  JOIN qs USING (doc_id) JOIN rep USING (doc_id)
-      |  WHERE qs.quality_score >= 0.5 AND rep.top_bigram_frac <= 0.2),
+      |  WHERE qs.quality_score >= 0.5 AND rep.top_bigram_frac <= 0.1),
       |fp AS (SELECT doc_id, text, md5(text) AS m,
       |         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp60 FROM kept),
       |canon AS (SELECT m, min(doc_id) AS cid FROM fp GROUP BY m),
@@ -867,7 +889,11 @@ object Corpus {
   // to 0 to match SQL conditional-count semantics.
   def q76_pivot(s: SparkSession, dir: String): DataFrame = {
     val srcs = (0 to 4).map(i => s"src$i")
-    docs(s, dir).filter(col("source").isin(srcs: _*))
+    // no source pre-filter: pivot with an explicit value list already
+    // ignores other sources, and a filter would DROP a lang whose docs all
+    // carry unlisted sources, where the conditional-count oracle keeps it
+    // with zero counts
+    docs(s, dir)
       .groupBy(col("lang")).pivot("source", srcs).agg(count(lit(1)))
       .select(col("lang") +: srcs.map(sc => coalesce(col(sc), lit(0L)).as(sc)): _*)
       .orderBy(col("lang"))
