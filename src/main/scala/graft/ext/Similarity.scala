@@ -136,13 +136,18 @@ object Similarity {
     // times and hard-fail past the broadcast limit for large query sets —
     // a per-partition hash build has neither problem, and the pin keeps
     // the estimator from ever broadcasting the corpus-sized base Generate.
-    val cand = qb.hint("shuffle_hash").join(bb, Seq("band", "code"))
-      .filter(col("qid") =!= col("vid"))
-      .select(col("qid"), col("vid"), col("qv"), col("bv"))
-      .dropDuplicates("qid", "vid")
+    // Score BEFORE the candidate dedup: a pair surfaced by b bands is
+    // scored b times (map-side, cheap — one codegen'd fold per surfacing),
+    // but the dropDuplicates shuffle then carries (qid, vid, cosine)
+    // scalars instead of two dims-float vectors per row — at 64 dims that
+    // is ~20× less dedup-shuffle traffic, and the window re-rank reads the
+    // slim rows too. Identical output: the fold is deterministic, so every
+    // duplicate carries the same cosine and the dedup's pick is immaterial.
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
-    cand.withColumn("cosine", foldCosine(col("qv"), col("bv")))
-      .select(col("qid"), col("vid"), col("cosine"))
+    qb.hint("shuffle_hash").join(bb, Seq("band", "code"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), foldCosine(col("qv"), col("bv")).as("cosine"))
+      .dropDuplicates("qid", "vid")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
