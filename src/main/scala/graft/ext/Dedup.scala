@@ -96,15 +96,17 @@ object Dedup {
   def capDocFreq(sh: DataFrame, maxDf: Int): DataFrame =
     cappedWithDf(sh, maxDf).select(col("id"), col("sh"))
 
-  /** Exact-Jaccard verification of candidate (i, j) pairs: join each side to
-    * the per-doc shingle arrays, intersect in the map stage. Emits pairs
-    * with jaccard ≥ `minJaccard`. */
-  private def verifyJaccard(cand: DataFrame, arrs: DataFrame,
+  /** Exact-Jaccard verification of candidate (i, j) pairs: join the i-side
+    * to `arrsI` and the j-side to `arrsJ` (the SAME hub twice for
+    * self-joins — Spark's ReuseExchange shares the one exchange; two
+    * different hubs for the across/R-S variant), intersect in the map
+    * stage. Emits pairs with jaccard ≥ `minJaccard`. */
+  private def verifyJaccard(cand: DataFrame, arrsI: DataFrame, arrsJ: DataFrame,
       minJaccard: Double): DataFrame =
     cand
-      .join(arrs.select(col("id").as("i"), col("shs").as("shs_i"), col("n").as("ni"))
+      .join(arrsI.select(col("id").as("i"), col("shs").as("shs_i"), col("n").as("ni"))
         .hint("shuffle_hash"), Seq("i"))
-      .join(arrs.select(col("id").as("j"), col("shs").as("shs_j"), col("n").as("nj"))
+      .join(arrsJ.select(col("id").as("j"), col("shs").as("shs_j"), col("n").as("nj"))
         .hint("shuffle_hash"), Seq("j"))
       .withColumn("c", graft.functions.ArrayMath.sortedIntersectCount(col("shs_i"), col("shs_j")))
       .withColumn("jaccard",
@@ -132,7 +134,7 @@ object Dedup {
     * sides), and the candidate distinct. */
   private def prefixJaccardPairs(shd: DataFrame, minJaccard: Double): DataFrame = {
     val hub = prefixHub(shd)
-    verifyJaccard(prefixCandidates(hub, minJaccard), hub, minJaccard)
+    verifyJaccard(prefixCandidates(hub, minJaccard), hub, hub, minJaccard)
   }
 
   private def prefixHub(shd: DataFrame): DataFrame = {
@@ -159,19 +161,27 @@ object Dedup {
           count(lit(1)).as("n")))
   }
 
-  private def prefixCandidates(hub: DataFrame, minJaccard: Double): DataFrame = {
-    // ⌈t·n⌉ computed as ceil(t·n·(1−1e-12) − 1e-9): IEEE t·n can land a
-    // hair ABOVE the exact integer product (e.g. 100·0.55 =
-    // 55.000000000000007), and a ceil overshoot would SHORTEN the prefix —
-    // the unsafe direction. The relative term covers large n (0.5 ulp of
-    // the product grows past any absolute ε around n·t ≈ 1e7), the
-    // absolute term covers small n; either can only LENGTHEN a prefix by
-    // one token (harmless), keeping losslessness exact at boundaries.
+  /** One row per (doc, prefix token): the first |X| − ⌈t·|X|⌉ + 1 tokens
+    * of each doc's rarest-first array. ⌈t·n⌉ is computed as
+    * ceil(t·n·(1−1e-12) − 1e-9): IEEE t·n can land a hair ABOVE the exact
+    * integer product (e.g. 100·0.55 = 55.000000000000007), and a ceil
+    * overshoot would SHORTEN the prefix — the unsafe direction. The
+    * relative term covers large n (0.5 ulp of the product grows past any
+    * absolute ε around n·t ≈ 1e7), the absolute term covers small n;
+    * either can only LENGTHEN a prefix by one token (harmless), keeping
+    * losslessness exact at boundaries. Shared by the self-join and
+    * across (R-S) candidate generators. */
+  private def prefixExplode(hub: DataFrame, minJaccard: Double,
+      idAs: String = "id"): DataFrame = {
     val prefixLen =
       (col("n") - ceil(col("n") * lit(minJaccard) * lit(1 - 1e-12) - lit(1e-9)) + lit(1))
         .cast(IntegerType)
-    val pre = hub.select(col("id"), explode(slice(col("shs"), lit(1), prefixLen)).as("sh"))
-    pre.groupBy(col("sh"))
+    hub.select(col("id").as(idAs),
+      explode(slice(col("shs"), lit(1), prefixLen)).as("sh"))
+  }
+
+  private def prefixCandidates(hub: DataFrame, minJaccard: Double): DataFrame = {
+    prefixExplode(hub, minJaccard).groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explodePairs(col("ids")).as("p"))
@@ -228,10 +238,74 @@ object Dedup {
     val full = textGroups(docs, idCol, textCol)
     val groups = slimGroups(full)
     val hub = prefixHub(groupShingles(full, n, maxDf, mkShingles))
-    val repPairs = verifyJaccard(prefixCandidates(hub, minJaccard), hub, minJaccard)
+    val repPairs = verifyJaccard(prefixCandidates(hub, minJaccard), hub, hub, minJaccard)
     expandRepPairs(repPairs, groups, "jaccard", lit(1.0),
       keptReps = Some(hub.select(col("id").as("rep"))))
   }
+
+  /** Incremental (R-S) near-dup join: every (delta doc, corpus doc) pair
+    * with char-n-gram Jaccard ≥ `minJaccard` — the INGEST-TIME shape of
+    * dedup at scale: a new batch is matched against the existing corpus
+    * without ever re-pairing the corpus with itself (no corpus×corpus
+    * candidates, no corpus self-postings explosion).
+    *
+    * Semantics: shingles whose CORPUS document frequency exceeds `maxDf`
+    * are removed from BOTH sides' sets (the capped universe is defined by
+    * the corpus — the index side); delta-only shingles keep df 0. The
+    * prefix filter runs both sides under the SAME global
+    * (corpus-df, shingle) order, so the SSJoin theorem applies unchanged
+    * and the join is lossless over the capped universe. Exact-copy
+    * collapse applies per side; rep pairs expand delta-members ×
+    * corpus-members (sides are disjoint id domains — the caller's
+    * contract, no i<j reorder).
+    *
+    * Plan: corpus postings aggregate once (uncapped df kept so delta can
+    * distinguish "capped" from "absent"), delta probes them with one
+    * shuffle-hash join, candidates come from prefix×prefix only, verify
+    * is the same merge-scan intersect as the self-join family. */
+  def nearDupJaccardAcross(delta: DataFrame, corpus: DataFrame, n: Int,
+      maxDf: Int, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dg = textGroups(delta, idCol, textCol)
+    val dGroups = slimGroups(dg)
+    val cg = textGroups(corpus, idCol, textCol)
+    val cGroups = slimGroups(cg)
+    val cSh = cg.select(col("rep").as("id"), col("gsize"),
+      explode(shingleArray(col("gtext"), n)).as("sh"))
+    // uncapped postings persist: they feed the capped corpus explode AND
+    // the delta df probe (capped-vs-absent must stay distinguishable)
+    val postAll = graft.core.Caches.persist(
+      cSh.groupBy(col("sh")).agg(
+        collect_list(struct(col("id"), col("gsize"))).as("ids"),
+        sum(col("gsize")).as("df")))
+    val cShDf = postAll.filter(col("df") <= maxDf)
+      .select(col("sh"), col("df"), explode(col("ids")).as("m"))
+      .select(col("sh"), col("df"), col("m.id").as("id"))
+    val cHub = prefixHub(cShDf)
+    val dSh = dg.select(col("rep").as("id"), explode(shingleArray(col("gtext"), n)).as("sh"))
+      .join(postAll.select(col("sh"), col("df")).hint("shuffle_hash"), Seq("sh"), "left")
+      .select(col("sh"), coalesce(col("df"), lit(0L)).as("df"), col("id"))
+      .filter(col("df") <= maxDf)
+    val dHub = prefixHub(dSh)
+    val cand = prefixCandidatesAcross(dHub, cHub, minJaccard)
+    val repPairs = verifyJaccard(cand, dHub, cHub, minJaccard)
+    repPairs
+      .join(dGroups.select(col("rep").as("i"), col("members").as("mi"))
+        .hint("shuffle_hash"), Seq("i"))
+      .join(cGroups.select(col("rep").as("j"), col("members").as("mj"))
+        .hint("shuffle_hash"), Seq("j"))
+      .select(explode(col("mi")).as("i"), col("mj"), col("jaccard"))
+      .select(col("i"), explode(col("mj")).as("j"), col("jaccard"))
+  }
+
+  /** Prefix candidates ACROSS two hubs: delta prefixes probe corpus
+    * prefixes on the shared (df, shingle) key — never side×same-side. */
+  private def prefixCandidatesAcross(dHub: DataFrame, cHub: DataFrame,
+      minJaccard: Double): DataFrame =
+    prefixExplode(dHub, minJaccard, "i")
+      .join(prefixExplode(cHub, minJaccard, "j").hint("shuffle_hash"), Seq("sh"))
+      .select(col("i"), col("j"))
+      .distinct()
 
   /** Distinct-text groups: (gtext, members sorted, rep = min id, gsize).
     * Null-text rows are excluded up front — a null text has no shingle
@@ -366,7 +440,8 @@ object Dedup {
     val hub = graft.core.Caches.persist(
       sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*))
     val cand = lshCandidates(hub, rowsPerBand, numHashes / rowsPerBand)
-    val repPairs = verifyJaccard(cand, hub.select(col("id"), col("shs"), col("n")), minJaccard)
+    val arrs = hub.select(col("id"), col("shs"), col("n"))
+    val repPairs = verifyJaccard(cand, arrs, arrs, minJaccard)
     // exact copies share signatures AND sets: within-group pairs are exact
     // J=1.0 matches (provided the capped set is non-empty), never LSH misses
     expandRepPairs(repPairs, groups, "jaccard", lit(1.0),

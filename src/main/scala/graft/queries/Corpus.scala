@@ -909,6 +909,46 @@ object Corpus {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q78 — incremental (R-S) near-dup: the delta batch (doc_id ≥ 400)
+  // matched against the existing corpus (doc_id < 400) — the ingest-time
+  // dedup shape that never re-pairs the corpus with itself. The capped
+  // universe is defined by the corpus' document frequencies; same 16-gram /
+  // 0.5 parameters as the self-join q37, so at the fixture this emits
+  // exactly q37's cross-boundary pairs.
+  def q78_incremental_neardup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.nearDupJaccardAcross(
+        d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
+        n = 16, maxDf = 500, minJaccard = 0.5)
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val q78_sql =
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      |delta AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+      |csh AS (
+      |  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 16) AS sh
+      |  FROM corpus, range(1, 100000) t(i)
+      |  WHERE i <= greatest(length(text) - 15, 1)),
+      |cdf AS (SELECT sh, count(*) AS df FROM csh GROUP BY sh),
+      |ckeep AS (SELECT id, csh.sh FROM csh JOIN cdf USING (sh) WHERE df <= 500),
+      |dsh AS (
+      |  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 16) AS sh
+      |  FROM delta, range(1, 100000) t(i)
+      |  WHERE i <= greatest(length(text) - 15, 1)),
+      |dkeep AS (SELECT id, dsh.sh FROM dsh LEFT JOIN cdf USING (sh)
+      |          WHERE coalesce(df, 0) <= 500),
+      |dsz AS (SELECT id, count(*) AS n FROM dkeep GROUP BY 1),
+      |csz AS (SELECT id, count(*) AS n FROM ckeep GROUP BY 1),
+      |inter AS (
+      |  SELECT d.id AS i, c.id AS j, count(*) AS c
+      |  FROM dkeep d JOIN ckeep c ON d.sh = c.sh GROUP BY 1, 2)
+      |SELECT i, j, CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) AS jaccard
+      |FROM inter JOIN dsz x ON i = x.id JOIN csz y ON j = y.id
+      |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.5
+      |ORDER BY i, j""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -943,7 +983,8 @@ object Corpus {
     "q67_doc_chunks" -> (q67_doc_chunks _),
     "q68_domain_stats" -> (q68_domain_stats _),
     "q75_clean_pipeline" -> (q75_clean_pipeline _),
-    "q76_pivot" -> (q76_pivot _)
+    "q76_pivot" -> (q76_pivot _),
+    "q78_incremental_neardup" -> (q78_incremental_neardup _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -977,6 +1018,7 @@ object Corpus {
     "q67_doc_chunks" -> q67_sql,
     "q68_domain_stats" -> q68_sql,
     "q75_clean_pipeline" -> q75_sql,
-    "q76_pivot" -> q76_sql
+    "q76_pivot" -> q76_sql,
+    "q78_incremental_neardup" -> q78_sql
   )
 }
