@@ -267,9 +267,7 @@ object Dedup {
       maxDf: Int, minJaccard: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val dg = textGroups(delta, idCol, textCol)
-    val dGroups = slimGroups(dg)
     val cg = textGroups(corpus, idCol, textCol)
-    val cGroups = slimGroups(cg)
     val cSh = cg.select(col("rep").as("id"), col("gsize"),
       explode(shingleArray(col("gtext"), n)).as("sh"))
     // uncapped postings persist: they feed the capped corpus explode AND
@@ -289,21 +287,19 @@ object Dedup {
     val dHub = prefixHub(dSh)
     val cand = prefixCandidatesAcross(dHub, cHub, minJaccard)
     val repPairs = verifyJaccard(cand, dHub, cHub, minJaccard)
-    repPairs
-      .join(dGroups.select(col("rep").as("i"), col("members").as("mi"))
-        .hint("shuffle_hash"), Seq("i"))
-      .join(cGroups.select(col("rep").as("j"), col("members").as("mj"))
-        .hint("shuffle_hash"), Seq("j"))
-      .select(explode(col("mi")).as("i"), col("mj"), col("jaccard"))
-      .select(col("i"), explode(col("mj")).as("j"), col("jaccard"))
+    // dg/cg each feed exactly one expansion join — no persist (contrast
+    // slimGroups in the self-join family, whose output has 3 consumers).
+    expandCross(repPairs, dg, cg, "jaccard", reorder = false)
   }
 
   /** Prefix candidates ACROSS two hubs: delta prefixes probe corpus
-    * prefixes on the shared (df, shingle) key — never side×same-side. */
+    * prefixes on the shared (df, shingle) key — never side×same-side.
+    * The shuffle-hash build side is the DELTA explode (the small side by
+    * this op's contract); the corpus-sized posting stream probes it. */
   private def prefixCandidatesAcross(dHub: DataFrame, cHub: DataFrame,
       minJaccard: Double): DataFrame =
-    prefixExplode(dHub, minJaccard, "i")
-      .join(prefixExplode(cHub, minJaccard, "j").hint("shuffle_hash"), Seq("sh"))
+    prefixExplode(dHub, minJaccard, "i").hint("shuffle_hash")
+      .join(prefixExplode(cHub, minJaccard, "j"), Seq("sh"))
       .select(col("i"), col("j"))
       .distinct()
 
@@ -354,13 +350,7 @@ object Dedup {
   private[ext] def expandRepPairs(repPairs: DataFrame, groups: DataFrame,
       payloadCol: String, withinValue: org.apache.spark.sql.Column,
       keptReps: Option[DataFrame] = None): DataFrame = {
-    val cross = repPairs
-      .join(groups.select(col("rep").as("i"), col("members").as("mi")).hint("shuffle_hash"), Seq("i"))
-      .join(groups.select(col("rep").as("j"), col("members").as("mj")).hint("shuffle_hash"), Seq("j"))
-      .select(explode(col("mi")).as("a"), col("mj"), col(payloadCol))
-      .select(col("a"), explode(col("mj")).as("b"), col(payloadCol))
-      .select(least(col("a"), col("b")).as("i"),
-        greatest(col("a"), col("b")).as("j"), col(payloadCol))
+    val cross = expandCross(repPairs, groups, groups, payloadCol, reorder = true)
     val multi = groups.filter(size(col("members")) > 1)
     val kept = keptReps.map(k => multi.join(k, Seq("rep"), "left_semi")).getOrElse(multi)
     // withinValue is evaluated against `kept`, so it may reference group
@@ -368,6 +358,27 @@ object Dedup {
     val within = kept.select(explodePairs(col("members")).as("p"), withinValue.as(payloadCol))
       .select(col("p.i").as("i"), col("p.j").as("j"), col(payloadCol))
     cross.unionByName(within)
+  }
+
+  /** Cross-group member expansion shared by the self-join family and the
+    * incremental (R-S) op: rep pairs (i, j, payload) fan out member_i ×
+    * member_j via two shuffle-hash group joins. `reorder` applies the
+    * least/greatest id canonicalization the self-join family needs; the
+    * across op's sides are disjoint id domains, so it keeps (delta, corpus)
+    * orientation as-is. Only rep/members are read from the group tables —
+    * callers may pass the full textGroups output unprojected. */
+  private def expandCross(repPairs: DataFrame, gi: DataFrame, gj: DataFrame,
+      payloadCol: String, reorder: Boolean): DataFrame = {
+    val expanded = repPairs
+      .join(gi.select(col("rep").as("i"), col("members").as("mi")).hint("shuffle_hash"), Seq("i"))
+      .join(gj.select(col("rep").as("j"), col("members").as("mj")).hint("shuffle_hash"), Seq("j"))
+      .select(explode(col("mi")).as("a"), col("mj"), col(payloadCol))
+      .select(col("a"), explode(col("mj")).as("b"), col(payloadCol))
+    if (reorder)
+      expanded.select(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"), col(payloadCol))
+    else
+      expanded.select(col("a").as("i"), col("b").as("j"), col(payloadCol))
   }
 
   /** The numHashes-member MinHash family over an ALREADY-HASHED shingle
