@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Lexical retrieval over a document corpus — the keyword-search
+  * complement to the embedding family in [[Similarity]]. The reference
+  * (`/root/reference/`, a byte-stream processor) has no search surface at
+  * all; this is part of the SURVEY §2.4 extension set a training-data
+  * pipeline needs (find all documents matching an audit/eval query at
+  * corpus scale).
+  *
+  * Scoring is BM25 with two deliberate deviations, both in service of
+  * exact reproducibility (an audit that returns different documents on
+  * re-run is useless):
+  *
+  *   - '''rational idf''' `(N - df + 0.5) / (df + 0.5)` — the argument of
+  *     the standard `ln(...)` idf, un-logged. Per term it is a monotone
+  *     transform (same per-term document ordering); across summed terms it
+  *     weighs rare terms more sharply than the log form. Chosen because
+  *     `ln` is not correctly-rounded in IEEE 754 (JVM `Math.log` vs
+  *     another engine's libm may differ in the last ulp), which would make
+  *     results engine-dependent; every operation used here (+, −, ×, ÷)
+  *     IS correctly rounded, so scores are bit-identical on any platform.
+  *   - '''fixed-point scores''': each per-(doc, term) partial is
+  *     `floor(score · 10⁶)` as BIGINT and the per-doc total is an integer
+  *     sum — associative, so the result is independent of partition count
+  *     and merge order. A float sum would differ run-to-run under Spark's
+  *     nondeterministic partial-aggregation order.
+  *
+  * Plan shape at scale (the inverted-index probe, without building one):
+  *   1. one corpus scan tokenizes and keeps ONLY query-term occurrences —
+  *      the explode is filtered before any shuffle, so the single
+  *      `groupBy(doc, term)` exchange carries just the searched terms'
+  *      posting lists (∝ df of the query terms, not corpus size);
+  *   2. corpus stats (N, Σdl) are one tiny aggregate broadcast back as a
+  *      1-row cross join; per-term df (≤ |terms| rows) broadcasts onto
+  *      the postings;
+  *   3. top-k is `orderBy.limit` → TakeOrderedAndProject (per-partition
+  *      heaps, no global sort).
+  */
+object Search {
+
+  /** Top-k documents by fixed-point rational-idf BM25 over
+    * whitespace-tokenized `textCol`. Returns (doc_id, n_terms, score_fp)
+    * where score_fp = Σ_term floor(idf·sat·10⁶) and n_terms counts the
+    * distinct query terms present. Ties break on ascending id.
+    *
+    * `k1` saturates term frequency (higher ⇒ slower saturation), `b`
+    * scales length normalization (0 = none, 1 = full).
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ", -1).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("dl"))
+    // 1-row corpus stats; broadcast-crossed onto the scored postings.
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // Posting lists for the query terms only: the isin filter runs inside
+    // the same stage as the explode, so the groupBy shuffle sees only
+    // matching (doc, term) occurrences.
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfPerTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfPerTerm), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), termScoreFp(k1, b).as("fp"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** floor(idf·sat·10⁶) for one (doc, term) posting row. The expression
+    * tree (parenthesization and literal values) is mirrored verbatim by
+    * [[bm25OracleSql]]: every op is correctly-rounded IEEE, so identical
+    * trees ⇒ identical bits in any engine. */
+  private def termScoreFp(k1: Double, b: Double): Column = {
+    val idf = ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val sat = (col("tf").cast(DoubleType) * lit(k1 + 1.0)) /
+      (col("tf").cast(DoubleType) +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    floor(idf * sat * lit(1000000.0)).cast(LongType)
+  }
+
+  /** The DuckDB dual of [[bm25TopK]] — same tokenization (literal-space
+    * split), same expression tree, same fixed-point floor. Literals are
+    * interpolated from the SAME Scala doubles (`toString` round-trips
+    * exactly), so both engines parse identical values. */
+  def bm25OracleSql(table: String, terms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM $table WHERE text IS NOT NULL),
+       |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |       WHERE term IN ($inList) GROUP BY 1, 2, 3),
+       |dfp AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |  CAST(floor(
+       |    ((CAST(stats.n_docs - dfp.df AS DOUBLE) + 0.5) / (CAST(dfp.df AS DOUBLE) + 0.5))
+       |    * ((CAST(tf.tf AS DOUBLE) * ${k1 + 1.0}) /
+       |       (CAST(tf.tf AS DOUBLE) +
+       |        $k1 * (1.0 - $b + $b * (CAST(tf.dl AS DOUBLE) /
+       |          (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))))
+       |    * 1000000.0) AS BIGINT) AS fp
+       |  FROM tf JOIN dfp USING (term), stats)
+       |SELECT doc_id, count(*) AS n_terms, CAST(sum(fp) AS BIGINT) AS score_fp
+       |FROM sc GROUP BY 1 ORDER BY score_fp DESC, doc_id LIMIT $topK""".stripMargin
+  }
+}

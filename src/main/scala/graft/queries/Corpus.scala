@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Search, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -949,6 +949,19 @@ object Corpus {
       |ORDER BY i, j""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q79 — BM25 keyword search: top-20 documents for a mixed rare/common
+  // term query ("dup" df≈25, "spark"/"window" df≈385 at sf0.01), scored by
+  // Search.bm25TopK's fixed-point rational-idf BM25. The lexical-retrieval
+  // dual of the embedding top-k family (q40/q42/q45); oracle is the same
+  // expression tree in DuckDB (bit-exact — see Search scaladoc).
+  def q79_bm25_search(s: SparkSession, dir: String): DataFrame =
+    Search.bm25TopK(docs(s, dir), Bm25Terms, topK = 20)
+
+  private val Bm25Terms = Seq("dup", "spark", "window")
+
+  private val q79_sql = Search.bm25OracleSql("documents", Bm25Terms, topK = 20)
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -984,7 +997,8 @@ object Corpus {
     "q68_domain_stats" -> (q68_domain_stats _),
     "q75_clean_pipeline" -> (q75_clean_pipeline _),
     "q76_pivot" -> (q76_pivot _),
-    "q78_incremental_neardup" -> (q78_incremental_neardup _)
+    "q78_incremental_neardup" -> (q78_incremental_neardup _),
+    "q79_bm25_search" -> (q79_bm25_search _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1019,6 +1033,7 @@ object Corpus {
     "q68_domain_stats" -> q68_sql,
     "q75_clean_pipeline" -> q75_sql,
     "q76_pivot" -> q76_sql,
-    "q78_incremental_neardup" -> q78_sql
+    "q78_incremental_neardup" -> q78_sql,
+    "q79_bm25_search" -> q79_sql
   )
 }

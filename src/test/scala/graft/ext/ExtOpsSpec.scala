@@ -631,4 +631,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(out("a.example.org") == (2L, 3L))
     assert(out("b.example.net") == (1L, 1L))
   }
+
+  test("bm25TopK matches the scalar-double reference on a hand fixture") {
+    val df = Seq(
+      (1L, Option("a b a")),   // tf(a)=2, dl=3
+      (2L, Option("a c")),     // tf(a)=1, tf(c)=1, dl=2
+      (3L, Option("c c c c")), // tf(c)=4, dl=4
+      (4L, Option.empty[String]) // excluded: null text
+    ).toDF("doc_id", "text")
+    // same expression tree as Search.termScoreFp, in plain JVM doubles
+    val (k1, b) = (1.2, 0.75)
+    val (nDocs, sumDl) = (3L, 9L)
+    def fp(tf: Long, df: Long, dl: Long): Long = {
+      val idf = ((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5)
+      val avgdl = sumDl.toDouble / nDocs.toDouble
+      val sat = (tf.toDouble * (k1 + 1.0)) /
+        (tf.toDouble + k1 * (1.0 - b + b * (dl.toDouble / avgdl)))
+      math.floor(idf * sat * 1000000.0).toLong
+    }
+    val out = Search.bm25TopK(df, Seq("a", "c"), topK = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Long]("score_fp")))
+    assert(out.map(_._1).toSeq == Seq(2L, 3L, 1L), s"ranking was ${out.toSeq}")
+    val byId = out.toMap
+    assert(byId(1L) == (1L, fp(2, 2, 3)))                 // "a" only
+    assert(byId(2L) == (2L, fp(1, 2, 2) + fp(1, 2, 2)))   // both terms, tf=1 each
+    assert(byId(3L) == (1L, fp(4, 2, 4)))                 // "c" only
+    // single-term query never returns non-matching docs
+    val onlyA = Search.bm25TopK(df, Seq("a"), topK = 10).collect().map(_.getLong(0))
+    assert(onlyA.toSet == Set(1L, 2L))
+  }
 }

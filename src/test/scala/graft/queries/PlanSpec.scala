@@ -47,6 +47,21 @@ class PlanSpec extends SparkSpec {
       s"expected a broadcast dimension join:\n$p")
   }
 
+  test("bm25 probes posting lists without building an index (q79 shape)") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    val p = plan(graft.ext.Search.bm25TopK(docs, Seq("dup", "spark"), topK = 20))
+    // df + stats join back as broadcasts; top-k is a heap, not a global sort
+    assert(p.contains("BroadcastExchange"), s"expected broadcast stat joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
+    // the term filter must run before the tf groupBy's exchange, so the
+    // shuffle carries only query-term postings (plan order: Filter deeper
+    // than the first Exchange above it)
+    val firstEx = p.indexOf("Exchange hashpartitioning")
+    val termFilter = p.indexOf("Filter")
+    assert(firstEx >= 0 && termFilter > firstEx,
+      s"term filter not below the tf shuffle:\n$p")
+  }
+
   test("histogram aggregates partially before its one shuffle") {
     val li = graft.core.Tables.load(spark, sf001, "lineitem")
     val p = plan(graft.ext.Stats.histogram(li, "l_extendedprice", 0.0, 100.0))
