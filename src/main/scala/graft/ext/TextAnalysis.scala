@@ -418,6 +418,58 @@ object TextAnalysis {
   val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
+  /** Markup-stripping patterns, in the Java∩RE2 subset like the PII set.
+    * `(?is)` (case-fold + dot-matches-newline) and lazy `.*?` are inline
+    * flags both engines share. The whitespace run is an EXPLICIT class:
+    * Java's `\s` includes `\x0B` (vertical tab) where RE2's does not —
+    * the one place the dialects' shorthands silently diverge. */
+  val ScriptBlockRe = "(?is)<script[^>]*>.*?</script>"
+  val StyleBlockRe = "(?is)<style[^>]*>.*?</style>"
+  val TagRe = "<[^>]*>"
+  val WsRunRe = "[ \\t\\n\\r\\f]+"
+
+  /** Entity decode table, applied in order. `&amp;` is LAST: decoding it
+    * first would turn `&amp;lt;` (an escaped "&lt;" in the source) into
+    * `&lt;` and then wrongly into `<` — the classic double-decode bug. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML/markup boilerplate stripping — the first cleaning pass over
+    * web-crawled training text: script/style blocks go first (their
+    * bodies contain `>` that would truncate a generic tag match), then
+    * remaining tags become spaces (tags separate words), entities decode
+    * (AFTER tag removal, so `&lt;tag&gt;` stays visible text), and
+    * whitespace runs collapse. Adds `clean_text` + `n_chars_clean`;
+    * null text propagates to null outputs (the pass stays total on its
+    * input). Map-only: one codegen'd projection, no shuffle — linear at
+    * any corpus size, and embarrassingly parallel at 100 TB. */
+  def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val noBlocks = regexp_replace(
+      regexp_replace(col(textCol), ScriptBlockRe, " "), StyleBlockRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) {
+      case (c, (from, to)) => replace(c, lit(from), lit(to))
+    }
+    val clean = trim(regexp_replace(decoded, WsRunRe, " "))
+    docs.withColumn("clean_text", clean)
+      .withColumn("n_chars_clean", length(col("clean_text")).cast(LongType))
+  }
+
+  /** The DuckDB dual of [[stripMarkup]]'s projection for one SQL
+    * expression `in`: same patterns, same order, literal `replace` for
+    * the entity table. Lives here so the operator and its oracle can
+    * never drift apart. */
+  def stripMarkupSqlExpr(in: String): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val noBlocks = s"regexp_replace(regexp_replace($in, ${q(ScriptBlockRe)}, ' ', 'g'), ${q(StyleBlockRe)}, ' ', 'g')"
+    val noTags = s"regexp_replace($noBlocks, ${q(TagRe)}, ' ', 'g')"
+    val decoded = HtmlEntities.foldLeft(noTags) {
+      case (c, (from, to)) => s"replace($c, ${q(from)}, ${q(to)})"
+    }
+    s"trim(regexp_replace($decoded, ${q(WsRunRe)}, ' ', 'g'))"
+  }
+
   /** PII detection + redaction — the scrubbing pass a training-data
     * pipeline runs before anything else sees the text: counts each PII
     * class on the ORIGINAL text, then redacts in a fixed order

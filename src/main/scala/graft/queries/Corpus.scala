@@ -962,6 +962,41 @@ object Corpus {
   private val q79_sql = Search.bm25OracleSql("documents", Bm25Terms, topK = 20)
 
   // --------------------------------------------------------------------------
+  // q80 — HTML/markup stripping: the corpus wrapped in realistic page
+  // chrome (uppercase STYLE block, a script whose body contains a bare
+  // `>`, attributes, entity-escaped text) → TextAnalysis.stripMarkup.
+  // The script-body `>` proves block stripping runs before generic tag
+  // removal; the entity paragraph proves decode runs after it. Oracle is
+  // the same pattern chain via stripMarkupSqlExpr (Java∩RE2 subset).
+  def q80_strip_markup(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast(StringType)
+    val planted = docs(s, dir).select(col("doc_id"), concat(
+      lit("<html><head><STYLE>p {color:#c00}</STYLE><script type=\"text/js\">var i="),
+      id, lit(";if(i>1){i=0}</script></head><body class=\"doc\"><h1>Doc "),
+      id, lit("</h1> <p>"), col("text"),
+      lit("</p> <p>&quot;q&quot; &amp;amp; &lt;tag&gt;&nbsp;&#39;s&#39;</p></body></html>")
+    ).as("text"))
+    TextAnalysis.stripMarkup(planted)
+      .select(col("doc_id"), col("clean_text"), col("n_chars_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q80_sql = {
+    // NOTE: lines END with || — this fragment is interpolated into a
+    // .stripMargin string (see piiPlantSql's note on the same trap)
+    val plant = """SELECT doc_id,
+      '<html><head><STYLE>p {color:#c00}</STYLE><script type="text/js">var i=' ||
+      CAST(doc_id AS VARCHAR) || ';if(i>1){i=0}</script></head><body class="doc"><h1>Doc ' ||
+      CAST(doc_id AS VARCHAR) || '</h1> <p>' || text ||
+      '</p> <p>&quot;q&quot; &amp;amp; &lt;tag&gt;&nbsp;&#39;s&#39;</p></body></html>' AS t
+      FROM documents"""
+    s"""WITH p AS ($plant),
+      |c AS (SELECT doc_id, ${TextAnalysis.stripMarkupSqlExpr("t")} AS clean_text FROM p)
+      |SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+      |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -998,7 +1033,8 @@ object Corpus {
     "q75_clean_pipeline" -> (q75_clean_pipeline _),
     "q76_pivot" -> (q76_pivot _),
     "q78_incremental_neardup" -> (q78_incremental_neardup _),
-    "q79_bm25_search" -> (q79_bm25_search _)
+    "q79_bm25_search" -> (q79_bm25_search _),
+    "q80_strip_markup" -> (q80_strip_markup _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1034,6 +1070,7 @@ object Corpus {
     "q75_clean_pipeline" -> q75_sql,
     "q76_pivot" -> q76_sql,
     "q78_incremental_neardup" -> q78_sql,
-    "q79_bm25_search" -> q79_sql
+    "q79_bm25_search" -> q79_sql,
+    "q80_strip_markup" -> q80_sql
   )
 }

@@ -632,6 +632,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(out("b.example.net") == (1L, 1L))
   }
 
+  test("stripMarkup: block-before-tag order, single-pass entity decode, null totality") {
+    val df = Seq(
+      // script body contains a bare `>` — generic TagRe alone would leave
+      // `1){i=0}</script>` behind; block stripping must win
+      (1L, Option("<p>hello</p><script>if(i>1){i=0}</script><b>world</b>")),
+      // &amp;lt; must decode ONCE to &lt; (never twice to <);
+      // &lt;tag&gt; decodes to visible <tag> and is NOT re-stripped
+      (2L, Option("a &amp;lt; b &lt;tag&gt; c &nbsp;d")),
+      (3L, Option("<STYLE media=\"x\">p>q{}</STYLE>only")),
+      (4L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripMarkup(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(out(1L) == "hello world")
+    assert(out(2L) == "a &lt; b <tag> c d")
+    assert(out(3L) == "only")
+    assert(out(4L) == null)
+  }
+
   test("bm25TopK matches the scalar-double reference on a hand fixture") {
     val df = Seq(
       (1L, Option("a b a")),   // tf(a)=2, dl=3
