@@ -59,4 +59,55 @@ object Sharding {
       .withColumn("shard", intDiv(col("tokens_before"), budget))
       .select(col(idCol), col("n_tokens"), col("tokens_before"), col("shard"))
   }
+
+  /** Weighted source mixing — the data-mixing step of a training run:
+    * interleave documents from several sources into ONE deterministic
+    * global order where source `s` appears `weights(s)` times as often as
+    * a weight-1 source (classic stride scheduling: the k-th doc of source
+    * `s` sits at integer position `k · (lcm(weights) / weights(s))`; ties
+    * break by (source, id)). Sources absent from `weights` are excluded.
+    *
+    * Positions are PURE INTEGERS (stride = lcm/w is exact), so the order
+    * is bit-deterministic on any engine — no float rank keys. The global
+    * sequence number is assigned with the same parallel prefix-sum shape
+    * as [[tokenBudgetShards]]: position-range buckets → tiny bucket-count
+    * table gets the only global window → within-bucket row_number
+    * (parallel) + broadcast bucket offset. No single-partition sort at
+    * any corpus size.
+    *
+    * Returns (idCol, srcCol, pos, seq) with `seq` the contiguous 1-based
+    * global interleave index. */
+  def mixSources(docs: DataFrame, weights: Map[String, Long],
+      grain: Long = 65536,
+      idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
+    require(weights.nonEmpty, "mixSources needs at least one weighted source")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    require(grain > 0, "grain must be positive")
+    import graft.queries.intDiv
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmAll = weights.values.reduce((a, b) => a / gcd(a, b) * b)
+    val stride = weights.foldLeft(lit(null).cast(LongType)) {
+      case (acc, (s, w)) => when(col(srcCol) === s, lit(lcmAll / w)).otherwise(acc)
+    }
+    val kW = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
+    // two consumers (bucket counts + final join) → persist: the per-source
+    // rank window runs once
+    val hub = graft.core.Caches.persist(
+      docs.filter(col(srcCol).isin(weights.keys.toSeq: _*))
+        .select(col(idCol), col(srcCol))
+        .withColumn("pos", row_number().over(kW).cast(LongType) * stride)
+        .withColumn("bucket", intDiv(col("pos"), grain)))
+    val offsets = hub.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_rows"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_rows")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    val within = Window.partitionBy(col("bucket"))
+      .orderBy(col("pos"), col(srcCol), col(idCol))
+    hub.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("seq", col("bucket_offset") + row_number().over(within).cast(LongType))
+      .select(col(idCol), col(srcCol), col("pos"), col("seq"))
+  }
 }

@@ -997,6 +997,28 @@ object Corpus {
   }
 
   // --------------------------------------------------------------------------
+  // q81 — weighted source mixing (stride scheduling): src0 4× as often as
+  // src2, src1 2×; sources outside the weight map excluded. The parallel
+  // bucket-offset seq (see ext.Sharding.mixSources) is verified against
+  // the serial rule: one global row_number over (pos, source, doc_id).
+  def q81_source_mix(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sharding.mixSources(docs(s, dir),
+      Map("src0" -> 4L, "src1" -> 2L, "src2" -> 1L), grain = 64)
+      .orderBy(col("seq"))
+
+  private val q81_sql =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS k
+      |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+      |p AS (SELECT doc_id, source,
+      |  k * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2 WHEN 'src2' THEN 4 END) AS pos
+      |  FROM r)
+      |SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+      |  row_number() OVER (ORDER BY pos, source, doc_id) AS seq
+      |FROM p ORDER BY seq""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -1034,7 +1056,8 @@ object Corpus {
     "q76_pivot" -> (q76_pivot _),
     "q78_incremental_neardup" -> (q78_incremental_neardup _),
     "q79_bm25_search" -> (q79_bm25_search _),
-    "q80_strip_markup" -> (q80_strip_markup _)
+    "q80_strip_markup" -> (q80_strip_markup _),
+    "q81_source_mix" -> (q81_source_mix _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1071,6 +1094,7 @@ object Corpus {
     "q76_pivot" -> q76_sql,
     "q78_incremental_neardup" -> q78_sql,
     "q79_bm25_search" -> q79_sql,
-    "q80_strip_markup" -> q80_sql
+    "q80_strip_markup" -> q80_sql,
+    "q81_source_mix" -> q81_sql
   )
 }

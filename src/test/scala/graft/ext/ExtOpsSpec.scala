@@ -632,6 +632,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(out("b.example.net") == (1L, 1L))
   }
 
+  test("mixSources: 2:1 stride interleave, ties by source, excluded sources dropped") {
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (11L, "b"), (12L, "b"),
+      (99L, "c") // not in the weight map → excluded
+    ).toDF("doc_id", "text").withColumnRenamed("text", "source")
+    // grain=2 forces several buckets, so the parallel seq machinery is
+    // actually exercised (not one bucket degenerating to the serial rule)
+    val out = Sharding.mixSources(df, Map("a" -> 2L, "b" -> 1L), grain = 2)
+      .orderBy(col("seq")).collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    // strides: a=1, b=2 → pos a:1,2,3,4  b:2,4; pos-ties break source asc
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a"), (2L, 2L, "a"), (3L, 11L, "b"),
+      (4L, 3L, "a"), (5L, 4L, "a"), (6L, 12L, "b")))
+  }
+
   test("stripMarkup: block-before-tag order, single-pass entity decode, null totality") {
     val df = Seq(
       // script body contains a bare `>` — generic TagRe alone would leave
