@@ -293,4 +293,40 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** Per-dimension min-max int8 scalar quantization — the 4× compression
+    * pass before an embedding index is served (or shipped to a cheaper
+    * store): component `x` of dimension `i` maps to
+    * `floor((x − mn_i) / (mx_i − mn_i) · 255) − 128  ∈ [−128, 127]`
+    * (a constant dimension maps to 0). Null vectors pass through as null
+    * (the pass stays total, like [[graft.ext.TextAnalysis.stripMarkup]]).
+    *
+    * Determinism: floats widen to doubles exactly; the scale expression
+    * is the same correctly-rounded IEEE tree on any engine (the
+    * [[Search]] discipline), so codes are bit-identical everywhere.
+    *
+    * Plan shape: exact per-dim ranges need one corpus pass (posexplode →
+    * dims-row aggregate); the dims×2 result is a driver literal — the
+    * same legitimate tiny-collect as the IVF centroids above — and the
+    * quantize itself is map-only with the ranges inlined into codegen.
+    * Two scans total, no join back onto the corpus. */
+  def quantizeInt8(base: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val stats = base.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x0")))
+      .groupBy(col("dim"))
+      .agg(min(col("x0").cast(DoubleType)).as("mn"),
+        max(col("x0").cast(DoubleType)).as("mx"))
+      .orderBy(col("dim")).collect()
+    val mnLit = typedLit(stats.map(_.getAs[Double]("mn")).toSeq)
+    val mxLit = typedLit(stats.map(_.getAs[Double]("mx")).toSeq)
+    val qvec = transform(col(vecCol), (x, i) => {
+      val mn = element_at(mnLit, (i + lit(1)).cast(IntegerType))
+      val mx = element_at(mxLit, (i + lit(1)).cast(IntegerType))
+      when(mx === mn, lit(0L)).otherwise(
+        floor(((x.cast(DoubleType) - mn) / (mx - mn)) * lit(255.0)).cast(LongType)
+          - lit(128L))
+    })
+    base.withColumn("qvec", qvec)
+  }
 }

@@ -1019,6 +1019,31 @@ object Corpus {
       |FROM p ORDER BY seq""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q82 — int8 scalar quantization of the embeddings table: per-dimension
+  // exact min/max ranges (one aggregate pass, dims×2 driver literal),
+  // then a map-only quantize. Output exploded to (vec_id, dim, q) scalars
+  // so the gate hashes longs, not array reprs. Oracle recomputes the same
+  // ranges and the same IEEE expression tree via DuckDB's zipped unnest.
+  def q82_embedding_quantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(emb(s, dir))
+      .select(col("vec_id"), posexplode(col("qvec")).as(Seq("dim", "q")))
+      .orderBy(col("vec_id"), col("dim"))
+
+  private val q82_sql =
+    """WITH e AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         unnest(range(len(embedding))) AS dim
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |r AS (SELECT dim, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+      |      FROM e GROUP BY 1)
+      |SELECT vec_id, CAST(e.dim AS INT) AS dim,
+      |  CASE WHEN mx = mn THEN 0
+      |       ELSE CAST(floor(((CAST(x AS DOUBLE) - mn) / (mx - mn)) * 255.0) AS BIGINT) - 128
+      |  END AS q
+      |FROM e JOIN r ON e.dim = r.dim
+      |ORDER BY vec_id, dim""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -1057,7 +1082,8 @@ object Corpus {
     "q78_incremental_neardup" -> (q78_incremental_neardup _),
     "q79_bm25_search" -> (q79_bm25_search _),
     "q80_strip_markup" -> (q80_strip_markup _),
-    "q81_source_mix" -> (q81_source_mix _)
+    "q81_source_mix" -> (q81_source_mix _),
+    "q82_embedding_quantize" -> (q82_embedding_quantize _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1095,6 +1121,7 @@ object Corpus {
     "q78_incremental_neardup" -> q78_sql,
     "q79_bm25_search" -> q79_sql,
     "q80_strip_markup" -> q80_sql,
-    "q81_source_mix" -> q81_sql
+    "q81_source_mix" -> q81_sql,
+    "q82_embedding_quantize" -> q82_sql
   )
 }

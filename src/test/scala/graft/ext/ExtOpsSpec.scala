@@ -632,6 +632,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(out("b.example.net") == (1L, 1L))
   }
 
+  test("quantizeInt8: extremes hit -128/127, constant dim is 0, null vec passes through") {
+    val df = Seq(
+      (1L, Array(0.0f, 5.0f, -2.0f)),
+      (2L, Array(10.0f, 5.0f, 2.0f)),
+      (3L, Array(5.0f, 5.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq((4L, Option.empty[Array[Float]])).toDF("vec_id", "embedding"))
+    val out = Similarity.quantizeInt8(df).collect()
+      .map { r =>
+        val i = r.fieldIndex("qvec")
+        r.getAs[Long]("vec_id") ->
+          (if (r.isNullAt(i)) None else Some(r.getSeq[Long](i).toList))
+      }.toMap
+    // dim0 range [0,10]: 0→-128, 10→127, 5→floor(.5*255)-128=-1
+    assert(out(1L).get == Seq(-128L, 0L, -128L)) // dim1 constant → 0
+    assert(out(2L).get == Seq(127L, 0L, 127L))
+    assert(out(3L).get(0) == -1L && out(3L).get(2) == -1L) // midpoints agree
+    assert(out(4L).isEmpty)
+  }
+
   test("mixSources: 2:1 stride interleave, ties by source, excluded sources dropped") {
     val df = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
