@@ -30,7 +30,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *     nondeterministic partial-aggregation order.
   *
   * Plan shape at scale (the inverted-index probe, without building one):
-  *   1. one corpus scan tokenizes and keeps ONLY query-term occurrences —
+  *   1. the corpus tokenizes once into a persisted hub (two consumers:
+  *      stats + postings); the posting probe keeps ONLY query-term
+  *      occurrences —
   *      the explode is filtered before any shuffle, so the single
   *      `groupBy(doc, term)` exchange carries just the searched terms'
   *      posting lists (∝ df of the query terms, not corpus size);
@@ -54,9 +56,12 @@ object Search {
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
-    val base = docs.filter(col(textCol).isNotNull)
+    // persisted hub: the corpus is tokenized ONCE for its two consumers
+    // (the 1-row stats aggregate and the posting probe) — the file-local
+    // convention for two-consumer tokenizations
+    val base = graft.core.Caches.persist(docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ", -1).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("dl"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("dl")))
     // 1-row corpus stats; broadcast-crossed onto the scored postings.
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // Posting lists for the query terms only: the isin filter runs inside

@@ -43,13 +43,7 @@ object Sharding {
       size(split(col(textCol), " ", -1)).cast(LongType).as("n_tokens"),
       intDiv(col(idCol), bucketSize).as("bucket")))
     // 2. running offset per bucket (global window over the TINY bucket table)
-    val offsets = toks.groupBy(col("bucket"))
-      .agg(sum(col("n_tokens")).as("bucket_tokens"))
-      .withColumn("bucket_offset",
-        coalesce(sum(col("bucket_tokens")).over(
-          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("bucket"), col("bucket_offset"))
+    val offsets = bucketOffsets(toks, sum(col("n_tokens")))
     // 3. within-bucket prefix (parallel across buckets) + broadcast offset
     val wdw = Window.partitionBy(col("bucket")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -84,8 +78,12 @@ object Sharding {
     require(weights.values.forall(_ > 0), "weights must be positive")
     require(grain > 0, "grain must be positive")
     import graft.queries.intDiv
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val lcmAll = weights.values.reduce((a, b) => a / gcd(a, b) * b)
+    // BigInt lcm, then prove it (and the largest positions it produces)
+    // fits Long — coprime large weights overflow silently otherwise
+    val lcmBig = weights.values.map(BigInt(_)).reduce((a, b) => a / a.gcd(b) * b)
+    require(lcmBig.isValidLong,
+      s"lcm of weights $weights overflows Long — use smaller ratios")
+    val lcmAll = lcmBig.toLong
     val stride = weights.foldLeft(lit(null).cast(LongType)) {
       case (acc, (s, w)) => when(col(srcCol) === s, lit(lcmAll / w)).otherwise(acc)
     }
@@ -97,17 +95,24 @@ object Sharding {
         .select(col(idCol), col(srcCol))
         .withColumn("pos", row_number().over(kW).cast(LongType) * stride)
         .withColumn("bucket", intDiv(col("pos"), grain)))
-    val offsets = hub.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("bucket_rows"))
-      .withColumn("bucket_offset",
-        coalesce(sum(col("bucket_rows")).over(
-          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("bucket"), col("bucket_offset"))
+    val offsets = bucketOffsets(hub, count(lit(1)))
     val within = Window.partitionBy(col("bucket"))
       .orderBy(col("pos"), col(srcCol), col(idCol))
     hub.join(broadcast(offsets), Seq("bucket"))
       .withColumn("seq", col("bucket_offset") + row_number().over(within).cast(LongType))
       .select(col(idCol), col(srcCol), col("pos"), col("seq"))
   }
+
+  /** The exclusive-prefix-sum step both operators share: per-`bucket`
+    * totals of `perRow` get a running offset via the ONLY global window —
+    * over the tiny bucket table, |rows|/grain smaller than the input. */
+  private def bucketOffsets(rows: DataFrame,
+      perRow: org.apache.spark.sql.Column): DataFrame =
+    rows.groupBy(col("bucket"))
+      .agg(perRow.as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_total")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
 }

@@ -318,8 +318,15 @@ object Similarity {
       .agg(min(col("x0").cast(DoubleType)).as("mn"),
         max(col("x0").cast(DoubleType)).as("mx"))
       .orderBy(col("dim")).collect()
-    val mnLit = typedLit(stats.map(_.getAs[Double]("mn")).toSeq)
-    val mxLit = typedLit(stats.map(_.getAs[Double]("mx")).toSeq)
+    // an all-null dimension has null mn/mx and must stay null (its codes
+    // come out null, matching SQL CASE/arithmetic semantics) — getAs would
+    // silently unbox null to 0.0
+    def statLit(field: String) = array(stats.map { r =>
+      if (r.isNullAt(r.fieldIndex(field))) lit(null).cast(DoubleType)
+      else lit(r.getAs[Double](field))
+    }.toSeq: _*)
+    val mnLit = statLit("mn")
+    val mxLit = statLit("mx")
     val qvec = transform(col(vecCol), (x, i) => {
       val mn = element_at(mnLit, (i + lit(1)).cast(IntegerType))
       val mx = element_at(mxLit, (i + lit(1)).cast(IntegerType))

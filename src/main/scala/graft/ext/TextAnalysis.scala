@@ -419,12 +419,16 @@ object TextAnalysis {
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   /** Markup-stripping patterns, in the Java∩RE2 subset like the PII set.
-    * `(?is)` (case-fold + dot-matches-newline) and lazy `.*?` are inline
-    * flags both engines share. The whitespace run is an EXPLICIT class:
-    * Java's `\s` includes `\x0B` (vertical tab) where RE2's does not —
-    * the one place the dialects' shorthands silently diverge. */
-  val ScriptBlockRe = "(?is)<script[^>]*>.*?</script>"
-  val StyleBlockRe = "(?is)<style[^>]*>.*?</style>"
+    * `(?s)` (dot-matches-newline) and lazy `.*?` are shared inline syntax.
+    * Case-insensitivity is spelled as EXPLICIT ASCII classes, not `(?i)`:
+    * Java's `(?i)` folds ASCII only while RE2's does simple Unicode
+    * folding (U+017F LONG S folds to `s` in RE2, so `<ſcript>` would
+    * strip in DuckDB but not in Spark). Likewise the whitespace run is an
+    * explicit class: Java's `\s` includes `\x0B` where RE2's does not. */
+  private def ci(word: String): String =
+    word.map(c => s"[${c.toLower}${c.toUpper}]").mkString
+  val ScriptBlockRe = s"(?s)<${ci("script")}[^>]*>.*?</${ci("script")}>"
+  val StyleBlockRe = s"(?s)<${ci("style")}[^>]*>.*?</${ci("style")}>"
   val TagRe = "<[^>]*>"
   val WsRunRe = "[ \\t\\n\\r\\f]+"
 

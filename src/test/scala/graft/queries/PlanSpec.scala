@@ -53,12 +53,17 @@ class PlanSpec extends SparkSpec {
     // df + stats join back as broadcasts; top-k is a heap, not a global sort
     assert(p.contains("BroadcastExchange"), s"expected broadcast stat joins:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
-    // the term filter must run before the tf groupBy's exchange, so the
-    // shuffle carries only query-term postings (plan order: Filter deeper
-    // than the first Exchange above it)
-    val firstEx = p.indexOf("Exchange hashpartitioning")
-    val termFilter = p.indexOf("Filter")
-    assert(firstEx >= 0 && termFilter > firstEx,
+    // the term ISIN filter must run below the tf groupBy's exchange (the
+    // one partitioned by term), so that shuffle carries only query-term
+    // postings. Anchor on the specific exchange and the specific filter —
+    // a bare indexOf("Filter") would also match scan pushdown text.
+    val tfEx = "Exchange hashpartitioning\\([^\\n]*term".r
+      .findFirstMatchIn(p).map(_.start)
+    val isinFilter = "Filter [^\\n]*term#\\d+ IN \\(".r
+      .findFirstMatchIn(p).map(_.start)
+    assert(tfEx.isDefined, s"no tf exchange keyed on term in:\n$p")
+    assert(isinFilter.isDefined, s"no term isin filter in:\n$p")
+    assert(isinFilter.get > tfEx.get,
       s"term filter not below the tf shuffle:\n$p")
   }
 
