@@ -55,6 +55,14 @@ object Compiler {
       conf.config.foldLeft(spark.read.format(conf.typ)) {
         case (r, (k, v)) => r.option(k, v)
       }.load(conf.path.get)
+    // multimodal ingest: each file → one row with the opaque binary
+    // `content` payload + typed metadata (path, modificationTime, length)
+    // — the ext.Multimodal column convention. Options pass through
+    // (pathGlobFilter to select extensions, recursiveFileLookup, ...).
+    case "binary_files" =>
+      conf.config.foldLeft(spark.read.format("binaryFile")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(conf.path.get)
     case other => sys.error(s"source '$other' is streaming-only; use streamSource")
   }
 

@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
 object SpecLoader {
 
   val sourceTypes = Set("stdin", "http_server", "kafka", "text_file",
-    "csv", "json", "parquet", "orc", "xml")
+    "csv", "json", "parquet", "orc", "xml", "binary_files")
   val processorTypes = Set("noop", "replace", "process",
     "regex_replace", "regex_split", "regex_select")
   val sinkTypes = Set("stdout", "kafka", "parquet", "csv", "json", "orc", "xml")
@@ -48,7 +48,7 @@ object SpecLoader {
   private def sourceConf(m: Map[String, Any]): SourceConf = {
     val t = m("type").toString
     require(sourceTypes(t), s"unknown source type: $t")
-    if (Set("text_file", "csv", "json", "parquet", "orc", "xml")(t))
+    if (Set("text_file", "csv", "json", "parquet", "orc", "xml", "binary_files")(t))
       require(m.contains("path"), s"source type '$t' requires a path")
     if (t == "http_server")
       require(m.get("config").exists(anyMap(_).contains("spool_dir")),

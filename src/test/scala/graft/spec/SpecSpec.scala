@@ -169,6 +169,24 @@ class SpecSpec extends SparkSpec {
     assert(texts(back).sorted == Seq("x", "y"))
   }
 
+  test("binary_files source: one row per file, opaque payload + metadata") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bin").toString
+    val payload = Array[Byte](0x47, 0x49, 0x46, 0x38, 0, -1, 127) // binary, not UTF-8
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/a.gif"), payload)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/skip.txt"), "no")
+    val spec = SpecLoader.load(
+      s"""input: {type: binary_files, path: "$tmp", config: {pathGlobFilter: "*.gif"}}
+         |pipeline:
+         |  processors: []
+         |output: {type: parquet, path: "$tmp/out"}
+         |""".stripMargin)
+    val df = Compiler.source(spark, spec.input)
+    val rows = df.select("path", "length", "content").collect()
+    assert(rows.length == 1, "glob filter must drop the .txt file")
+    assert(rows(0).getAs[Long]("length") == payload.length.toLong)
+    assert(rows(0).getAs[Array[Byte]]("content").toSeq == payload.toSeq)
+  }
+
   test("CLI config resolution: -c flag > CONFIG_FILE env > default") {
     import graft.Main
     assert(Main.configPath(Array("-c", "x.yml"), Map("CONFIG_FILE" -> "e.yml")) == "x.yml")
