@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -96,6 +97,60 @@ object Search {
         lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
     floor(idf * sat * lit(1000000.0)).cast(LongType)
   }
+
+  /** Top-k keywords PER DOCUMENT by tf·idf — the corpus-wide tagging
+    * projection ([[bm25TopK]] is the query-time probe; this scores every
+    * (doc, term) pair). Same reproducibility discipline: rational idf
+    * `(N − df + 0.5)/(df + 0.5)`, fixed-point `floor(tf · idf · 10⁶)`.
+    *
+    * Plan shape at scale: tokenize once into a persisted hub; tf is one
+    * (doc, term) aggregate; df is a vocab-sized term aggregate off the tf
+    * table (never a second corpus pass); the tf⋈df join shuffles on term
+    * (vocab-scale — a broadcast would not survive a web-scale vocab, AQE
+    * handles the zipf head); top-k per doc is a hash-partitioned window,
+    * parallel across docs. Returns (doc_id, term, tf, df, score_fp, rk),
+    * ties broken by term ascending. */
+  def tfidfKeywords(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hub = graft.core.Caches.persist(docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ", -1)).as("term")))
+    val nDocs = hub.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val tf = hub.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfPerTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("term"))
+    tf.join(dfPerTerm, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_fp",
+        floor(col("tf").cast(DoubleType) * idf * lit(1000000.0)).cast(LongType))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_fp"), col("rk"))
+  }
+
+  /** The DuckDB dual of [[tfidfKeywords]] — same tokenization, tree, and
+    * floor. */
+  def tfidfOracleSql(table: String, k: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM $table WHERE text IS NOT NULL),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfp AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfp.df,
+       |  CAST(floor(CAST(tf.tf AS DOUBLE) *
+       |    ((CAST(n.n_docs - dfp.df AS DOUBLE) + 0.5) / (CAST(dfp.df AS DOUBLE) + 0.5))
+       |    * 1000000.0) AS BIGINT) AS score_fp
+       |  FROM tf JOIN dfp USING (term), n),
+       |rk AS (SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rk FROM sc)
+       |SELECT doc_id, term, tf, df, score_fp, rk FROM rk WHERE rk <= $k
+       |ORDER BY doc_id, rk""".stripMargin
 
   /** The DuckDB dual of [[bm25TopK]] — same tokenization (literal-space
     * split), same expression tree, same fixed-point floor. Literals are

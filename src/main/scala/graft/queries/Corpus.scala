@@ -1044,6 +1044,17 @@ object Corpus {
       |ORDER BY vec_id, dim""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q83 — tf·idf keyword extraction: top-5 terms per document (the
+  // corpus-wide tagging projection; q79 is the query-time probe). Small
+  // corpus vocabulary (~30 terms) makes the rank boundary exercise real
+  // tie-breaking. Fixed-point scores — see ext.Search.
+  def q83_tfidf_keywords(s: SparkSession, dir: String): DataFrame =
+    Search.tfidfKeywords(docs(s, dir), k = 5)
+      .orderBy(col("doc_id"), col("rk"))
+
+  private val q83_sql = Search.tfidfOracleSql("documents", k = 5)
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -1083,7 +1094,8 @@ object Corpus {
     "q79_bm25_search" -> (q79_bm25_search _),
     "q80_strip_markup" -> (q80_strip_markup _),
     "q81_source_mix" -> (q81_source_mix _),
-    "q82_embedding_quantize" -> (q82_embedding_quantize _)
+    "q82_embedding_quantize" -> (q82_embedding_quantize _),
+    "q83_tfidf_keywords" -> (q83_tfidf_keywords _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1122,6 +1134,7 @@ object Corpus {
     "q79_bm25_search" -> q79_sql,
     "q80_strip_markup" -> q80_sql,
     "q81_source_mix" -> q81_sql,
-    "q82_embedding_quantize" -> q82_sql
+    "q82_embedding_quantize" -> q82_sql,
+    "q83_tfidf_keywords" -> q83_sql
   )
 }

@@ -688,6 +688,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(4L) == null)
   }
 
+  test("tfidfKeywords: rare terms outrank common ones; k and ties respected") {
+    val df = Seq(
+      (1L, "x x common"),  // x only in doc1 (rare, tf=2)
+      (2L, "common common y"),
+      (3L, "common z z z")
+    ).toDF("doc_id", "text")
+    val out = Search.tfidfKeywords(df, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rk")) -> r.getAs[String]("term"))
+      .toMap
+    // per doc: the doc-unique term (idf (3-1+.5)/1.5=5/3) beats 'common'
+    // (idf (3-3+.5)/3.5=1/7) at any tf in this fixture
+    assert(out((1L, 1)) == "x" && out((1L, 2)) == "common")
+    assert(out((2L, 1)) == "y" && out((2L, 2)) == "common")
+    assert(out((3L, 1)) == "z" && out((3L, 2)) == "common")
+    assert(out.size == 6) // k=2 per doc, nothing more
+  }
+
   test("bm25TopK matches the scalar-double reference on a hand fixture") {
     val df = Seq(
       (1L, Option("a b a")),   // tf(a)=2, dl=3
