@@ -644,6 +644,30 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("cluster_id"))
   }
 
+  /** Leakage-safe train/val/test split: [[dedupDecision]]'s clusters +
+    * [[TextAnalysis.splitLabel]]'s content-hash rule, keyed by the CLUSTER
+    * CANONICAL's text hash — every member of a near-dup cluster lands in
+    * the same split, so a near-duplicate of a training doc can never leak
+    * into val/test (the eval-contamination bug a per-doc content split
+    * cannot prevent: near-dup member texts differ, so their own hashes
+    * land in different buckets).
+    *
+    * Plan: the decision join plus ONE extra join of the canonical-bucket
+    * projection (|docs| rows, two columns) onto members by cluster_id —
+    * no text moves, only the 0-99 bucket. */
+  def clusterSafeSplit(docs: DataFrame, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val decision = dedupDecision(docs, pairs, idCol)
+    val canonBucket = docs.select(col(idCol).as("cluster_id"),
+      pmod(TextAnalysis.hash60(col(textCol)), lit(100L)).as("split_bucket"))
+    decision.join(canonBucket, Seq("cluster_id"))
+      .withColumn("split",
+        TextAnalysis.splitLabel(col("split_bucket"), trainPct, valPct))
+      .select(col(idCol), col("cluster_id"), col("keep"),
+        col("split_bucket"), col("split"))
+  }
+
   /** Blocked fuzzy-match pairs — the entity-resolution primitive (match a
     * dirty feed against a catalog, reconcile name variants): candidate
     * pairs come from a BLOCKING key (caller-chosen — first token, phonetic

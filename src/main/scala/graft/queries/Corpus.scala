@@ -1055,6 +1055,43 @@ object Corpus {
   private val q83_sql = Search.tfidfOracleSql("documents", k = 5)
 
   // --------------------------------------------------------------------------
+  // q84 — leakage-safe split: q55's clusters + q52's content-hash split
+  // rule keyed by the cluster CANONICAL's hash, so near-dups never
+  // straddle train/val/test. Oracle chains the recursive-CTE clustering
+  // with the md5 bucket rule through the same canonical join.
+  def q84_cluster_safe_split(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.nearDupJaccard(d, n = 16, maxDf = 500, minJaccard = 0.5)
+    Dedup.clusterSafeSplit(d, pairs)
+      .select(col("doc_id"), col("cluster_id"),
+        col("keep").cast(IntegerType).as("keep"),
+        col("split_bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q84_sql =
+    s"""WITH RECURSIVE ${jaccardPairCtes("0.5")},
+      |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT i AS id, i AS r FROM edges
+      |  UNION
+      |  SELECT e.i AS id, reach.r FROM edges e JOIN reach ON e.j = reach.id),
+      |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |dec AS (SELECT d.doc_id,
+      |    coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+      |    CAST(d.doc_id = coalesce(cl.cluster_id, d.doc_id) AS INT) AS keep
+      |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+      |cb AS (SELECT doc_id AS cluster_id,
+      |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 AS split_bucket
+      |  FROM documents)
+      |SELECT dec.doc_id, dec.cluster_id, dec.keep, cb.split_bucket,
+      |  CASE WHEN cb.split_bucket < 80 THEN 'train'
+      |       WHEN cb.split_bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM dec JOIN cb USING (cluster_id)
+      |ORDER BY dec.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -1095,7 +1132,8 @@ object Corpus {
     "q80_strip_markup" -> (q80_strip_markup _),
     "q81_source_mix" -> (q81_source_mix _),
     "q82_embedding_quantize" -> (q82_embedding_quantize _),
-    "q83_tfidf_keywords" -> (q83_tfidf_keywords _)
+    "q83_tfidf_keywords" -> (q83_tfidf_keywords _),
+    "q84_cluster_safe_split" -> (q84_cluster_safe_split _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1135,6 +1173,7 @@ object Corpus {
     "q80_strip_markup" -> q80_sql,
     "q81_source_mix" -> q81_sql,
     "q82_embedding_quantize" -> q82_sql,
-    "q83_tfidf_keywords" -> q83_sql
+    "q83_tfidf_keywords" -> q83_sql,
+    "q84_cluster_safe_split" -> q84_sql
   )
 }

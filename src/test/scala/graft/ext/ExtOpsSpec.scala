@@ -688,6 +688,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(4L) == null)
   }
 
+  test("clusterSafeSplit: cluster members share the canonical's split") {
+    val df = Seq(
+      (1L, "near duplicate text variant one"),
+      (2L, "near duplicate text variant two"),
+      (3L, "completely different content")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("i", "j")
+    val out = Dedup.clusterSafeSplit(df, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("split_bucket"),
+          r.getAs[String]("split"))).toMap
+    // 1 and 2 cluster together; 2 gets 1's (the canonical's) bucket even
+    // though its own text hashes elsewhere
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L)
+    assert(out(2L)._2 == out(1L)._2 && out(2L)._3 == out(1L)._3)
+    // the singleton keeps its own content rule (== deterministicSplit's)
+    val solo = TextAnalysis.deterministicSplit(df.filter(col("doc_id") === 3L))
+      .collect().head
+    assert(out(3L)._2 == solo.getAs[Long]("split_bucket"))
+    assert(out(3L)._3 == solo.getAs[String]("split"))
+  }
+
   test("tfidfKeywords: rare terms outrank common ones; k and ties respected") {
     val df = Seq(
       (1L, "x x common"),  // x only in doc1 (rare, tf=2)
