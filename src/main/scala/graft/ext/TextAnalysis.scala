@@ -550,6 +550,57 @@ object TextAnalysis {
             (col("c_b").cast(DoubleType) / col("n_u").cast(DoubleType)))).as("lift"))
   }
 
+  /** Corpus-self bigram LM quality score — the deterministic stand-in for
+    * a perplexity filter (CCNet-style): train MLE bigram probabilities on
+    * the corpus itself (`p(w2|w1) = c(w1,w2) / c(w1,·)`, prefix counts —
+    * no smoothing needed: every scored bigram was observed), then score
+    * each document by its MEAN bigram probability. Garbled/unnatural text
+    * strings rare bigrams together and scores low; formulaic boilerplate
+    * scores high — filter both tails.
+    *
+    * Deviation from true perplexity, deliberately: the geometric mean
+    * needs `ln` (not correctly-rounded IEEE → engine-dependent bits, see
+    * [[graft.ext.Search]]); the ARITHMETIC mean of per-bigram
+    * probabilities needs only exact division. Each probability is
+    * fixed-point (`floor(p·10⁶)`), the per-doc sum is an integer (order-
+    * independent under Spark's partial aggregation), and the mean is one
+    * final exact division.
+    *
+    * Plan shape: one tokenization hub (persisted: bigram explode feeds
+    * corpus counts AND per-doc scoring); bigram + prefix counts are
+    * vocab-scale aggregates off the bigram table; scoring joins shuffle
+    * on the bigram/prefix keys (AQE handles the zipf head); the per-doc
+    * reduce is one aggregate. Docs with <2 tokens (no bigrams) keep null
+    * score via the left join — the pass stays total. */
+  def bigramLmScore(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hub = graft.core.Caches.persist(docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ", -1).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + lit(1)).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val cBg = hub.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val cPre = hub.groupBy(col("w1")).agg(count(lit(1)).as("c_a"))
+    val scored = hub
+      .join(cBg, Seq("w1", "w2"))
+      .join(cPre, Seq("w1"))
+      .select(col(idCol),
+        floor((col("c_ab").cast(DoubleType) / col("c_a").cast(DoubleType))
+          * lit(1000000.0)).cast(LongType).as("p_fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("lm_fp_sum"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_fp_sum"),
+        (col("lm_fp_sum").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+          .as("lm_mean_fp"))
+  }
+
   /** Overlapping token-window chunking — the context-window prep step that
     * turns documents into model-sized pieces: windows of `window` tokens
     * every `stride` tokens (stride < window ⇒ overlap). A document emits

@@ -1092,6 +1092,31 @@ object Corpus {
       |ORDER BY dec.doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q85 — bigram-LM quality score: corpus-self MLE bigram probabilities,
+  // per-doc fixed-point mean (the deterministic perplexity-proxy filter —
+  // see TextAnalysis.bigramLmScore for the ln-free design). Oracle builds
+  // the same bigrams with the q48-style range join.
+  def q85_lm_quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(docs(s, dir)).orderBy(col("doc_id"))
+
+  private val q85_sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i + 1 AS INT)] AS w2
+      |       FROM w, range(1, 100000) t(i) WHERE i <= len(ws) - 1),
+      |cbg AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+      |cpre AS (SELECT w1, count(*) AS c_a FROM bg GROUP BY 1),
+      |sc AS (SELECT doc_id,
+      |    CAST(floor((CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE)) * 1000000.0) AS BIGINT) AS p_fp
+      |  FROM bg JOIN cbg USING (w1, w2) JOIN cpre USING (w1)),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(p_fp) AS BIGINT) AS lm_fp_sum FROM sc GROUP BY 1)
+      |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.lm_fp_sum,
+      |  CAST(a.lm_fp_sum AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE) AS lm_mean_fp
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -1133,7 +1158,8 @@ object Corpus {
     "q81_source_mix" -> (q81_source_mix _),
     "q82_embedding_quantize" -> (q82_embedding_quantize _),
     "q83_tfidf_keywords" -> (q83_tfidf_keywords _),
-    "q84_cluster_safe_split" -> (q84_cluster_safe_split _)
+    "q84_cluster_safe_split" -> (q84_cluster_safe_split _),
+    "q85_lm_quality" -> (q85_lm_quality _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1174,6 +1200,7 @@ object Corpus {
     "q81_source_mix" -> q81_sql,
     "q82_embedding_quantize" -> q82_sql,
     "q83_tfidf_keywords" -> q83_sql,
-    "q84_cluster_safe_split" -> q84_sql
+    "q84_cluster_safe_split" -> q84_sql,
+    "q85_lm_quality" -> q85_sql
   )
 }

@@ -688,6 +688,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(4L) == null)
   }
 
+  test("bigramLmScore: MLE prefix probabilities, short docs keep null score") {
+    val df = Seq(
+      (1L, Option("a b a b")),   // bigrams: (a,b),(b,a),(a,b)
+      (2L, Option("a c")),       // bigram: (a,c)
+      (3L, Option("solo")),      // no bigrams → null score
+      (4L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    // corpus: c(a,b)=3? no — doc1 has (a,b)×2,(b,a)×1; doc2 (a,c)×1.
+    // prefixes: c(a,·)=3, c(b,·)=1. p(b|a)=2/3, p(a|b)=1/1, p(c|a)=1/3
+    val fp23 = math.floor(2.0 / 3.0 * 1000000.0).toLong // 666666
+    val fp13 = math.floor(1.0 / 3.0 * 1000000.0).toLong // 333333
+    val out = TextAnalysis.bigramLmScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), Option(r.getAs[java.lang.Long]("lm_fp_sum")))).toMap
+    assert(out(1L) == (3L, Some(java.lang.Long.valueOf(fp23 * 2 + 1000000L))))
+    assert(out(2L) == (1L, Some(java.lang.Long.valueOf(fp13))))
+    assert(out(3L) == (0L, None))
+    assert(out(4L) == (0L, None))
+  }
+
   test("clusterSafeSplit: cluster members share the canonical's split") {
     val df = Seq(
       (1L, "near duplicate text variant one"),
