@@ -113,10 +113,13 @@ object Search {
   def tfidfKeywords(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k > 0, "k must be positive")
+    // N from the pre-explode projection (docs are unique by id — the table
+    // contract): a countDistinct over the token-scale hub would pay a
+    // two-phase distinct aggregate for the same scalar
+    val nDocs = docs.filter(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
     val hub = graft.core.Caches.persist(docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ", -1)).as("term")))
-    val nDocs = hub.agg(countDistinct(col("doc_id")).as("n_docs"))
     val tf = hub.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfPerTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
@@ -139,7 +142,8 @@ object Search {
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
        |  FROM $table WHERE text IS NOT NULL),
-       |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+       |      FROM $table WHERE text IS NOT NULL),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dfp AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfp.df,

@@ -531,10 +531,7 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val nu = ucnt.agg(sum(col("c")).as("n_u"))
     val bcnt0 = ws.filter(size(col("ws")) >= 2)
-      .select(explode(transform(
-        sequence(lit(1), size(col("ws")) - 1),
-        i => struct(element_at(col("ws"), i).as("w1"),
-          element_at(col("ws"), i + lit(1)).as("w2")))).as("b"))
+      .select(explode(wordBigramArray(col("ws"))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c_ab"))
     val nb = bcnt0.agg(sum(col("c_ab")).as("n_b"))
@@ -549,6 +546,15 @@ object TextAnalysis {
           ((col("c_a").cast(DoubleType) / col("n_u").cast(DoubleType)) *
             (col("c_b").cast(DoubleType) / col("n_u").cast(DoubleType)))).as("lift"))
   }
+
+  /** (w1, w2) struct array over an already-split token array — THE word
+    * bigram rule ([[collocations]] and [[bigramLmScore]] share it with
+    * their oracles; one definition, no inline copies — the
+    * [[Dedup.wordShingles]] discipline). Callers must guard
+    * `size(ws) >= 2`: `sequence(1, 0)` would generate DESCENDING. */
+  private def wordBigramArray(ws: Column): Column =
+    transform(sequence(lit(1), size(ws) - 1),
+      i => struct(element_at(ws, i).as("w1"), element_at(ws, i + lit(1)).as("w2")))
 
   /** Corpus-self bigram LM quality score — the deterministic stand-in for
     * a perplexity filter (CCNet-style): train MLE bigram probabilities on
@@ -577,19 +583,18 @@ object TextAnalysis {
     val hub = graft.core.Caches.persist(docs.filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ", -1).as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("ws")) - 1),
-        i => struct(element_at(col("ws"), i).as("w1"),
-          element_at(col("ws"), i + lit(1)).as("w2")))).as("b"))
+      .select(col(idCol), explode(wordBigramArray(col("ws"))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2")))
     val cBg = hub.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
     val cPre = hub.groupBy(col("w1")).agg(count(lit(1)).as("c_a"))
-    val scored = hub
-      .join(cBg, Seq("w1", "w2"))
-      .join(cPre, Seq("w1"))
-      .select(col(idCol),
+    // probabilities resolve on the VOCAB-scale tables (cBg⋈cPre, p_fp once
+    // per distinct bigram); the occurrence-scale hub then joins once on
+    // (w1, w2) — never a second hub-scale shuffle on w1 alone
+    val probs = cBg.join(cPre, Seq("w1"))
+      .select(col("w1"), col("w2"),
         floor((col("c_ab").cast(DoubleType) / col("c_a").cast(DoubleType))
           * lit(1000000.0)).cast(LongType).as("p_fp"))
+    val scored = hub.join(probs, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("lm_fp_sum"))
     docs.select(col(idCol))

@@ -699,13 +699,20 @@ class ExtOpsSpec extends SparkSpec {
     // prefixes: c(a,·)=3, c(b,·)=1. p(b|a)=2/3, p(a|b)=1/1, p(c|a)=1/3
     val fp23 = math.floor(2.0 / 3.0 * 1000000.0).toLong // 666666
     val fp13 = math.floor(1.0 / 3.0 * 1000000.0).toLong // 333333
-    val out = TextAnalysis.bigramLmScore(df).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[Long]("n_bigrams"), Option(r.getAs[java.lang.Long]("lm_fp_sum")))).toMap
+    val rows = TextAnalysis.bigramLmScore(df).collect()
+    val out = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_bigrams"), Option(r.getAs[java.lang.Long]("lm_fp_sum")))).toMap
     assert(out(1L) == (3L, Some(java.lang.Long.valueOf(fp23 * 2 + 1000000L))))
     assert(out(2L) == (1L, Some(java.lang.Long.valueOf(fp13))))
     assert(out(3L) == (0L, None))
     assert(out(4L) == (0L, None))
+    // the mean divides by the NULLABLE count (null for bigram-less docs),
+    // never the coalesced 0
+    val means = rows.map(r => r.getAs[Long]("doc_id") ->
+      Option(r.getAs[java.lang.Double]("lm_mean_fp"))).toMap
+    assert(means(1L) == Some(java.lang.Double.valueOf((fp23 * 2 + 1000000L) / 3.0)))
+    assert(means(2L) == Some(java.lang.Double.valueOf(fp13.toDouble)))
+    assert(means(3L).isEmpty && means(4L).isEmpty)
   }
 
   test("clusterSafeSplit: cluster members share the canonical's split") {
