@@ -88,6 +88,41 @@ object GraftProps extends Properties("graft") {
         expect.forall { case (k, v) => math.abs(got(k) - v) < 1e-12 }
     }
 
+  private val bmDocGen: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "rare"))
+        .map(_.mkString(" ")))
+
+  property("bm25TopK == in-JVM reference scorer (same IEEE tree)") =
+    Prop.forAll(Gen.listOfN(10, bmDocGen)) { texts =>
+      val terms = Seq("alpha", "rare")
+      val (k1, b) = (1.2, 0.75)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ext.Search.bm25TopK(docs, terms, topK = texts.size, k1, b)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_terms"), r.getAs[Long]("score_fp")))
+      val toks = texts.map(_.split(" ", -1).toSeq)
+      val n = texts.size.toLong
+      val avgdl = toks.map(_.size.toLong).sum.toDouble / n.toDouble
+      val dfT = terms.map(t => t -> toks.count(_.contains(t)).toLong).toMap
+      def fp(tf: Long, df: Long, dl: Long): Long = {
+        val idf = ((n - df).toDouble + 0.5) / (df.toDouble + 0.5)
+        val sat = (tf.toDouble * (k1 + 1.0)) /
+          (tf.toDouble + k1 * (1.0 - b + b * (dl.toDouble / avgdl)))
+        math.floor(idf * sat * 1000000.0).toLong
+      }
+      val expect = toks.zipWithIndex.collect {
+        case (ts, i) if terms.exists(ts.contains) =>
+          val present = terms.filter(ts.contains)
+          (i.toLong, present.size.toLong,
+            present.map(t => fp(ts.count(_ == t).toLong, dfT(t), ts.size.toLong)).sum)
+      }.toSet
+      // topK covers every matching doc, so set-equality checks scoring and
+      // the orderBy check the ranking contract
+      got.toSet == expect &&
+        got.sameElements(got.sortBy(r => (-r._3, r._1)))
+    }
+
   property("clusterPairs == union-find connected components") =
     // ONE clusterPairs run per evaluation (per the file's batching
     // discipline — the iterative loop costs several jobs): the generated
