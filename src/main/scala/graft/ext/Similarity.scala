@@ -294,6 +294,31 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** L2 normalization to fixed point — the preprocessing step that turns
+    * dot product into cosine for the ANN/index family: component `x_i`
+    * maps to `floor((x_fp_i / √(Σ x_fp²)) · 10⁶)` over the exact 16-bit
+    * fixed-point components ([[fixedPointVec]]). The zero vector (no
+    * direction) maps to all-zero; null vectors pass through null.
+    *
+    * Determinism: the squared norm is an INTEGER (order-independent sum);
+    * `sqrt` and the division are correctly-rounded IEEE ops (the same
+    * cross-engine guarantee the fixed-point cosine verify relies on), so
+    * unit codes are bit-identical on any engine. Map-only — one codegen'd
+    * projection, no shuffle, linear at any corpus size. */
+  def l2NormalizeFp(base: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withN2 = base
+      .withColumn("xf", fixedPointVec(col(vecCol)))
+      .withColumn("n2", intDot(col("xf"), col("xf")))
+    withN2
+      .withColumn("unit_fp",
+        when(col("n2") === 0, transform(col("xf"), _ => lit(0L)))
+          .otherwise(transform(col("xf"), x =>
+            floor((x.cast(DoubleType) / sqrt(col("n2").cast(DoubleType)))
+              * lit(1000000.0)).cast(LongType))))
+      .drop("xf")
+  }
+
   /** Per-dimension min-max int8 scalar quantization — the 4× compression
     * pass before an embedding index is served (or shipped to a cheaper
     * store): component `x` of dimension `i` maps to

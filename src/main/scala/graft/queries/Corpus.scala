@@ -1117,6 +1117,31 @@ object Corpus {
       |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q86 — L2 normalization to fixed point: exact integer squared norm,
+  // correctly-rounded sqrt/divide (see Similarity.l2NormalizeFp). Output
+  // exploded to scalars like q82; oracle rebuilds the same x_fp/n2/unit
+  // pipeline over DuckDB's zipped unnest.
+  def q86_embedding_normalize(s: SparkSession, dir: String): DataFrame =
+    Similarity.l2NormalizeFp(emb(s, dir))
+      .select(col("vec_id"), col("n2"), posexplode(col("unit_fp")).as(Seq("dim", "u")))
+      .orderBy(col("vec_id"), col("dim"))
+
+  private val q86_sql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 32768.0) AS BIGINT) AS xf,
+      |    unnest(range(len(embedding))) AS dim
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |n AS (SELECT vec_id, CAST(sum(xf * xf) AS BIGINT) AS n2 FROM e GROUP BY 1)
+      |SELECT e.vec_id, n.n2, CAST(e.dim AS INT) AS dim,
+      |  CASE WHEN n.n2 = 0 THEN 0
+      |       ELSE CAST(floor((CAST(e.xf AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)))
+      |                       * 1000000.0) AS BIGINT)
+      |  END AS u
+      |FROM e JOIN n USING (vec_id)
+      |ORDER BY vec_id, dim""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -1159,7 +1184,8 @@ object Corpus {
     "q82_embedding_quantize" -> (q82_embedding_quantize _),
     "q83_tfidf_keywords" -> (q83_tfidf_keywords _),
     "q84_cluster_safe_split" -> (q84_cluster_safe_split _),
-    "q85_lm_quality" -> (q85_lm_quality _)
+    "q85_lm_quality" -> (q85_lm_quality _),
+    "q86_embedding_normalize" -> (q86_embedding_normalize _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1201,6 +1227,7 @@ object Corpus {
     "q82_embedding_quantize" -> q82_sql,
     "q83_tfidf_keywords" -> q83_sql,
     "q84_cluster_safe_split" -> q84_sql,
-    "q85_lm_quality" -> q85_sql
+    "q85_lm_quality" -> q85_sql,
+    "q86_embedding_normalize" -> q86_sql
   )
 }

@@ -632,6 +632,31 @@ class ExtOpsSpec extends SparkSpec {
     assert(out("b.example.net") == (1L, 1L))
   }
 
+  test("l2NormalizeFp: JVM-tree parity, zero vector to zeros, null passthrough") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq((4L, Option.empty[Array[Float]])).toDF("vec_id", "embedding"))
+    val out = Similarity.l2NormalizeFp(df).collect()
+      .map { r =>
+        val i = r.fieldIndex("unit_fp")
+        r.getAs[Long]("vec_id") ->
+          (if (r.isNullAt(i)) None else Some(r.getSeq[Long](i).toList))
+      }.toMap
+    // same IEEE tree in plain JVM doubles
+    def u(xf: Long, n2: Long): Long =
+      math.floor(xf.toDouble / math.sqrt(n2.toDouble) * 1000000.0).toLong
+    val (a, b) = (math.floor(3.0 * 32768.0).toLong, math.floor(4.0 * 32768.0).toLong)
+    val n2 = a * a + b * b
+    assert(out(1L) == Some(List(u(a, n2), u(b, n2))))
+    assert(out(2L) == Some(List(0L, 0L)))
+    val c = math.floor(-1.0 * 32768.0).toLong
+    assert(out(3L) == Some(List(u(c, c * c), 0L)))
+    assert(out(4L).isEmpty)
+  }
+
   test("quantizeInt8: extremes hit -128/127, constant dim is 0, null vec passes through") {
     val df = Seq(
       (1L, Array(0.0f, 5.0f, -2.0f)),
