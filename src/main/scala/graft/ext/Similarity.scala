@@ -303,20 +303,27 @@ object Similarity {
     * Determinism: the squared norm is an INTEGER (order-independent sum);
     * `sqrt` and the division are correctly-rounded IEEE ops (the same
     * cross-engine guarantee the fixed-point cosine verify relies on), so
-    * unit codes are bit-identical on any engine. Map-only — one codegen'd
-    * projection, no shuffle, linear at any corpus size. */
+    * unit codes are bit-identical on any engine. A vector CONTAINING a
+    * null component has no defined direction and nulls out whole (n2's
+    * HOF fold is null, like the ANN family's scoring) — never a partial
+    * normalization over the non-null components. Map-only — one
+    * projection, no shuffle, linear at any corpus size; the sqrt is
+    * hoisted to one per-row column, not one per component. */
   def l2NormalizeFp(base: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val withN2 = base
       .withColumn("xf", fixedPointVec(col(vecCol)))
       .withColumn("n2", intDot(col("xf"), col("xf")))
+      .withColumn("sn", sqrt(col("n2").cast(DoubleType)))
     withN2
       .withColumn("unit_fp",
-        when(col("n2") === 0, transform(col("xf"), _ => lit(0L)))
-          .otherwise(transform(col("xf"), x =>
-            floor((x.cast(DoubleType) / sqrt(col("n2").cast(DoubleType)))
-              * lit(1000000.0)).cast(LongType))))
-      .drop("xf")
+        when(col("n2").isNull,
+          lit(null).cast(org.apache.spark.sql.types.ArrayType(LongType)))
+          .otherwise(when(col("n2") === 0, transform(col("xf"), _ => lit(0L)))
+            .otherwise(transform(col("xf"), x =>
+              floor((x.cast(DoubleType) / col("sn"))
+                * lit(1000000.0)).cast(LongType)))))
+      .drop("xf", "sn")
   }
 
   /** Per-dimension min-max int8 scalar quantization — the 4× compression

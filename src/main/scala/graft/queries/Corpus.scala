@@ -1131,7 +1131,9 @@ object Corpus {
       |  SELECT vec_id,
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 32768.0) AS BIGINT) AS xf,
       |    unnest(range(len(embedding))) AS dim
-      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL
+      |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
       |n AS (SELECT vec_id, CAST(sum(xf * xf) AS BIGINT) AS n2 FROM e GROUP BY 1)
       |SELECT e.vec_id, n.n2, CAST(e.dim AS INT) AS dim,
       |  CASE WHEN n.n2 = 0 THEN 0

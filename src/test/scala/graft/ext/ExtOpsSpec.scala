@@ -655,6 +655,11 @@ class ExtOpsSpec extends SparkSpec {
     val c = math.floor(-1.0 * 32768.0).toLong
     assert(out(3L) == Some(List(u(c, c * c), 0L)))
     assert(out(4L).isEmpty)
+    // a null COMPONENT nulls the whole vector (no partial normalization)
+    val withNullElem = Seq((5L, Array(java.lang.Float.valueOf(1.0f), null.asInstanceOf[java.lang.Float])))
+      .toDF("vec_id", "embedding")
+    val r5 = Similarity.l2NormalizeFp(withNullElem).collect().head
+    assert(r5.isNullAt(r5.fieldIndex("unit_fp")))
   }
 
   test("quantizeInt8: extremes hit -128/127, constant dim is 0, null vec passes through") {
