@@ -198,6 +198,26 @@ class StreamOpsSpec extends SparkSpec {
       .intersect(Set("a@b.org", "555-123-4567")).isEmpty)
   }
 
+  test("markup strip + LM-free cleaning runs unchanged on a document stream") {
+    // stripMarkup is map-only (projection of regexp/replace chains), so the
+    // SAME operator code compiles into a streaming plan — the first
+    // cleaning pass of a crawled-feed ingest.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val cleaned = graft.ext.TextAnalysis.stripMarkup(docs)
+    assert(cleaned.isStreaming)
+    val q = cleaned.writeStream.format("memory").queryName("markup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    mem.addData(Seq(
+      (1L, "<html><script>x>1</script><p>keep &amp; clean</p></html>")))
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    val out = spark.table("markup_stream").collect().head
+    assert(out.getAs[String]("clean_text") == "keep & clean")
+    assert(out.getAs[Long]("n_chars_clean") == 12L)
+  }
+
   test("sliding windows assign one event to overlapping windows") {
     val out = runStream(Seq(Seq((1L, ts(7), 1L, "a", 0.0))), "sliding", "complete") { df =>
       StreamOps.slidingUserRate(df, "10 minutes")
