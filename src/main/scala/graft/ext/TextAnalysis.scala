@@ -556,6 +556,55 @@ object TextAnalysis {
     transform(sequence(lit(1), size(ws) - 1),
       i => struct(element_at(ws, i).as("w1"), element_at(ws, i + lit(1)).as("w2")))
 
+  /** The scheme://host[:port] prefix, ASCII-case-insensitive scheme (the
+    * [[ScriptBlockRe]] discipline — no `(?i)`). */
+  private val UrlPrefixRe = s"^(${ci("http")}[sS]?://[^/?#]*)"
+
+  /** Canonical URL: fragment stripped, scheme+host (the prefix) ASCII-
+    * lowercased, default port dropped (:443 for https, :80 for http),
+    * one trailing slash removed. Non-URL strings pass through with only
+    * the fragment/trailing-slash rules applying (prefix extract misses →
+    * empty prefix + unchanged rest). All patterns are Java∩RE2 (no
+    * lookaround — the end-of-host boundary is the `(/|\?|$)` alternation,
+    * captured and re-emitted). */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val lowered = concat(lower(regexp_extract(noFrag, UrlPrefixRe, 1)),
+      regexp_replace(noFrag, UrlPrefixRe, ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?#]+):443(/|\\?|$)", "$1$2"),
+      "^(http://[^/:?#]+):80(/|\\?|$)", "$1$2")
+    regexp_replace(noPort, "/$", "")
+  }
+
+  /** The DuckDB dual of [[canonicalUrl]] for one SQL expression `in` —
+    * same patterns (RE2 replacement groups are `\1`, Java's are `$1`;
+    * semantics identical). Lives here so operator and oracle share the
+    * pattern chain. */
+  def canonicalUrlSqlExpr(in: String): String = {
+    val nf = s"regexp_replace($in, '#.*', '')"
+    val lowered =
+      s"lower(regexp_extract($nf, '$UrlPrefixRe', 1)) || regexp_replace($nf, '$UrlPrefixRe', '')"
+    // the s-interpolator processes escapes even in triple quotes, so \\?
+    // and \\1 emit the SINGLE backslashes RE2 needs in the SQL text
+    val noPort = s"""regexp_replace(regexp_replace($lowered,
+      '^(https://[^/:?#]+):443(/|\\?|$$)', '\\1\\2'),
+      '^(http://[^/:?#]+):80(/|\\?|$$)', '\\1\\2')"""
+    s"regexp_replace($noPort, '/$$', '')"
+  }
+
+  /** URL-keyed dedup — the crawl-pipeline step before any content dedup:
+    * group by [[canonicalUrl]], elect min-id canonical, annotate every row
+    * (total pass, [[graft.ext.Dedup.exactDedup]]'s shape). One shuffle on
+    * the canonical URL. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    val c = docs.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+    val g = c.groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("url_canonical_id"), count(lit(1)).as("n_copies"))
+    c.join(g, Seq("canonical_url"))
+  }
+
   /** Corpus-self bigram LM quality score — the deterministic stand-in for
     * a perplexity filter (CCNet-style): train MLE bigram probabilities on
     * the corpus itself (`p(w2|w1) = c(w1,w2) / c(w1,·)`, prefix counts —

@@ -1144,6 +1144,42 @@ object Corpus {
       |ORDER BY vec_id, dim""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q87 — URL canonicalization + URL-keyed dedup: planted URLs vary case,
+  // default port, trailing slash, and fragment; canonical form collapses
+  // doc_id%50 × doc_id%25 → 50 groups of 10. Exercises every rule of
+  // TextAnalysis.canonicalUrl; oracle shares the pattern chain via
+  // canonicalUrlSqlExpr.
+  def q87_url_dedup(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = docs(s, dir).select(id, concat(
+      lit("HTTPS://Host"), pmod(id, lit(50L)).cast(StringType),
+      lit(".Example.org:443/p/"), pmod(id, lit(25L)).cast(StringType),
+      when(pmod(id, lit(2L)) === 0, lit("/")).otherwise(lit("")),
+      lit("#sec"), id.cast(StringType)).as("url"))
+    TextAnalysis.urlDedup(planted)
+      .select(col("doc_id"), col("canonical_url"),
+        col("url_canonical_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q87_sql = {
+    // NOTE: lines END with || — interpolated into .stripMargin (see
+    // piiPlantSql's note on the same trap)
+    val plant = """SELECT doc_id,
+      'HTTPS://Host' || CAST(doc_id % 50 AS VARCHAR) ||
+      '.Example.org:443/p/' || CAST(doc_id % 25 AS VARCHAR) ||
+      (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      '#sec' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents"""
+    s"""WITH p AS ($plant),
+      |c AS (SELECT doc_id, ${TextAnalysis.canonicalUrlSqlExpr("url")} AS canonical_url FROM p),
+      |g AS (SELECT canonical_url, min(doc_id) AS url_canonical_id,
+      |        count(*) AS n_copies FROM c GROUP BY 1)
+      |SELECT c.doc_id, c.canonical_url, g.url_canonical_id, g.n_copies
+      |FROM c JOIN g USING (canonical_url) ORDER BY c.doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -1187,7 +1223,8 @@ object Corpus {
     "q83_tfidf_keywords" -> (q83_tfidf_keywords _),
     "q84_cluster_safe_split" -> (q84_cluster_safe_split _),
     "q85_lm_quality" -> (q85_lm_quality _),
-    "q86_embedding_normalize" -> (q86_embedding_normalize _)
+    "q86_embedding_normalize" -> (q86_embedding_normalize _),
+    "q87_url_dedup" -> (q87_url_dedup _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1230,6 +1267,7 @@ object Corpus {
     "q83_tfidf_keywords" -> q83_sql,
     "q84_cluster_safe_split" -> q84_sql,
     "q85_lm_quality" -> q85_sql,
-    "q86_embedding_normalize" -> q86_sql
+    "q86_embedding_normalize" -> q86_sql,
+    "q87_url_dedup" -> q87_sql
   )
 }

@@ -632,6 +632,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(out("b.example.net") == (1L, 1L))
   }
 
+  test("canonicalUrl: fragment, case, default port, trailing slash; non-defaults kept") {
+    val df = Seq(
+      (1L, "HTTPS://Ex.Org:443/Path/#frag"),
+      (2L, "https://ex.org/Path"),       // same canonical as 1
+      (3L, "http://EX.org:80"),
+      (4L, "http://ex.org:8080/x/"),     // non-default port kept
+      (5L, "not a url/")
+    ).toDF("doc_id", "url")
+    val out = TextAnalysis.urlDedup(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("canonical_url"), r.getAs[Long]("url_canonical_id"))).toMap
+    assert(out(1L)._1 == "https://ex.org/Path") // path case preserved
+    assert(out(2L) == out(1L) && out(1L)._2 == 1L)
+    assert(out(3L)._1 == "http://ex.org")
+    assert(out(4L)._1 == "http://ex.org:8080/x")
+    assert(out(5L)._1 == "not a url")
+  }
+
   test("l2NormalizeFp: JVM-tree parity, zero vector to zeros, null passthrough") {
     val df = Seq(
       (1L, Array(3.0f, 4.0f)),
