@@ -707,8 +707,23 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = TextAnalysis.fingerprint(docs, textCol)
       .select(col(idCol), col("fp_md5"), col("fp60"))
-    val groups = fp.groupBy(col("fp_md5"))
-      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
-    fp.join(groups, Seq("fp_md5")).drop("fp_md5")
+    // null-text rows have no fingerprint and drop (keepNullKeys = false —
+    // the established q36 contract and its oracle's inner-join semantics)
+    keyedDedupAnnotate(fp, "fp_md5", idCol,
+      "canonical_id", "n_copies", keepNullKeys = false).drop("fp_md5")
+  }
+
+  /** The keyed dedup-annotation shape shared by [[exactDedup]] and
+    * [[TextAnalysis.urlDedup]]: group on `keyCol`, elect the min-id
+    * canonical, count copies, annotate every input row via a join back.
+    * `keepNullKeys = true` keeps null-keyed rows (left join — an equi-join
+    * never matches null keys) with null canonical/count, making the pass
+    * total; `false` drops them (an inner join). One shuffle on the key. */
+  private[ext] def keyedDedupAnnotate(df: DataFrame, keyCol: String,
+      idCol: String, canonicalName: String, copiesName: String,
+      keepNullKeys: Boolean): DataFrame = {
+    val groups = df.filter(col(keyCol).isNotNull).groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(canonicalName), count(lit(1)).as(copiesName))
+    df.join(groups, Seq(keyCol), if (keepNullKeys) "left" else "inner")
   }
 }

@@ -560,50 +560,60 @@ object TextAnalysis {
     * [[ScriptBlockRe]] discipline — no `(?i)`). */
   private val UrlPrefixRe = s"^(${ci("http")}[sS]?://[^/?#]*)"
 
-  /** Canonical URL: fragment stripped, scheme+host (the prefix) ASCII-
-    * lowercased, default port dropped (:443 for https, :80 for http),
-    * one trailing slash removed. Non-URL strings pass through with only
-    * the fragment/trailing-slash rules applying (prefix extract misses →
-    * empty prefix + unchanged rest). All patterns are Java∩RE2 (no
-    * lookaround — the end-of-host boundary is the `(/|\?|$)` alternation,
-    * captured and re-emitted). */
+  /** authority host for the port rules: optional userinfo, then either a
+    * bracketed (IPv6) host or a colon-free reg-name — so `:443` after
+    * `user:pass@` or `[::1]` still reads as the PORT colon. No
+    * backslash shorthands, safe to splice into both dialects. */
+  private val UrlHostRe = "(?:[^/@?#]*@)?(?:\\[[^\\]]*\\]|[^/:?#]+)"
+
+  /** Canonical URL: fragment stripped, scheme+host (the whole authority
+    * prefix, userinfo included) ASCII-lowercased, default port dropped
+    * (:443 for https, :80 for http — also behind userinfo and bracketed
+    * IPv6 hosts), one trailing slash removed. Non-URL strings pass
+    * through with only the fragment/trailing-slash rules applying.
+    *
+    * Dialect discipline (Java∩RE2, like the markup patterns): no
+    * lookaround (the end-of-host boundary is a captured `(/|\?|\z)`
+    * alternation); `\z` instead of `$` (Java `$` matches before a final
+    * newline, RE2's does not); `[\s\S]` instead of `.` for the fragment
+    * (Java `.` excludes `\r`, RE2's matches it). */
   def canonicalUrl(u: Column): Column = {
-    val noFrag = regexp_replace(u, "#.*", "")
+    val noFrag = regexp_replace(u, "#[\\s\\S]*", "")
     val lowered = concat(lower(regexp_extract(noFrag, UrlPrefixRe, 1)),
       regexp_replace(noFrag, UrlPrefixRe, ""))
     val noPort = regexp_replace(
-      regexp_replace(lowered, "^(https://[^/:?#]+):443(/|\\?|$)", "$1$2"),
-      "^(http://[^/:?#]+):80(/|\\?|$)", "$1$2")
-    regexp_replace(noPort, "/$", "")
+      regexp_replace(lowered, s"^(https://$UrlHostRe):443(/|\\?|\\z)", "$1$2"),
+      s"^(http://$UrlHostRe):80(/|\\?|\\z)", "$1$2")
+    regexp_replace(noPort, "/\\z", "")
   }
 
   /** The DuckDB dual of [[canonicalUrl]] for one SQL expression `in` —
-    * same patterns (RE2 replacement groups are `\1`, Java's are `$1`;
-    * semantics identical). Lives here so operator and oracle share the
-    * pattern chain. */
+    * same patterns with the `'g'` flag (Java replaceAll semantics; RE2
+    * replacement groups are `\1`, Java's are `$1`). Lives here so
+    * operator and oracle share the pattern chain. */
   def canonicalUrlSqlExpr(in: String): String = {
-    val nf = s"regexp_replace($in, '#.*', '')"
+    val nf = s"regexp_replace($in, '#[\\s\\S]*', '', 'g')"
     val lowered =
-      s"lower(regexp_extract($nf, '$UrlPrefixRe', 1)) || regexp_replace($nf, '$UrlPrefixRe', '')"
+      s"lower(regexp_extract($nf, '$UrlPrefixRe', 1)) || regexp_replace($nf, '$UrlPrefixRe', '', 'g')"
     // the s-interpolator processes escapes even in triple quotes, so \\?
     // and \\1 emit the SINGLE backslashes RE2 needs in the SQL text
     val noPort = s"""regexp_replace(regexp_replace($lowered,
-      '^(https://[^/:?#]+):443(/|\\?|$$)', '\\1\\2'),
-      '^(http://[^/:?#]+):80(/|\\?|$$)', '\\1\\2')"""
-    s"regexp_replace($noPort, '/$$', '')"
+      '^(https://$UrlHostRe):443(/|\\?|\\z)', '\\1\\2', 'g'),
+      '^(http://$UrlHostRe):80(/|\\?|\\z)', '\\1\\2', 'g')"""
+    s"regexp_replace($noPort, '/\\z', '', 'g')"
   }
 
   /** URL-keyed dedup — the crawl-pipeline step before any content dedup:
-    * group by [[canonicalUrl]], elect min-id canonical, annotate every row
-    * (total pass, [[graft.ext.Dedup.exactDedup]]'s shape). One shuffle on
-    * the canonical URL. */
+    * group by [[canonicalUrl]], elect min-id canonical, annotate every
+    * row. TOTAL pass: a null url keeps its row with null canonical/count
+    * (keepNullKeys — contrast exactDedup's drop-null-fingerprint
+    * contract). One shuffle on the canonical URL. */
   def urlDedup(docs: DataFrame, urlCol: String = "url",
-      idCol: String = "doc_id"): DataFrame = {
-    val c = docs.withColumn("canonical_url", canonicalUrl(col(urlCol)))
-    val g = c.groupBy(col("canonical_url"))
-      .agg(min(col(idCol)).as("url_canonical_id"), count(lit(1)).as("n_copies"))
-    c.join(g, Seq("canonical_url"))
-  }
+      idCol: String = "doc_id"): DataFrame =
+    Dedup.keyedDedupAnnotate(
+      docs.withColumn("canonical_url", canonicalUrl(col(urlCol))),
+      "canonical_url", idCol, "url_canonical_id", "n_copies",
+      keepNullKeys = true)
 
   /** Corpus-self bigram LM quality score — the deterministic stand-in for
     * a perplexity filter (CCNet-style): train MLE bigram probabilities on

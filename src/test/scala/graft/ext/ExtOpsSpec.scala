@@ -634,20 +634,25 @@ class ExtOpsSpec extends SparkSpec {
 
   test("canonicalUrl: fragment, case, default port, trailing slash; non-defaults kept") {
     val df = Seq(
-      (1L, "HTTPS://Ex.Org:443/Path/#frag"),
-      (2L, "https://ex.org/Path"),       // same canonical as 1
-      (3L, "http://EX.org:80"),
-      (4L, "http://ex.org:8080/x/"),     // non-default port kept
-      (5L, "not a url/")
+      (1L, Option("HTTPS://Ex.Org:443/Path/#frag")),
+      (2L, Option("https://ex.org/Path")),   // same canonical as 1
+      (3L, Option("http://EX.org:80")),
+      (4L, Option("http://ex.org:8080/x/")), // non-default port kept
+      (5L, Option("not a url/")),
+      (6L, Option("https://u:p@ex.org:443/q")), // userinfo can't hide the port
+      (7L, Option.empty[String])               // total pass: row survives
     ).toDF("doc_id", "url")
-    val out = TextAnalysis.urlDedup(df).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[String]("canonical_url"), r.getAs[Long]("url_canonical_id"))).toMap
+    val rows = TextAnalysis.urlDedup(df).collect()
+    val out = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("canonical_url"), r.getAs[java.lang.Long]("url_canonical_id"))).toMap
     assert(out(1L)._1 == "https://ex.org/Path") // path case preserved
     assert(out(2L) == out(1L) && out(1L)._2 == 1L)
     assert(out(3L)._1 == "http://ex.org")
     assert(out(4L)._1 == "http://ex.org:8080/x")
     assert(out(5L)._1 == "not a url")
+    assert(out(6L)._1 == "https://u:p@ex.org/q")
+    assert(out(7L) == (null, null)) // kept, unannotated
+    assert(rows.length == 7)
   }
 
   test("l2NormalizeFp: JVM-tree parity, zero vector to zeros, null passthrough") {
