@@ -260,25 +260,9 @@ object Similarity {
   def ivfTopK(queries: DataFrame, base: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // 1. Train: exact-integer per-cell means via fixed-point dimension sums.
-    val fx = graft.core.Tables.spread(base).select(
-        pmod(xxhash64(col(idCol), lit("ivf")), lit(nCells)).cast(IntegerType).as("cell"),
-        posexplode(fixedPointVec(col(vecCol))).as(Seq("idx", "xi")))
-    val centroidRows = fx.groupBy(col("cell"), col("idx"))
-      .agg(sum(col("xi")).as("s"), count(lit(1)).as("c"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("idx"), col("s"), col("c")))),
-        t => t.getField("s").cast(DoubleType) / t.getField("c").cast(DoubleType)).as("centroid"))
-      .orderBy(col("cell")).collect()
-    val centroids: Array[Array[Double]] =
-      centroidRows.map(_.getSeq[Double](1).toArray)
-
-    // 2/3. Cell scores as one literal-centroid cosine per cell; argmax via
-    // sorted (score desc, cell) key array.
-    def cellScores(vec: Column): Column = array(centroids.indices.map(c =>
-      struct(ArrayMath.cosine(vec, typedLit(centroids(c))).as("s"), lit(c).as("cell"))): _*)
+    val centroids = lloydCentroids(base, nCells, idCol, vecCol)
     def topCells(vec: Column, m: Int): Column =
-      slice(reverse(array_sort(cellScores(vec))), 1, m)
+      slice(reverse(array_sort(cellScores(vec, centroids))), 1, m)
 
     val b = graft.core.Tables.spread(base).select(col(idCol).as("vid"), col(vecCol).as("bv"),
       element_at(topCells(col(vecCol), 1), 1).getField("cell").as("cell"))
@@ -292,6 +276,124 @@ object Similarity {
       .select(col("qid"), col("vid"), col("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+  }
+
+  /** Deterministic one-step Lloyd training shared by [[ivfTopK]] and
+    * [[semanticDedup]]: initial cells from a hash of the vector id,
+    * centroids = per-cell means computed with EXACT fixed-point integer
+    * sums (order-independent, so the centroids — and every operator built
+    * on them — are reproducible run to run despite float math and shuffle
+    * order). Centroids (nCells × dims, tiny) collect to the driver — a
+    * legitimate driver literal, like the SRP hyperplanes. */
+  private def lloydCentroids(base: DataFrame, nCells: Int,
+      idCol: String, vecCol: String): Array[Array[Double]] = {
+    val fx = graft.core.Tables.spread(base).select(
+        pmod(xxhash64(col(idCol), lit("ivf")), lit(nCells)).cast(IntegerType).as("cell"),
+        posexplode(fixedPointVec(col(vecCol))).as(Seq("idx", "xi")))
+    val centroidRows = fx.groupBy(col("cell"), col("idx"))
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("s"), col("c")))),
+        t => t.getField("s").cast(DoubleType) / t.getField("c").cast(DoubleType)).as("centroid"))
+      .orderBy(col("cell")).collect()
+    centroidRows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Per-cell cosine scores against literal centroids — one codegen'd dot
+    * per cell, map-only; sorted (score, cell) structs so argmax/top-m are
+    * array ops. */
+  private def cellScores(vec: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.indices.map(c =>
+      struct(ArrayMath.cosine(vec, typedLit(centroids(c))).as("s"), lit(c).as("cell"))): _*)
+
+  /** Semantic deduplication (the SemDeDup recipe): cluster the embedding
+    * space coarsely, then compare ONLY co-clustered vectors — near-dup
+    * pairs above `minCosine` merge into transitive groups and each group
+    * elects a min-id canonical. The cluster step is what makes
+    * embedding-level corpus dedup scale: candidate volume is Σ|cell|²
+    * instead of |corpus|², and cells shrink as nCells grows.
+    *
+    * Determinism: centroids are exact-integer Lloyd means
+    * ([[lloydCentroids]]), assignment is fixed-point cosine argmax, and
+    * the verify score is the same sqrt(n2)·sqrt(n2) expression family as
+    * [[exactCosinePairs]] — bit-identical pairs run to run.
+    *
+    * Output: one row per non-null input vector — (id, cell,
+    * `sem_canonical_id`, `keep`). Exact vector copies collapse before
+    * pairing (the same rep trick as [[annLshPairs]]) and share their
+    * rep's fate; copies of a zero vector stay singletons (the exact dual
+    * scores identical zero vectors 0.0, below any threshold).
+    *
+    * Approximation contract (like q42/q45): pairs whose members share
+    * NONE of their `nProbe` nearest cells are missed — within a shared
+    * cell the pairing is exhaustive and exact. Multi-probe is the recall
+    * lever (SemDeDup proper assigns once; a 1-step Lloyd from hashed
+    * seeds needs the wider net): candidate volume grows ≤ nProbe² while
+    * recall approaches the brute-force dual. ScalaTest gates assert
+    * precision 1 against the all-pairs dual plus shared-cell
+    * completeness; recall is the co-probing rate. */
+  def semanticDedup(base: DataFrame, minCosine: Double, nCells: Int = 16,
+      nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = lloydCentroids(base, nCells, idCol, vecCol)
+    val probeCells = transform(
+      slice(reverse(array_sort(cellScores(col("v"), centroids))), 1, nProbe),
+      _.getField("cell"))
+
+    // exact-copy collapse; rep carries probe cells + fixed-point view.
+    // cells[0] is the primary (argmax) cell reported in the output.
+    val g0 = graft.core.Tables.spread(base)
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vid0"), col(vecCol).as("v"))
+      .groupBy(col("v"))
+      .agg(sort_array(collect_list(col("vid0"))).as("members"),
+        min(col("vid0")).as("rep"))
+      .withColumn("x", fixedPointVec(col("v")))
+      .withColumn("n2", intDot(col("x"), col("x")))
+      .withColumn("cells", probeCells)
+    val hub = graft.core.Caches.persist(
+      g0.select(col("rep"), col("members"), col("cells"), col("x"), col("n2")))
+
+    // candidates: reps sharing ANY probed cell (distinct'd — a pair can
+    // meet in up to nProbe cells); exhaustive within each cell. The
+    // banded side sits behind a Generate — shuffle_hash pin as in
+    // annLshPairs.
+    val banded = hub.select(col("rep"), explode(col("cells")).as("cell"))
+    val cand = banded.select(col("cell"), col("rep").as("i"))
+      .join(banded.select(col("cell"), col("rep").as("j")).hint("shuffle_hash"),
+        Seq("cell"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+      .distinct()
+
+    // exact fixed-point verify — the same expression family as the dual
+    val pairs = cand
+      .join(hub.select(col("rep").as("i"), col("x").as("xi"), col("n2").as("n2i"))
+        .hint("shuffle_hash"), Seq("i"))
+      .join(hub.select(col("rep").as("j"), col("x").as("xj"), col("n2").as("n2j"))
+        .hint("shuffle_hash"), Seq("j"))
+      .withColumn("cosine",
+        when(col("n2i") === 0 || col("n2j") === 0, lit(0.0)).otherwise(
+          intDot(col("xi"), col("xj")).cast(DoubleType) /
+            (sqrt(col("n2i").cast(DoubleType)) * sqrt(col("n2j").cast(DoubleType)))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("i"), col("j"))
+
+    // copy-groups whose self-cosine clears the threshold merge internally
+    // even when their rep pairs with nothing (n2 > 0 ⟺ self-cosine ≈ 1.0
+    // under the dual's sqrt·sqrt expression ≥ any threshold ≤ 1)
+    val comps = Dedup.clusterPairs(pairs)
+      .select(col("id").as("rep"), col("cluster_id"))
+    hub.select(col("rep"), col("members"),
+        element_at(col("cells"), 1).as("cell"), col("n2"))
+      .join(comps, Seq("rep"), "left")
+      .select(explode(col("members")).as(idCol), col("cell"),
+        when(col("n2") === 0, lit(null).cast(LongType))
+          .otherwise(coalesce(col("cluster_id"), col("rep"))).as("rep_canonical"),
+        col("n2"))
+      .select(col(idCol), col("cell").cast(LongType).as("cell"),
+        coalesce(col("rep_canonical"), col(idCol)).as("sem_canonical_id"))
+      .withColumn("keep", col("sem_canonical_id") === col(idCol))
   }
 
   /** L2 normalization to fixed point — the preprocessing step that turns

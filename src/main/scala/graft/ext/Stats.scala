@@ -70,6 +70,57 @@ object Stats {
     cum.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact quantile binning — assigns every row the bucket `ntile(k)`
+    * would under the total order (value, idCols…), WITHOUT a global sort:
+    *
+    *  1. histogram: per-distinct-value counts (|distinct values| rows —
+    *     orders of magnitude below row count for any binnable feature);
+    *  2. cumulative counts + grand total over the histogram (a window over
+    *     the SMALL table; its single global ordering pass touches only
+    *     distinct values, never rows);
+    *  3. each row's exact 1-based rank = (cumulative below its value) +
+    *     (row_number within its value group, ordered by `idCols`) — the
+    *     within-value window shuffles rows ONCE on the value key, and each
+    *     value group sorts independently;
+    *  4. ntile arithmetic on the rank, pure integers: with q = n div k and
+    *     m = n mod k, the first m buckets take q+1 rows. Bit-exact against
+    *     any engine's ntile under the same total order.
+    *
+    * The classic `ntile() OVER (ORDER BY …)` plans a SINGLE-partition
+    * window over the whole corpus — the textbook 100 TB non-starter this
+    * op exists to replace. */
+  def quantileBins(df: DataFrame, valueCol: String, k: Int,
+      idCols: Seq[String]): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(idCols.nonEmpty, "idCols must give rows a total order within a value")
+    // internal names prefixed so an input column named "v"/"n"/"r" can
+    // never collide with the histogram join
+    val rows = df.filter(col(valueCol).isNotNull)
+    val hist = rows.groupBy(col(valueCol).as("__qb_v")).agg(count(lit(1)).as("__qb_cnt"))
+    val cum = hist.select(col("__qb_v"),
+      (sum(col("__qb_cnt")).over(Window.orderBy(col("__qb_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__qb_cnt")).as("__qb_below"),
+      sum(col("__qb_cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("__qb_n"))
+    val withinW = Window.partitionBy(col(valueCol)).orderBy(idCols.map(col): _*)
+    val ranked = rows.withColumn("__qb_rn", row_number().over(withinW).cast(LongType))
+      .join(cum, col(valueCol) === col("__qb_v"))
+      .withColumn("__qb_r", col("__qb_below") + col("__qb_rn"))
+    val q = graft.queries.intDiv(col("__qb_n"), k)
+    val m = col("__qb_n") - q * k
+    // first m buckets have q+1 rows, the rest q:
+    //   r ≤ m(q+1)         → 1 + (r−1) div (q+1)
+    //   otherwise          → 1 + m + (r − m(q+1) − 1) div q
+    val r = col("__qb_r")
+    val inHead = r <= m * (q + lit(1L))
+    val headBucket = lit(1L) + call_function("div", r - 1, q + lit(1L)).cast(LongType)
+    val tailBucket = lit(1L) + m +
+      call_function("div", r - m * (q + lit(1L)) - 1, q).cast(LongType)
+    ranked
+      .withColumn("bucket", when(inHead, headBucket).otherwise(tailBucket))
+      .drop("__qb_v", "__qb_below", "__qb_n", "__qb_rn", "__qb_r")
+  }
+
   /** Fixed-width histogram over a numeric column: bucket index
     * ⌊(v − lo) / width⌋ (one IEEE subtraction + division + floor —
     * identical in any engine), per-bucket count and exact min/max.

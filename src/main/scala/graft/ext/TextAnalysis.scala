@@ -710,4 +710,153 @@ object TextAnalysis {
         explode(regexp_extract_all(col(textCol), lit(UrlDomainRe), lit(1))).as("domain"))
       .groupBy(col("domain"))
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_urls"))
+
+  /** Per-domain document cap — web-corpus downsampling (the RefinedWeb /
+    * Gopher "no domain dominates" rule): keep at most `maxPerDomain`
+    * documents per domain, chosen in CONTENT-HASH order ([[hash60]] of the
+    * text, doc id as tie-break) so the keep-set is deterministic,
+    * rerun-stable, and unbiased by crawl/id order. Returns only the kept
+    * rows, annotated with `domain_rank` (1-based position in the keep
+    * order).
+    *
+    * Scale shape: the rank-filter compiles to Spark's WindowGroupLimit —
+    * each map task pre-prunes to its local top-`maxPerDomain` per domain
+    * BEFORE the shuffle, so a hot domain with 10⁹ pages ships only
+    * cap-sized fragments per task, never the whole domain, and the
+    * post-shuffle sort touches ≤ cap·tasks rows per domain. One shuffle.
+    * (A plan-regression test asserts the WindowGroupLimit stays.) */
+  def domainCap(docs: DataFrame, maxPerDomain: Int,
+      domainCol: String = "domain", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive: $maxPerDomain")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(hash60(col(textCol)), col(idCol))
+    docs.withColumn("domain_rank", row_number().over(w).cast(LongType))
+      .filter(col("domain_rank") <= maxPerDomain)
+  }
+
+  /** Line-level boilerplate removal — the RefinedWeb line-dedup pass:
+    * any line whose corpus document frequency (case-insensitive, trimmed)
+    * reaches `minDf` is navigation/footer/cookie-banner boilerplate and is
+    * deleted from every document; surviving lines are reassembled in
+    * original order. Differs from [[Dedup.exactDedup]] (whole-document)
+    * and [[boilerplateNgrams]] (report-only): this REWRITES the corpus at
+    * line granularity.
+    *
+    * Output is total on the input: every row keeps `(idCol)`, gaining
+    * `clean_text` (null when the text was null OR every line was removed
+    * — never a fabricated empty string), `n_lines`, `n_removed`.
+    *
+    * Plan: one explode projection; line-df is an aggregate over the
+    * distinct (doc, line-key) pairs — vocab-scale, zipf-headed (the empty
+    * line), which AQE's skew handling splits; the annotate join shuffles
+    * the line table on the line key; reassembly is one groupBy on the doc
+    * id with an `array_sort` on (pos, line) making the collected order
+    * deterministic regardless of partition arrival. No window over the
+    * corpus, no per-doc state bigger than the doc itself. */
+  def removeCommonLines(docs: DataFrame, minDf: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would delete every line: $minDf")
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("k", lower(trim(col("line"))))
+    val lineDf = lines.select(col(idCol), col("k")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("line_df"))
+    val kept = lines.join(lineDf, Seq("k"))
+      .withColumn("keep", col("line_df") < lit(minDf))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("keep"), lit(0L)).otherwise(lit(1L))).as("n_removed"),
+      // collect_list drops the nulls `when` leaves for removed lines;
+      // array_sort on (pos, line) restores document order deterministically
+      array_sort(collect_list(when(col("keep"),
+        struct(col("pos"), col("line"))))).as("ks"))
+    val cleanText = when(size(col("ks")) === 0, lit(null).cast(StringType))
+      .otherwise(concat_ws("\n", transform(col("ks"), x => x.getField("line"))))
+    docs.select(col(idCol))
+      .join(rebuilt.select(col(idCol), cleanText.as("clean_text"),
+        col("n_lines"), col("n_removed")), Seq(idCol), "left")
+  }
+
+  /** Repeated n-gram span masking — the word-level cousin of exact
+    * substring dedup ("Deduplicating Training Data Makes Language Models
+    * Better": repeated spans, not just repeated documents, hurt the
+    * model): any word n-gram whose corpus document frequency reaches
+    * `minDf` is memorized boilerplate; every token it covers is cut, and
+    * each maximal cut RUN is replaced by one `mask` marker so sentence
+    * structure stays visible. Catches the dup class document- and
+    * line-granularity ops miss (a quoted paragraph inside an otherwise
+    * unique page).
+    *
+    * Output is total on the input: (id, `masked_text`, `n_tokens`,
+    * `n_masked`, `n_spans`); null text → null outputs.
+    *
+    * Plan: gram occurrences are a map-side explode of per-row slices; the
+    * df aggregate runs on [[hash60]] gram keys (constant-width longs, not
+    * gram strings — the shuffle payload rule the MinHash family follows);
+    * hot grams prune via a semi-join; covered positions explode map-side
+    * and distinct on (doc, pos); the run-collapse lag window and the
+    * reassembly groupBy share one hash partitioning on the doc id. No
+    * corpus-wide window, no driver-side data. */
+  def maskRepeatedNgrams(docs: DataFrame, n: Int = 3, minDf: Long = 5,
+      mask: String = "<dup>",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n must be at least 2: $n")
+    require(minDf >= 2, s"minDf < 2 would mask every token: $minDf")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ", -1).as("ws"))
+    // 1-based starts (matches SQL list slicing in the oracle)
+    val grams = base.filter(size(col("ws")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => struct(i.cast(LongType).as("start"),
+          hash60(concat_ws(" ", slice(col("ws"), i, lit(n)))).as("gk")))).as("g"))
+      .select(col(idCol), col("g.start"), col("g.gk"))
+    val hot = grams.select(col(idCol), col("gk")).distinct()
+      .groupBy(col("gk")).agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") >= minDf)
+      .select(col("gk"))
+    val covered = grams.join(hot, Seq("gk"), "left_semi")
+      .select(col(idCol), explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val tokens = base
+      .select(col(idCol), posexplode(col("ws")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).cast(LongType).as("pos"), col("tok"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val emit = tokens
+      .join(covered.withColumn("cv", lit(true)), Seq(idCol, "pos"), "left")
+      .withColumn("cv", coalesce(col("cv"), lit(false)))
+      .withColumn("pcv", coalesce(lag(col("cv"), 1).over(w), lit(false)))
+      .withColumn("piece",
+        when(!col("cv"), col("tok"))
+          .when(col("cv") && !col("pcv"), lit(mask)))
+    val rebuilt = emit.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("cv"), lit(1L)).otherwise(lit(0L))).as("n_masked"),
+      sum(when(col("cv") && !col("pcv"), lit(1L)).otherwise(lit(0L))).as("n_spans"),
+      array_sort(collect_list(when(col("piece").isNotNull,
+        struct(col("pos"), col("piece"))))).as("ps"))
+    docs.select(col(idCol))
+      .join(rebuilt.select(col(idCol),
+        concat_ws(" ", transform(col("ps"), x => x.getField("piece"))).as("masked_text"),
+        col("n_tokens"), col("n_masked"), col("n_spans")), Seq(idCol), "left")
+  }
+
+  /** Whitespace/control class of [[normalizeText]], shared with its oracle:
+    * space, tab, CR, LF, and the C0/DEL control range. Explicit `\x`
+    * escapes — identical meaning in Java regex and RE2. */
+  val JunkRunRe = "[ \\t\\r\\n\\x00-\\x1F\\x7F]+"
+
+  /** Text normalization — the canonical-form pass run before any
+    * hash/shingle operator so that casing and whitespace noise never
+    * splits otherwise-identical content: every run of whitespace/control
+    * characters collapses to ONE space, leading/trailing runs drop, and
+    * the result is lowercased. Adds `norm_text` + `n_chars_norm`;
+    * null text propagates (total pass). Map-only: one codegen'd
+    * projection, no shuffle — linear at any corpus size. */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), JunkRunRe, " ")))
+    docs.withColumn("norm_text", norm)
+      .withColumn("n_chars_norm", length(col("norm_text")).cast(LongType))
+  }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Physical-plan regression guards for the scale-critical claims the
   * query pack makes in its docs: filters/projections reach the parquet
@@ -35,7 +36,8 @@ class PlanSpec extends SparkSpec {
         "piiRedact" -> graft.ext.TextAnalysis.piiRedact(docs),
         "chunkTokens" -> graft.ext.TextAnalysis.chunkTokens(docs),
         "deterministicSplit" -> graft.ext.TextAnalysis.deterministicSplit(docs),
-        "fingerprint" -> graft.ext.TextAnalysis.fingerprint(docs))) {
+        "fingerprint" -> graft.ext.TextAnalysis.fingerprint(docs),
+        "normalizeText" -> graft.ext.TextAnalysis.normalizeText(docs))) {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name plans a shuffle:\n$p")
     }
@@ -72,5 +74,37 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.ext.Stats.histogram(li, "l_extendedprice", 0.0, 100.0))
     // partial + final hash aggregate around the one exchange
     assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("domainCap pre-prunes to the cap per task before the shuffle (WindowGroupLimit)") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .withColumn("domain", concat(lit("d"), pmod(col("doc_id"), lit(37L))))
+    val p = plan(graft.ext.TextAnalysis.domainCap(docs, 5))
+    // Partial-mode WindowGroupLimit upstream of the exchange is what keeps
+    // a hot domain from shipping whole at 100 TB; losing it (e.g. by
+    // computing a full-partition count in the same window) silently
+    // reverts to whole-domain sorts.
+    val limitIdx = p.indexOf("WindowGroupLimit")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(limitIdx >= 0, s"no WindowGroupLimit in domainCap plan:\n$p")
+    assert(p.indexOf("WindowGroupLimit", limitIdx + 1) > exchangeIdx,
+      s"no partial WindowGroupLimit below the exchange in:\n$p")
+  }
+
+  test("quantileBins never plans a whole-corpus single-partition sort") {
+    val li = graft.core.Tables.load(spark, sf001, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+    val p = plan(graft.ext.Stats.quantileBins(li, "qty", 10,
+      Seq("l_orderkey", "l_linenumber")))
+    // the only SinglePartition exchange allowed is the one feeding the
+    // HISTOGRAM cumulative window (distinct values, not rows): it must sit
+    // above a completed (final) aggregate, never directly above a row scan
+    val singles = "Exchange SinglePartition".r.findAllMatchIn(p).map(_.start).toList
+    for (s <- singles) {
+      val upstream = p.substring(s)
+      assert(upstream.contains("HashAggregate"),
+        s"SinglePartition exchange not over the value histogram in:\n$p")
+    }
   }
 }
