@@ -842,6 +842,64 @@ object TextAnalysis {
         col("n_tokens"), col("n_masked"), col("n_spans")), Seq(idCol), "left")
   }
 
+  /** Compression-ratio quality signal (Gopher/Dolma-class filter): the
+    * deflate-compressed length of the UTF-8 text over its byte length.
+    * Repetitive/template/degenerate text compresses far below prose
+    * (ratio → 0); random or binary junk compresses above it (ratio ≳ 1).
+    * Both tails get filtered. Map-only: one codegen'd projection through
+    * the [[graft.functions.DeflateLength]] expression — no shuffle. No
+    * SQL-engine dual exists (DuckDB has no deflate function), so queries
+    * over this op are rows-only-gated by design; semantics are asserted
+    * in ScalaTest. Null text propagates (total pass). */
+  def compressionRatio(docs: DataFrame, textCol: String = "text",
+      level: Int = 6): DataFrame =
+    docs
+      .withColumn("n_bytes", octet_length(col(textCol)).cast(LongType))
+      .withColumn("deflate_len",
+        graft.functions.TextMetrics.deflateLen(col(textCol), level))
+      .withColumn("compression_ratio",
+        col("deflate_len").cast(DoubleType) / col("n_bytes").cast(DoubleType))
+
+  /** Cross-source content-overlap matrix — the corpus-composition audit
+    * behind mixing decisions (how much of source A is already in source B;
+    * e.g. successive crawl dumps overlap heavily, a books source should
+    * not): per-source DISTINCT word n-gram sets, pairwise
+    * |A∩B| / |A∪B| Jaccard for every unordered source pair — zero-overlap
+    * pairs included (a total |S|² matrix, |S| = #sources, tiny).
+    *
+    * Scale shape: the distinct (source, gram) projection is the only
+    * corpus-scale stage (one shuffle on [[hash60]] gram keys — constant
+    * width); the intersection self-join runs on the DISTINCT gram table
+    * (vocab × sources, orders below row count) keyed by gram; per-source
+    * set sizes broadcast back over the |S|² frame. Exact counts, one
+    * final double division — hash-stable across engines. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val ws = split(col(textCol), " ", -1)
+    // size filter first: Spark's sequence(1, stop) DESCENDS for stop < 1
+    // (it would fabricate grams for short docs; DuckDB's generate_series
+    // returns empty — the oracle contract)
+    val grams = docs.filter(col(textCol).isNotNull && size(ws) >= n)
+      .select(col(srcCol).as("src"), explode(transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => hash60(concat_ws(" ", slice(ws, i, lit(n)))))).as("gk"))
+      .distinct()
+    val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+    val inter = grams.select(col("src").as("source_a"), col("gk"))
+      .join(grams.select(col("src").as("source_b"), col("gk")), Seq("gk"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    sizes.select(col("src").as("source_a"), col("n_grams").as("n_a"))
+      .crossJoin(sizes.select(col("src").as("source_b"), col("n_grams").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard", col("n_common").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
+  }
+
   /** Whitespace/control class of [[normalizeText]], shared with its oracle:
     * space, tab, CR, LF, and the C0/DEL control range. Explicit `\x`
     * escapes — identical meaning in Java regex and RE2. */

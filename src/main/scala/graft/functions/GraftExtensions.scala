@@ -20,7 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** All four custom expressions, as injectFunction-shaped entries (shared
+  /** All custom expressions, as injectFunction-shaped entries (shared
     * with the test-side registry registration — one source of truth for
     * what "SQL-registered" means). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -31,7 +31,11 @@ object GraftExtensions {
     fn("graft_cosine", classOf[ArrayCosine],
       es => ArrayCosine(es(0), es(1))),
     fn("graft_sorted_intersect_count", classOf[SortedIntersectCount],
-      es => SortedIntersectCount(es(0), es(1))))
+      es => SortedIntersectCount(es(0), es(1))),
+    // 1-arg SQL form at the default deflate level (the Scala surface
+    // exposes the level knob)
+    fn("graft_deflate_len", classOf[DeflateLength],
+      es => DeflateLength(es(0), level = 6)))
 
   private def fn(name: String, cls: Class[_],
       builder: Seq[Expression] => Expression)

@@ -9,7 +9,10 @@ import org.apache.spark.sql.types._
 /** Round-5 corpus-curation operators as oracle-checked queries: per-domain
   * downsampling (q88), line-level boilerplate removal (q89), semantic
   * dedup over embeddings (q90, approximate → rows-only by design),
-  * distributed exact quantile binning (q91), and text normalization (q92).
+  * distributed exact quantile binning (q91), text normalization (q92),
+  * repeated n-gram span masking (q93), the cross-source overlap matrix
+  * (q94), and the compression-ratio quality signal (q95, rows-only — no
+  * SQL engine computes deflate).
   *
   * Shares the oracle discipline of [[Corpus]]: integer/fixed-point scores,
   * planted inputs reproduced verbatim on both sides, total output orders.
@@ -181,6 +184,45 @@ object Curation {
       |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q94 — cross-source overlap matrix: pairwise word-3-gram Jaccard over
+  // the 20 sources (190 pairs, zero-overlap pairs included). The planted
+  // cross-source copies give the matrix real signal.
+  def q94_source_overlap(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceOverlap(docs(s, dir), n = 3)
+      .orderBy(col("source_a"), col("source_b"))
+
+  private val q94_sql =
+    """WITH b AS (SELECT source, string_split(text, ' ') AS ws FROM documents
+      |           WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+      |s AS (SELECT source, ws, unnest(generate_series(1, len(ws) - 2)) AS start FROM b),
+      |g AS (SELECT DISTINCT source,
+      |        CAST(('0x' || substr(md5(array_to_string(ws[start:start+2], ' ')), 1, 15)) AS BIGINT) AS gk
+      |      FROM s),
+      |z AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+      |i AS (SELECT a.source AS source_a, b.source AS source_b,
+      |        CAST(count(*) AS BIGINT) AS n_common
+      |      FROM g a JOIN g b ON a.gk = b.gk AND a.source < b.source GROUP BY 1, 2)
+      |SELECT za.source AS source_a, zb.source AS source_b,
+      |  za.n_grams AS n_a, zb.n_grams AS n_b,
+      |  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+      |  CAST(coalesce(i.n_common, 0) AS DOUBLE) /
+      |    CAST(za.n_grams + zb.n_grams - coalesce(i.n_common, 0) AS DOUBLE) AS jaccard
+      |FROM z za JOIN z zb ON za.source < zb.source
+      |LEFT JOIN i ON i.source_a = za.source AND i.source_b = zb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q95 — compression-ratio quality signal: deflate length / byte length
+  // per document via the codegen'd graft_deflate_len expression. No SQL
+  // dual (DuckDB has no deflate) → rows-only check by design; the
+  // planted repetitive/duplicate docs vs prose docs separate in ScalaTest.
+  def q95_compression_ratio(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionRatio(docs(s, dir))
+      .select(col("doc_id"), col("n_bytes"), col("deflate_len"),
+        col("compression_ratio"))
+      .orderBy(col("doc_id"))
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_domain_cap" -> (q88_domain_cap _),
@@ -188,12 +230,15 @@ object Curation {
     "q90_semantic_dedup" -> (q90_semantic_dedup _),
     "q91_quantile_bins" -> (q91_quantile_bins _),
     "q92_normalize_text" -> (q92_normalize_text _),
-    "q93_mask_repeated_ngrams" -> (q93_mask_repeated_ngrams _))
+    "q93_mask_repeated_ngrams" -> (q93_mask_repeated_ngrams _),
+    "q94_source_overlap" -> (q94_source_overlap _),
+    "q95_compression_ratio" -> (q95_compression_ratio _))
 
   def oracle: Map[String, String] = Map(
     "q88_domain_cap" -> q88_sql,
     "q89_line_dedup" -> q89_sql,
     "q91_quantile_bins" -> q91_sql,
     "q92_normalize_text" -> q92_sql,
-    "q93_mask_repeated_ngrams" -> q93_sql)
+    "q93_mask_repeated_ngrams" -> q93_sql,
+    "q94_source_overlap" -> q94_sql)
 }

@@ -156,7 +156,7 @@ class ExtOpsSpec extends SparkSpec {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
-  test("all four graft SQL functions resolve and compute via spark.sql") {
+  test("all five graft SQL functions resolve and compute via spark.sql") {
     graft.functions.GraftExtensions.functions
       .foreach(org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, _))
     val row = spark.sql(
@@ -164,12 +164,15 @@ class ExtOpsSpec extends SparkSpec {
         |  graft_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dl,
         |  graft_dot_double(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dd,
         |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
-        |  graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic
+        |  graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic,
+        |  graft_deflate_len(repeat('ab', 100)) AS dfl
         |""".stripMargin).collect().head
     assert(row.getLong(0) == 32L)
     assert(row.getDouble(1) == 11.0)
     assert(row.getDouble(2) == 1.0)
     assert(row.getLong(3) == 2L)
+    // 200 bytes of 'ababab…' deflate far below their raw length
+    assert(row.getLong(4) > 0L && row.getLong(4) < 40L)
   }
 
   test("ArrayMath null elements: numeric folds null out, sorted intersect skips") {

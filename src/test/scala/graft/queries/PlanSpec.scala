@@ -37,7 +37,8 @@ class PlanSpec extends SparkSpec {
         "chunkTokens" -> graft.ext.TextAnalysis.chunkTokens(docs),
         "deterministicSplit" -> graft.ext.TextAnalysis.deterministicSplit(docs),
         "fingerprint" -> graft.ext.TextAnalysis.fingerprint(docs),
-        "normalizeText" -> graft.ext.TextAnalysis.normalizeText(docs))) {
+        "normalizeText" -> graft.ext.TextAnalysis.normalizeText(docs),
+        "compressionRatio" -> graft.ext.TextAnalysis.compressionRatio(docs))) {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name plans a shuffle:\n$p")
     }
