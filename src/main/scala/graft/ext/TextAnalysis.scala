@@ -812,10 +812,7 @@ object TextAnalysis {
         i => struct(i.cast(LongType).as("start"),
           hash60(concat_ws(" ", slice(col("ws"), i, lit(n)))).as("gk")))).as("g"))
       .select(col(idCol), col("g.start"), col("g.gk"))
-    val hot = grams.select(col(idCol), col("gk")).distinct()
-      .groupBy(col("gk")).agg(count(lit(1)).as("gram_df"))
-      .filter(col("gram_df") >= minDf)
-      .select(col("gk"))
+    val hot = hotGramKeys(docs, n, minDf, idCol, textCol)
     val covered = grams.join(hot, Seq("gk"), "left_semi")
       .select(col(idCol), explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
       .distinct()
@@ -840,6 +837,61 @@ object TextAnalysis {
       .join(rebuilt.select(col(idCol),
         concat_ws(" ", transform(col("ps"), x => x.getField("piece"))).as("masked_text"),
         col("n_tokens"), col("n_masked"), col("n_spans")), Seq(idCol), "left")
+  }
+
+  /** The hot word-n-gram keys of a corpus: [[hash60]] of every n-gram
+    * whose document frequency reaches `minDf` — the batch half of the
+    * ingest-time masking pair ([[maskRepeatedNgrams]] consumes it
+    * corpus-side; [[maskWithGramSet]] applies a collected copy to a
+    * stream). One distinct + one aggregate on constant-width keys. */
+  def hotGramKeys(docs: DataFrame, n: Int = 3, minDf: Long = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = split(col(textCol), " ", -1)
+    docs.filter(col(textCol).isNotNull && size(ws) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => hash60(concat_ws(" ", slice(ws, i, lit(n)))))).as("gk"))
+      .distinct()
+      .groupBy(col("gk")).agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") >= minDf)
+      .select(col("gk"))
+  }
+
+  /** Ingest-time repeated-n-gram masking — the STREAMING dual of
+    * [[maskRepeatedNgrams]]: the hot-gram blocklist is computed in batch
+    * over yesterday's corpus ([[hotGramKeys]], collected — bounded by
+    * construction, like a stopword list or the [[boilerplateNgrams]]
+    * head) and applied per row with pure array expressions. Map-only and
+    * stateless, so it runs identically on a batch frame or inside any
+    * streaming micro-batch — no state store, no watermark, no shuffle.
+    *
+    * Same output contract as [[maskRepeatedNgrams]] (masked_text /
+    * n_tokens / n_masked / n_spans, total on input). Per-row cost is
+    * O(tokens · |hotGrams|) (linear membership scans) — right for
+    * blocklists up to ~10⁴ grams; past that, run the corpus-side op. */
+  def maskWithGramSet(docs: DataFrame, hotGrams: Seq[Long], n: Int = 3,
+      mask: String = "<dup>", textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n must be at least 2: $n")
+    val hotLit = typedLit(hotGrams.sorted)
+    val ws = split(col(textCol), " ", -1)
+    val starts = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val hotStarts = filter(starts, i =>
+      array_contains(hotLit, hash60(concat_ws(" ", slice(ws, i, lit(n))))))
+    val covered = array_distinct(flatten(transform(hotStarts,
+      i => sequence(i, i + (n - 1)))))
+    val pieces = transform(sequence(lit(1), size(ws)), i =>
+      when(!array_contains(covered, i), element_at(ws, i))
+        .when(!array_contains(covered, i - 1), lit(mask)))
+    val spanHeads = filter(covered, i => !array_contains(covered, i - 1))
+    // null text → null outputs, matching maskRepeatedNgrams' total pass
+    def ifText(c: Column) = when(col(textCol).isNotNull, c)
+    docs
+      .withColumn("masked_text",
+        ifText(concat_ws(" ", filter(pieces, p => p.isNotNull))))
+      .withColumn("n_tokens", ifText(size(ws).cast(LongType)))
+      .withColumn("n_masked", ifText(size(covered).cast(LongType)))
+      .withColumn("n_spans", ifText(size(spanHeads).cast(LongType)))
   }
 
   /** Compression-ratio quality signal (Gopher/Dolma-class filter): the

@@ -225,4 +225,28 @@ class StreamOpsSpec extends SparkSpec {
     // a 10-minute window sliding by 5 covers ts(7) twice: [10:00,10:10) and [10:05,10:15)
     assert(out.filter(col("user_id") === 1L).count() == 2)
   }
+
+  test("ingest-time n-gram masking runs map-only on a document stream") {
+    // the batch-computed blocklist (hotGramKeys over yesterday's corpus)
+    // applied inside a micro-batch: stateless, no watermark needed
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "please subscribe to our newsletter"
+    val hot = graft.ext.TextAnalysis.hotGramKeys(
+      Seq((1L, boiler), (2L, boiler), (3L, boiler)).toDF("doc_id", "text"),
+      n = 3, minDf = 2).collect().map(_.getLong(0)).toSeq
+    assert(hot.nonEmpty)
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    mem.addData((10L, s"fresh content here $boiler"), (11L, "all fresh content"))
+    val q = graft.ext.TextAnalysis.maskWithGramSet(df, hot, n = 3)
+      .select("doc_id", "masked_text", "n_spans")
+      .writeStream.format("memory").queryName("ingestmask")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val out = spark.table("ingestmask").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("masked_text"), r.getAs[Long]("n_spans"))).toMap
+    assert(out(10L) == (("fresh content here <dup>", 1L)))
+    assert(out(11L) == (("all fresh content", 0L)))
+  }
 }
