@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -549,7 +551,19 @@ object Dedup {
     * control flow (iteration), never of driver-side data.
     *
     * `maxIters` bounds pathological chain-shaped graphs; hitting it throws
-    * rather than returning a silently under-merged clustering. */
+    * rather than returning a silently under-merged clustering.
+    *
+    * Small-graph fast path: when the materialized edge count is at most
+    * [[SmallGraphEdges]] (and ids are BIGINT), the edges collect to the
+    * driver and a union-find labels them in one pass — identical output
+    * (min reachable id), none of the loop's per-round scheduling floor
+    * (measured: the floor, not data volume, dominated every corpus-scale
+    * benchmark run). This is driver-side CONTROL on a bounded, already-
+    * counted set — ≤1M edges ≈ 16 MB — not driver-side data flow: past
+    * the bound the distributed loop runs unchanged, so 100 TB inputs
+    * (edge sets in the billions) never touch the driver. */
+  val SmallGraphEdges: Long = 1L << 20
+
   def clusterPairs(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     // Persist the DIRECTED pairs, not the symmetric union: the union reads
     // its input twice (once per direction), and an unpersisted `pairs` is
@@ -563,6 +577,9 @@ object Dedup {
     // re-uses, and a mid-loop failure still cannot leak the entry past
     // the registry.
     val e0 = graft.core.Caches.persist(pairs.select(col("i"), col("j")))
+    val longIds = e0.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && e0.count() <= SmallGraphEdges)
+      return unionFindLabels(e0)
     val edges = e0.unionByName(e0.select(col("j").as("i"), col("i").as("j")))
     locally {
       // Size the loop's shuffle parallelism from the ACTUAL edge count
@@ -587,6 +604,30 @@ object Dedup {
         case None => spark.conf.unset("spark.sql.shuffle.partitions")
       }
     }
+  }
+
+  /** Driver union-find for the small-graph fast path of [[clusterPairs]]:
+    * min-id roots (every union keeps the smaller root) with path
+    * compression — output identical to the distributed loop: (id,
+    * cluster_id = min reachable id), one row per touched vertex. */
+  private def unionFindLabels(e0: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    for (row <- e0.toLocalIterator().asScala) {
+      val i = row.getLong(0); val j = row.getLong(1)
+      parent.putIfAbsent(i, i)
+      parent.putIfAbsent(j, j)
+      val ri = find(i); val rj = find(j)
+      if (ri != rj) parent.put(math.max(ri, rj), math.min(ri, rj))
+    }
+    val labels = parent.keySet().asScala.toSeq.sorted.map(id => (id, find(id)))
+    e0.sparkSession.createDataFrame(labels).toDF("id", "cluster_id")
   }
 
   private def clusterLoop(edges: DataFrame, maxIters: Int): DataFrame = {
