@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Lexical retrieval over a document corpus — the keyword-search
   * complement to the embedding family in [[Similarity]]. The reference
@@ -155,6 +155,110 @@ object Search {
        |    PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rk FROM sc)
        |SELECT doc_id, term, tf, df, score_fp, rk FROM rk WHERE rk <= $k
        |ORDER BY doc_id, rk""".stripMargin
+
+  /** Thresholded near-dup pairs under WEIGHTED (tf·idf) cosine over the
+    * sparse term vectors — the lexical complement of the dense-embedding
+    * pair family ([[graft.ext.Similarity.annLshPairs]]): Jaccard treats
+    * every shingle equally, embeddings need a model; tf·idf cosine catches
+    * documents that share *distinctive* vocabulary.
+    *
+    * Exactness contract: term weights are integer
+    * `w = tf · floor(idf · 100)` with the rational idf
+    * `(N − df + 0.5)/(df + 0.5)` (see [[bm25TopK]] for why no `ln`), so
+    * dots and norms are exact BIGINT sums, and the threshold
+    * `cos ≥ num/den` is decided in exact integer arithmetic:
+    * `den²·dot² ≥ num²·‖a‖²·‖b‖²` evaluated in 38-digit decimals
+    * (HUGEINT in the oracle) — no float ever decides membership. The
+    * reported `cos_fp` uses IEEE sqrt/divide (correctly rounded, mirrored
+    * expression tree → bit-identical cross-engine).
+    *
+    * Plan shape at scale: one tokenization pass → (doc, gram-key) tf
+    * aggregate; vocabulary df off the tf table; terms with `df > maxDf`
+    * are dropped from the VOCABULARY (ubiquitous terms carry no cosine
+    * signal — and they are exactly the terms whose posting lists explode
+    * the self-join), so candidate pairs come only from discriminative
+    * posting lists (≤ maxDf² pairs per term). Norms are computed over the
+    * same capped vocabulary, keeping cos ≤ 1 consistent. Terms join on
+    * [[TextAnalysis.hash60]] keys — constant-width longs, never strings,
+    * through every shuffle. Compose after [[graft.ext.Dedup.exactDedup]]
+    * at corpus scale so exact-copy groups don't quadratically re-pair. */
+  def tfidfCosinePairs(docs: DataFrame, minCosNum: Int, minCosDen: Int,
+      maxDf: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minCosNum > 0 && minCosDen >= minCosNum, "need 0 < num/den <= 1")
+    require(maxDf > 1, "maxDf must admit at least one pair")
+    val nDocs = docs.filter(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .select(col("doc_id"), TextAnalysis.hash60(col("term")).as("gk"))
+      .groupBy(col("doc_id"), col("gk")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("gk")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // integer weight w = tf · floor(idf·100); idf expression tree mirrored
+    // by the oracle SQL verbatim
+    val idfInt = floor(((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5)) * lit(100.0)).cast(LongType)
+    val w = graft.core.Caches.persist(
+      tf.join(vocab, Seq("gk")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("gk"), (col("tf") * idfInt).as("w")))
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("na2"))
+    val pairs = w.as("a")
+      .join(w.as("b"),
+        col("a.gk") === col("b.gk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("a.w") * col("b.w")).as("dot"))
+    val dec = DecimalType(20, 0)
+    val lhs = col("dot").cast(dec) * col("dot").cast(dec) *
+      lit(minCosDen.toLong * minCosDen)
+    val rhs = lit(minCosNum.toLong * minCosNum) *
+      col("na2").cast(dec) * col("nb2").cast(dec)
+    val nA = norms.select(col("doc_id").as("__na_id"), col("na2"))
+    val nB = norms.select(col("doc_id").as("__nb_id"), col("na2").as("nb2"))
+    pairs
+      .join(nA, col("doc_a") === col("__na_id"))
+      .join(nB, col("doc_b") === col("__nb_id"))
+      .filter(col("dot") > 0 && lhs >= rhs)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("dot"),
+        col("na2"), col("nb2"),
+        floor(col("dot").cast(DoubleType) * lit(1000000.0) /
+          (sqrt(col("na2").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType))))
+          .cast(LongType).as("cos_fp"))
+  }
+
+  /** The DuckDB dual of [[tfidfCosinePairs]] — same hash60 keys, idf
+    * tree, integer threshold (HUGEINT), and cos_fp float tree. */
+  def tfidfCosinePairsOracleSql(table: String, minCosNum: Int, minCosDen: Int,
+      maxDf: Int): String = {
+    val num2 = minCosNum.toLong * minCosNum
+    val den2 = minCosDen.toLong * minCosDen
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15)) AS BIGINT) AS gk
+       |  FROM $table WHERE text IS NOT NULL),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+       |      FROM $table WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, gk, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |v AS (SELECT gk, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |      HAVING count(*) <= $maxDf),
+       |w AS (SELECT tf.doc_id, tf.gk,
+       |        tf.tf * CAST(floor((CAST(n.n_docs - v.df AS DOUBLE) + 0.5) /
+       |          (CAST(v.df AS DOUBLE) + 0.5) * 100.0) AS BIGINT) AS w
+       |      FROM tf JOIN v USING (gk), n),
+       |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS na2 FROM w GROUP BY 1),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(count(*) AS BIGINT) AS n_common,
+       |        CAST(sum(a.w * b.w) AS BIGINT) AS dot
+       |      FROM w a JOIN w b ON a.gk = b.gk AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.n_common, p.dot, x.na2, y.na2 AS nb2,
+       |  CAST(floor(CAST(p.dot AS DOUBLE) * 1000000.0 /
+       |    (sqrt(CAST(x.na2 AS DOUBLE)) * sqrt(CAST(y.na2 AS DOUBLE)))) AS BIGINT) AS cos_fp
+       |FROM p JOIN norms x ON p.doc_a = x.doc_id
+       |       JOIN norms y ON p.doc_b = y.doc_id
+       |WHERE p.dot > 0
+       |  AND CAST(p.dot AS HUGEINT) * p.dot * $den2 >= CAST($num2 AS HUGEINT) * x.na2 * y.na2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** The DuckDB dual of [[bm25TopK]] — same tokenization (literal-space
     * split), same expression tree, same fixed-point floor. Literals are

@@ -121,6 +121,33 @@ object Stats {
       .drop("__qb_v", "__qb_below", "__qb_n", "__qb_rn", "__qb_r")
   }
 
+  /** One-pass column profiling — the "what is in this table" report run
+    * before any schema-dependent pipeline stage (null-rate gates, key
+    * candidate detection, bounds for [[histogram]]/[[quantileBins]]).
+    * One row per profiled column: row count, non-null count, exact
+    * distinct count, min and max (computed in the column's NATIVE type,
+    * then rendered to string — so numeric columns order numerically, not
+    * lexicographically).
+    *
+    * Scale shape: ONE aggregate pass over the table produces every
+    * column's stats as a single wide row (Spark plans the multi-column
+    * distinct via Expand — cost |cols| × rows map-side, one shuffle),
+    * which then explodes driver-free into the per-column report. The
+    * alternative — one scan per column — pays |cols| full scans. */
+  def profile(df: DataFrame, cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { case (n, c) => Seq(
+      count(c).as(s"__pf_nn_$n"), countDistinct(c).as(s"__pf_nd_$n"),
+      min(c).cast(StringType).as(s"__pf_mn_$n"),
+      max(c).cast(StringType).as(s"__pf_mx_$n")) }
+    val wide = df.agg(count(lit(1)).as("__pf_rows"), aggs: _*)
+    wide.select(explode(array(cols.map { case (n, _) =>
+      struct(lit(n).as("column_name"), col("__pf_rows").as("n_rows"),
+        col(s"__pf_nn_$n").as("n_nonnull"), col(s"__pf_nd_$n").as("n_distinct"),
+        col(s"__pf_mn_$n").as("min_str"), col(s"__pf_mx_$n").as("max_str"))
+    }: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Fixed-width histogram over a numeric column: bucket index
     * ⌊(v − lo) / width⌋ (one IEEE subtraction + division + floor —
     * identical in any engine), per-bucket count and exact min/max.

@@ -952,6 +952,80 @@ object TextAnalysis {
         (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
   }
 
+  /** Linear keyword classifier scoring — the inference half of a
+    * fastText-style quality/topic filter: `score = bias + Σ_tokens
+    * w(token)` over a fixed integer weight table, `label = 1` iff
+    * `score ≥ 0`. (Training happens offline; corpus-scale *inference* is
+    * the pipeline operator.)
+    *
+    * Scale shape: the weight table rides along as a MAP LITERAL and each
+    * row folds its own tokens — a pure projection, NO shuffle and no
+    * explode→join→re-aggregate round trip (which would shuffle every
+    * token of a 100 TB corpus to score it). Integer weights ⇒ exact,
+    * order-free sums. For weight tables too large for an expression
+    * literal (≫10⁴ entries), switch to the explode + broadcast-join
+    * shape; the fold is the right plan for curated keyword lists. */
+  def keywordScore(docs: DataFrame, weights: Seq[(String, Long)],
+      bias: Long = 0L, textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty, "keywordScore needs a weight table")
+    val m = map(weights.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val score = aggregate(split(col(textCol), " ", -1), lit(bias),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("kw_score", score)
+      .withColumn("kw_label", (col("kw_score") >= 0).cast(LongType))
+  }
+
+  /** Pairwise DISTRIBUTIONAL divergence between sources — the complement
+    * of [[sourceOverlap]]: Jaccard over distinct grams asks "do the
+    * sources share content?"; this asks "do they share a *language
+    * profile*?" (two crawls can share zero documents yet have identical
+    * unigram distributions, and a code source diverges from a prose
+    * source even where they share vocabulary).
+    *
+    * Statistic: total-variation distance between the unigram frequency
+    * distributions, `TVD = ½ Σ_t |c_a(t)/N_a − c_b(t)/N_b|`, chosen over
+    * KL/JS because it needs NO logarithm — the numerator
+    * `Σ_t |c_a(t)·N_b − c_b(t)·N_a|` is an exact integer, so the result
+    * is engine-reproducible (one final mirrored IEEE division for the
+    * fixed-point report). 0 = identical distributions, 10⁶ = disjoint.
+    *
+    * Scale shape: one tokenization pass → per-(source, gram-key) counts
+    * (the only corpus-scale shuffle, on [[hash60]] keys); totals are
+    * |S| rows broadcast back; the pair join runs on the COUNTS table
+    * (vocab × sources). Terms absent from one source contribute
+    * `c·N_other` — recovered from totals minus the shared-term sums, so
+    * only the inner join on shared grams is ever materialized. */
+  def sourceDivergence(docs: DataFrame,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("src"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .select(col("src"), hash60(col("term")).as("gk"))
+      .groupBy(col("src"), col("gk")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n_tok"))
+    val cw = counts.join(broadcast(totals), Seq("src"))
+    val shared = cw.as("a")
+      .join(cw.as("b"), col("a.gk") === col("b.gk") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(sum(abs(col("a.c") * col("b.n_tok") - col("b.c") * col("a.n_tok")))
+          .as("shared_abs"),
+        sum(col("a.c")).as("shared_ca"), sum(col("b.c")).as("shared_cb"))
+    val num = coalesce(col("shared_abs"), lit(0L)) +
+      (col("n_a") - coalesce(col("shared_ca"), lit(0L))) * col("n_b") +
+      (col("n_b") - coalesce(col("shared_cb"), lit(0L))) * col("n_a")
+    totals.select(col("src").as("source_a"), col("n_tok").as("n_a"))
+      .crossJoin(totals.select(col("src").as("source_b"), col("n_tok").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        num.as("tvd_num"))
+      .withColumn("tvd_fp",
+        floor(col("tvd_num").cast(DoubleType) * lit(1000000.0) /
+          (lit(2.0) * col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+          .cast(LongType))
+  }
+
   /** Whitespace/control class of [[normalizeText]], shared with its oracle:
     * space, tab, CR, LF, and the C0/DEL control range. Explicit `\x`
     * escapes — identical meaning in Java regex and RE2. */

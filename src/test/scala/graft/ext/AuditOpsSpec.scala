@@ -1,0 +1,154 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Controlled-input coverage for the round-5 audit operators beyond the
+  * DuckDB-oracle gate: tf·idf cosine pair semantics (weighting, the df
+  * cap, the exact integer threshold), source-divergence boundary values,
+  * z-order bit math and write-plan shape, profiling nulls/types, and
+  * keyword-classifier scoring. */
+class AuditOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("tfidfCosinePairs: exact copies pair at cos 1; disjoint and weakly-overlapping docs don't") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // exact copy of 1
+      (3L, "epsilon zeta eta theta"),   // disjoint
+      (4L, "alpha beta iota kappa")     // ~half overlap with 1 → below 0.7
+    ).toDF("doc_id", "text")
+    val out = Search.tfidfCosinePairs(df, minCosNum = 7, minCosDen = 10, maxDf = 4)
+    assert(pairSet(out) == Set((1L, 2L)))
+    val r = out.collect().head
+    // identical vectors: the integer filter admits the pair exactly;
+    // the float report sits at 10⁶ up to one ulp of sqrt·sqrt
+    assert(r.getAs[Long]("cos_fp") >= 999999L)
+    assert(r.getAs[Long]("na2") == r.getAs[Long]("nb2"))
+    assert(r.getAs[Long]("n_common") == 4L)
+  }
+
+  test("tfidfCosinePairs: ubiquitous terms are df-capped out of the vocabulary") {
+    // "common" appears in every doc; with maxDf = 3 < 4 docs it cannot
+    // generate candidates — docs sharing ONLY it never pair
+    val df = Seq(
+      (1L, "common alpha beta gamma"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common epsilon zeta eta"),
+      (4L, "common theta iota kappa")
+    ).toDF("doc_id", "text")
+    val out = Search.tfidfCosinePairs(df, minCosNum = 7, minCosDen = 10, maxDf = 3)
+    assert(pairSet(out) == Set((1L, 2L)))
+  }
+
+  test("tfidfCosinePairs: rare shared vocabulary outweighs common shared vocabulary") {
+    // d1/d2 share a rare term among mostly-different text; d1/d3 share a
+    // term present in every doc. idf weighting keeps (1,2) candidates
+    // only via the rare term; with a low threshold both pairs form, and
+    // the rare-term pair scores HIGHER despite equal raw overlap
+    val df = Seq(
+      (1L, "rareterm filler1 filler2"),
+      (2L, "rareterm other1 other2"),
+      (3L, "filler1 third1 third2"),
+      (4L, "filler1 fourth1 fourth2")
+    ).toDF("doc_id", "text")
+    val out = Search.tfidfCosinePairs(df, minCosNum = 1, minCosDen = 10, maxDf = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("cos_fp")).toMap
+    assert(out.contains((1L, 2L)))
+    val rare = out((1L, 2L))
+    val common = out.filter(_._1 != ((1L, 2L))).values
+    assert(common.forall(_ < rare))
+  }
+
+  test("sourceDivergence: identical distributions → 0; disjoint → 10⁶") {
+    val df = Seq(
+      (1L, "x y", "A"), (2L, "x y", "B"), (3L, "z w", "C")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceDivergence(df).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("tvd_num"), r.getAs[Long]("tvd_fp"))).toMap
+    assert(out(("A", "B")) == ((0L, 0L)))
+    assert(out(("A", "C")) == ((8L, 1000000L)))
+    assert(out(("B", "C")) == ((8L, 1000000L)))
+  }
+
+  test("sourceDivergence: partial overlap lands strictly between") {
+    // A = {x:2}, B = {x:1, y:1}: TVD = ½(|2/2 − 1/2| + |0 − 1/2|) = ½
+    val df = Seq((1L, "x x", "A"), (2L, "x y", "B")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceDivergence(df).collect().head
+    assert(r.getAs[Long]("tvd_fp") == 500000L)
+  }
+
+  test("zorderKey interleaves bits (a even, b odd)") {
+    val df = Seq((3L, 0L), (0L, 3L), (1L, 1L), (65535L, 0L), (65535L, 65535L))
+      .toDF("a", "b")
+      .withColumn("z", Layout.zorderKey(col("a"), col("b")))
+    val z = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z((3L, 0L)) == 0x5L)            // 0101
+    assert(z((0L, 3L)) == 0xAL)            // 1010
+    assert(z((1L, 1L)) == 0x3L)            // 0011
+    assert(z((65535L, 0L)) == 0x55555555L)
+    assert(z((65535L, 65535L)) == 0xFFFFFFFFL)
+  }
+
+  test("zorderArrange plans a range exchange + in-partition sort on zval") {
+    val df = Seq.tabulate(100)(i => (i.toLong % 10, i.toLong / 10)).toDF("a", "b")
+    val arranged = Layout.zorderArrange(df, col("a"), col("b"), numFiles = 4)
+    val plan = arranged.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(zval"))
+    assert(plan.toLowerCase.contains("sort"))
+    // each output partition covers a contiguous z range (files prune)
+    val parts = arranged.select("zval").rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+      .filter(_.nonEmpty)
+    val ranges = parts.map(p => (p.min, p.max)).sortBy(_._1).toSeq
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ => ()
+    }
+  }
+
+  test("profile reports nulls, distincts, and native-typed min/max per column") {
+    val df = Seq(
+      (1L, Some(10L), "b"), (2L, Some(2L), "a"), (3L, None, "a"), (4L, Some(10L), "c")
+    ).toDF("id", "v", "s")
+    val out = Stats.profile(df, Seq("id" -> col("id"), "v" -> col("v"), "s" -> col("s")))
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    val v = out("v")
+    assert(v.getAs[Long]("n_rows") == 4L && v.getAs[Long]("n_nonnull") == 3L &&
+      v.getAs[Long]("n_distinct") == 2L)
+    // numeric ordering, not lexicographic: min 2, max 10
+    assert(v.getAs[String]("min_str") == "2" && v.getAs[String]("max_str") == "10")
+    assert(out("s").getAs[String]("min_str") == "a" &&
+      out("s").getAs[String]("max_str") == "c")
+  }
+
+  test("keywordScore folds the weight map per row, bias included, label at 0") {
+    val df = Seq(
+      (1L, "good good bad"),        // 2·2 − 3 = 1  → label 1
+      (2L, "bad bad"),              // −6           → label 0
+      (3L, "neutral words only"),   // 0            → label 1
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.keywordScore(df, Seq("good" -> 2L, "bad" -> -3L))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("kw_score"), r.getAs[Long]("kw_label"))).toMap
+    assert(out(1L) == ((1L, 1L)))
+    assert(out(2L) == ((-6L, 0L)))
+    assert(out(3L) == ((0L, 1L)))
+    assert(!out.contains(4L)) // null text filtered
+  }
+
+  test("keywordScore plans shuffle-free (no exchange)") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.keywordScore(df, Seq("a" -> 1L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"))
+  }
+}
