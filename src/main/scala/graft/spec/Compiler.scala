@@ -34,6 +34,41 @@ object Compiler {
         .withColumnRenamed("match", "text").drop("pos")
     case "process" => df =>
       PipeOp.pipe(df, "text", p.name.get +: p.args, lineCol = "text")
+    // --- curation processors (extension set): stateless map/filter
+    // stages over the `text` payload — each works identically on batch
+    // and streaming frames (no aggregation, no state)
+    case "normalize_text" => df =>
+      graft.ext.TextAnalysis.normalizeText(df)
+        .withColumn("text", col("norm_text")).drop("norm_text", "n_chars_norm")
+    case "strip_markup" => df =>
+      graft.ext.TextAnalysis.stripMarkup(df)
+        .withColumn("text", col("clean_text")).drop("clean_text", "n_chars_clean")
+    // redacts in place; keeps the per-class counts as audit columns
+    // (a downstream fan-out processor drops them, like any non-text column)
+    case "pii_redact" => df =>
+      graft.ext.TextAnalysis.piiRedact(df)
+        .withColumn("text", col("redacted")).drop("redacted")
+    case "quality_filter" => df => {
+      val min = p.config.getOrElse("min_score", "0.5").toDouble
+      val cols = df.columns.toIndexedSeq.map(col)
+      graft.ext.TextAnalysis.qualityScore(df)
+        .filter(col("quality_score") >= min).select(cols: _*)
+    }
+    case "keyword_filter" => df => {
+      val weights = p.config.getOrElse("weights",
+          sys.error("keyword_filter needs config.weights (\"term:w,term:w\")"))
+        .split(",").toSeq.map { kv =>
+          kv.split(":") match {
+            case Array(k, v) => k.trim -> v.trim.toLong
+            case _ => sys.error(s"bad keyword_filter weight entry: '$kv'")
+          }
+        }
+      val bias = p.config.getOrElse("bias", "0").toLong
+      val min = p.config.getOrElse("min_score", "0").toLong
+      val cols = df.columns.toIndexedSeq.map(col)
+      graft.ext.TextAnalysis.keywordScore(df, weights, bias)
+        .filter(col("kw_score") >= min).select(cols: _*)
+    }
   }
 
   /** The full processor chain (lib.rs:87-89: fold over handlers). */

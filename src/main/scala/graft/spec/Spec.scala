@@ -18,7 +18,9 @@ final case class SourceConf(
     config: Map[String, String] = Map.empty,
     consumeCount: Option[Long] = None)
 
-/** A processor plugin config (processors.rs, regex.rs). */
+/** A processor plugin config (processors.rs, regex.rs). `config` carries
+  * the free-form options of the curation processors our engine adds
+  * beyond the reference set (thresholds, weight tables). */
 final case class ProcConf(
     typ: String,
     from: Option[String] = None,
@@ -26,7 +28,8 @@ final case class ProcConf(
     re: Option[String] = None,
     rep: Option[String] = None,
     name: Option[String] = None,
-    args: Seq[String] = Nil)
+    args: Seq[String] = Nil,
+    config: Map[String, String] = Map.empty)
 
 /** A sink plugin config (sinks.rs, kafka.rs). */
 final case class SinkConf(

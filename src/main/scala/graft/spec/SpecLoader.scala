@@ -12,7 +12,11 @@ object SpecLoader {
   val sourceTypes = Set("stdin", "http_server", "kafka", "text_file",
     "csv", "json", "parquet", "orc", "xml", "binary_files")
   val processorTypes = Set("noop", "replace", "process",
-    "regex_replace", "regex_split", "regex_select")
+    "regex_replace", "regex_split", "regex_select",
+    // curation processors (our extension set — stateless map/filter
+    // stages, so they run unchanged on batch AND streaming pipelines)
+    "normalize_text", "strip_markup", "pii_redact",
+    "quality_filter", "keyword_filter")
   val sinkTypes = Set("stdout", "kafka", "parquet", "csv", "json", "orc", "xml")
 
   def load(yaml: String): Spec = {
@@ -70,7 +74,8 @@ object SpecLoader {
       re = m.get("re").map(_.toString),
       rep = m.get("rep").map(_.toString),
       name = m.get("name").map(_.toString),
-      args = m.get("args").map(strList).getOrElse(Nil))
+      args = m.get("args").map(strList).getOrElse(Nil),
+      config = m.get("config").map(strMap).getOrElse(Map.empty))
   }
 
   private def sinkConf(m: Map[String, Any]): SinkConf = {

@@ -43,6 +43,68 @@ class SpecSpec extends SparkSpec {
     assert(texts(Compiler.pipeline(spec)(in)).sorted == Seq("hello", "spark", "world"))
   }
 
+  test("curation processors: strip_markup -> pii_redact -> normalize_text -> keyword_filter chain") {
+    val spec = SpecLoader.load(
+      """input: {type: stdin}
+        |pipeline:
+        |  processors:
+        |    - type: strip_markup
+        |    - type: pii_redact
+        |    - type: normalize_text
+        |    - type: keyword_filter
+        |      config: {weights: "spam:-5,quality:2", min_score: "0"}
+        |output: {type: stdout}
+        |""".stripMargin)
+    assert(spec.pipeline.map(_.typ) ==
+      Seq("strip_markup", "pii_redact", "normalize_text", "keyword_filter"))
+    val in = Model.fromLines(spark, Seq(
+      "<p>Quality   Text</p> mail me at a@b.com",  // survives, cleaned
+      "<b>spam spam</b> offer"                      // keyword-filtered out
+    )).toDF()
+    val out = texts(Compiler.pipeline(spec)(in))
+    assert(out == Seq("quality text mail me at <email>"))
+  }
+
+  test("quality_filter drops below-threshold docs, keeps the input schema") {
+    val spec = SpecLoader.load(
+      """input: {type: stdin}
+        |pipeline:
+        |  processors:
+        |    - type: quality_filter
+        |      config: {min_score: "0.2"}
+        |output: {type: stdout}
+        |""".stripMargin)
+    val good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val in = Model.fromLines(spark, Seq(good, "x")).toDF()
+    val out = Compiler.pipeline(spec)(in)
+    assert(out.columns.toSeq == in.columns.toSeq)
+    assert(texts(out) == Seq(good))
+  }
+
+  test("curation processors are streaming-safe (no state, no aggregation)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val spec = SpecLoader.load(
+      """input: {type: stdin}
+        |pipeline:
+        |  processors:
+        |    - type: normalize_text
+        |    - type: keyword_filter
+        |      config: {weights: "bad:-9", min_score: "-1"}
+        |output: {type: stdout}
+        |""".stripMargin)
+    val ms = MemoryStream[String]
+    val out = Compiler.pipeline(spec)(ms.toDF().withColumnRenamed("value", "text"))
+    val q = out.writeStream.format("memory").queryName("curation_stream").start()
+    try {
+      ms.addData("  GOOD   one ", "very bad doc")
+      q.processAllAvailable()
+      val got = spark.table("curation_stream").collect().map(_.getString(0)).toSeq
+      assert(got == Seq("good one"))
+    } finally q.stop()
+  }
+
   test("kafka source/sink option building (kafka_in.yml / kafka_out.yml)") {
     val spec = SpecLoader.load(
       """input:
