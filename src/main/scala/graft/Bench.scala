@@ -73,12 +73,24 @@ object Bench {
     // r1-r3 `parsed: null`). The cold detail goes to stderr for the same
     // reason: one compact stdout JSON line, nothing after it.
     def fmt(d: Double): String = f"$d%.3f"
+    // stdout keys are the qNN prefix (the contract's own "q1" style): at
+    // 100+ queries, full names push the line past the driver's ~2000-char
+    // tail window (BENCH_r03's parsed:null — the cold stderr line filled
+    // the window; full-name warm keys would too). Prefixes are unique by
+    // construction; the full-name map goes to stderr with the cold run.
+    def shortName(n: String): String = n.takeWhile(_ != '_')
     def obj(f: ((String, (Double, Double))) => Double): String =
-      results.map { case kv => s"\"" + kv._1 + "\":" + fmt(f(kv)) }.mkString("{", ",", "}")
+      results.map { case kv => s"\"" + shortName(kv._1) + "\":" + fmt(f(kv)) }
+        .mkString("{", ",", "}")
     val totalWarm = results.map(_._2._2).filter(_ >= 0).sum
     val totalCold = results.map(_._2._1).filter(_ >= 0).sum
+    // full names only on stderr (diagnostic; not size-bounded)
+    def objFull(f: ((String, (Double, Double))) => Double): String =
+      results.map { case kv => s"\"" + kv._1 + "\":" + fmt(f(kv)) }
+        .mkString("{", ",", "}")
     System.err.println(
-      s"""[bench] cold: {"total_cold":${fmt(totalCold)},"queries_cold":${obj(_._2._1)}}""")
+      s"""[bench] cold: {"total_cold":${fmt(totalCold)},"queries_cold":${objFull(_._2._1)}}""")
+    System.err.println(s"""[bench] warm_full: ${objFull(_._2._2)}""")
     println(s"""{"metric":"total","value":${fmt(totalWarm)},"unit":"sec","queries":${obj(_._2._2)},"total_cold":${fmt(totalCold)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1121,10 +1121,28 @@ object Corpus {
   // correctly-rounded sqrt/divide (see Similarity.l2NormalizeFp). Output
   // exploded to scalars like q82; oracle rebuilds the same x_fp/n2/unit
   // pipeline over DuckDB's zipped unnest.
-  def q86_embedding_normalize(s: SparkSession, dir: String): DataFrame =
-    Similarity.l2NormalizeFp(emb(s, dir))
-      .select(col("vec_id"), col("n2"), posexplode(col("unit_fp")).as(Seq("dim", "u")))
+  // Plan note: this VERIFICATION projection explodes the fixed-point
+  // array FIRST and scales per element. Exploding l2NormalizeFp's
+  // unit_fp directly inlines the whole per-row array pipeline into the
+  // Generate, where it is re-evaluated per EMITTED element (measured
+  // ~6× on the bench — 2.9 s for a 0.1 s map); per-element arithmetic
+  // after the explode runs once per output row, codegen'd. Same exact
+  // expression trees, same output.
+  def q86_embedding_normalize(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .withColumn("xf", Similarity.fixedPointVec(col("embedding")))
+      .withColumn("n2", Similarity.intDot(col("xf"), col("xf")))
+      .filter(col("n2").isNotNull)
+      .select(col("vec_id"), col("n2"),
+        sqrt(col("n2").cast(DoubleType)).as("sn"), col("xf"))
+    e.select(col("vec_id"), col("n2"), col("sn"),
+        posexplode(col("xf")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("n2"), col("dim"),
+        when(col("n2") === 0, lit(0L)).otherwise(
+          floor((col("x").cast(DoubleType) / col("sn")) * lit(1000000.0))
+            .cast(LongType)).as("u"))
       .orderBy(col("vec_id"), col("dim"))
+  }
 
   private val q86_sql =
     """WITH e AS (
