@@ -952,6 +952,69 @@ object TextAnalysis {
         (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
   }
 
+  /** Sentence-terminator split rule shared with the oracle: a `.`/`!`/`?`
+    * followed by one or more spaces ends a sentence. Group-1 backref in
+    * the replacement keeps the terminator; the space run is consumed by
+    * the marker. Plain capture + backref — identical in Java regex and
+    * RE2 (no lookbehind, which RE2 lacks). */
+  val SentenceEndRe = "([.!?]) +"
+
+  /** The sentence-boundary marker: the ASCII unit separator (0x1F),
+    * which cannot occur in sane text (and [[normalizeText]] strips it
+    * anyway — it sits in [[JunkRunRe]]'s control range). Built from the
+    * code point to keep raw control bytes out of the source file; the
+    * oracle spells it `chr(31)`. */
+  val SentenceMarker: String = 31.toChar.toString
+
+  /** Sentence segmentation — the unit-of-text pass upstream of
+    * sentence-level dedup/quality/chunking (RefinedWeb-style pipelines
+    * filter and dedup at sentence granularity, and context-window packing
+    * prefers sentence boundaries to mid-sentence cuts).
+    *
+    * Mechanism (engine-portable by construction): terminators get a NUL
+    * marker appended via one regexp_replace, then one split — never a
+    * lookbehind split (RE2 has none) and never an extract-all that could
+    * drop an unterminated trailing sentence. Empty segments drop; output
+    * is (id, sent_idx ≥ 1, sentence, n_tokens).
+    *
+    * Map-only fan-out: one projection + one generate, no shuffle. */
+  def splitSentences(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val marked = regexp_replace(col(textCol), SentenceEndRe, "$1" + SentenceMarker)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(marked, SentenceMarker, -1)).as(Seq("pos", "sentence")))
+      .filter(col("sentence") =!= "")
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("sent_idx"),
+        col("sentence"),
+        size(split(col("sentence"), " ", -1)).cast(LongType).as("n_tokens"))
+  }
+
+  /** `<a href="...">anchor</a>` matcher shared with the oracle — group 1
+    * the URL, group 2 the anchor text. Java∩RE2: negated classes only,
+    * no lookaround, no backrefs in the PATTERN. */
+  val LinkRe = "<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  /** Hyperlink extraction — the edge-producing pass of a crawl pipeline
+    * (link graphs drive domain authority, crawl frontiers, and anchor-text
+    * relevance signals). One row per link occurrence:
+    * (id, link_idx ≥ 1, url, anchor, target_domain).
+    *
+    * Map-only fan-out: both capture groups extract in one projection
+    * (two extract_alls over the same compiled pattern), zip, explode —
+    * no shuffle; the downstream degree aggregates are the consumer's
+    * groupBy ([[domainStats]] / [[sourceOverlap]] shapes). */
+  def extractLinks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val urls = regexp_extract_all(col(textCol), lit(LinkRe), lit(1))
+    val anchors = regexp_extract_all(col(textCol), lit(LinkRe), lit(2))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(arrays_zip(urls, anchors)).as(Seq("pos", "la")))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("link_idx"),
+        col("la.0").as("url"), col("la.1").as("anchor"))
+      .withColumn("target_domain",
+        lower(regexp_extract(col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)))
+  }
+
   /** Linear keyword classifier scoring — the inference half of a
     * fastText-style quality/topic filter: `score = bias + Σ_tokens
     * w(token)` over a fixed integer weight table, `label = 1` iff

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ext.{Layout, Search, Stats, TextAnalysis}
+import graft.ext.{Diff, Integrity, Layout, Search, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -189,6 +189,205 @@ object Audit {
       |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q102 — sentence segmentation: planted terminators (". " via ' table ',
+  // "! " via ' fast ' — both frequent corpus words) split each doc into
+  // sentences with 1-based indices and per-sentence token counts.
+  def q102_sentences(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        replace(replace(col("text"),
+          lit(" table "), lit(". Table ")), lit(" fast "), lit("! Fast ")).as("text"))
+    TextAnalysis.splitSentences(planted)
+      .orderBy(col("doc_id"), col("sent_idx"))
+  }
+
+  private val q102_sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    replace(replace(text, ' table ', '. Table '), ' fast ', '! Fast ') AS text
+      |  FROM documents WHERE text IS NOT NULL),
+      |m AS (SELECT doc_id,
+      |        string_split(regexp_replace(text, '([.!?]) +', '\1' || chr(31), 'g'),
+      |          chr(31)) AS ss
+      |      FROM p),
+      |e AS (SELECT doc_id, unnest(ss) AS sentence,
+      |        generate_subscripts(ss, 1) AS sent_idx FROM m)
+      |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+      |  CAST(len(string_split(sentence, ' ')) AS BIGINT) AS n_tokens
+      |FROM e WHERE sentence <> '' ORDER BY doc_id, sent_idx""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q103 — hyperlink extraction: planted anchors (1–2 links per doc across
+  // 7 target hosts) come back as (url, anchor, target_domain) rows.
+  def q103_extract_links(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = docs(s, dir).filter(col("text").isNotNull)
+      .select(id, concat(
+        lit("<a href=\"http://site"), pmod(id, lit(7L)).cast(StringType),
+        lit(".example.com/p\">go "), pmod(id, lit(5L)).cast(StringType),
+        lit("</a> "),
+        when(pmod(id, lit(2L)) === 0, concat(
+          lit("<a href=\"https://site"), pmod(id + 1, lit(7L)).cast(StringType),
+          lit(".example.com/x\">More Stuff</a> "))).otherwise(lit("")),
+        col("text")).as("text"))
+    TextAnalysis.extractLinks(planted)
+      .orderBy(col("doc_id"), col("link_idx"))
+  }
+
+  private val q103_sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    '<a href="http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '.example.com/p">go ' || CAST(doc_id % 5 AS VARCHAR) || '</a> ' ||
+      |    (CASE WHEN doc_id % 2 = 0
+      |          THEN '<a href="https://site' || CAST((doc_id + 1) % 7 AS VARCHAR) ||
+      |               '.example.com/x">More Stuff</a> '
+      |          ELSE '' END) || text AS text
+      |  FROM documents WHERE text IS NOT NULL),
+      |x AS (SELECT doc_id,
+      |        regexp_extract_all(text, '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS u,
+      |        regexp_extract_all(text, '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS a
+      |      FROM p),
+      |e AS (SELECT doc_id, generate_subscripts(u, 1) AS i, u, a FROM x)
+      |SELECT doc_id, CAST(i AS BIGINT) AS link_idx, u[i] AS url, a[i] AS anchor,
+      |  lower(regexp_extract(u[i], '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS target_domain
+      |FROM e ORDER BY doc_id, link_idx""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q104 — per-source quality scorecard: doc/token counts, fixed-point
+  // quality-score sum and integer-division mean, short-doc rate. The
+  // per-doc score is q33's exact expression, floored to integer BEFORE
+  // aggregation so every sum is order-free.
+  def q104_source_scorecard(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs(s, dir).filter(col("text").isNotNull))
+    q.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        sum(floor(col("quality_score") * lit(1000000000.0)).cast(LongType))
+          .as("sum_q_fp"),
+        sum(when(col("n_tokens") < 30, lit(1L)).otherwise(lit(0L))).as("n_short"))
+      .withColumn("mean_q_fp",
+        call_function("div", col("sum_q_fp"), col("n_docs")).cast(LongType))
+      .withColumn("short_pct_fp",
+        call_function("div", col("n_short") * lit(1000000L), col("n_docs"))
+          .cast(LongType))
+      .orderBy(col("source"))
+  }
+
+  private val q104_sql = {
+    val qExpr =
+      """((CAST(len(list_filter(string_split(text,' '),
+        |     x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        |    / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.4)
+        |  + ((greatest(0.0, 1.0 - abs((CAST(length(replace(text,' ','')) AS DOUBLE)
+        |       / CAST(len(string_split(text,' ')) AS DOUBLE)) - 5.0) / 5.0)) * 0.4)
+        |  + (least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.2)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |    CAST(floor(($qExpr) * 1000000000.0) AS BIGINT) AS q_fp
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+       |  CAST(sum(q_fp) AS BIGINT) AS sum_q_fp,
+       |  CAST(sum(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       |  CAST(sum(q_fp) // count(*) AS BIGINT) AS mean_q_fp,
+       |  CAST((sum(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS short_pct_fp
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // q105 — snapshot diff: a planted "today" snapshot of orders (every
+  // 97th key removed, every 13th repriced, every 101st re-added under a
+  // shifted key) diffs against the original; only the delta survives.
+  private def plantedNewOrders(o: DataFrame): DataFrame = {
+    val base = o.filter(pmod(col("o_orderkey"), lit(97L)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(13L)) === 0,
+          col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice")))
+    val added = o.filter(pmod(col("o_orderkey"), lit(101L)) === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    base.unionByName(added)
+  }
+
+  def q105_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    Diff.snapshotDiff(o, plantedNewOrders(o),
+        keys = Seq("o_orderkey"), compare = Seq("o_totalprice", "o_orderstatus"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q105_sql =
+    """WITH n AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 101 = 0),
+      |o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |        o.o_totalprice AS old_p, n.o_totalprice AS new_p,
+      |        o.o_orderstatus AS old_s, n.o_orderstatus AS new_s,
+      |        o.o_orderkey IS NULL AS no_old, n.o_orderkey IS NULL AS no_new
+      |      FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+      |SELECT o_orderkey,
+      |  CASE WHEN no_old THEN 'added' WHEN no_new THEN 'removed'
+      |       WHEN old_p IS DISTINCT FROM new_p
+      |         OR old_s IS DISTINCT FROM new_s THEN 'changed'
+      |       ELSE 'unchanged' END AS change_type,
+      |  old_p AS old_o_totalprice, new_p AS new_o_totalprice,
+      |  old_s AS old_o_orderstatus, new_s AS new_o_orderstatus
+      |FROM j
+      |WHERE (CASE WHEN no_old THEN 'added' WHEN no_new THEN 'removed'
+      |       WHEN old_p IS DISTINCT FROM new_p
+      |         OR old_s IS DISTINCT FROM new_s THEN 'changed'
+      |       ELSE 'unchanged' END) <> 'unchanged'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q106 — referential-integrity audit: three FKs in one report; the
+  // orders parent is planted with every 50th key missing so the first FK
+  // genuinely finds orphans while the intact FKs report zero.
+  def q106_fk_audit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val orders = Tables.load(s, dir, "orders")
+    val plantedOrders = orders.filter(pmod(col("o_orderkey"), lit(50L)) =!= 0)
+    Integrity.fkAudit(Seq(
+        ("lineitem.l_orderkey->orders[planted]", li, "l_orderkey",
+          plantedOrders, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.load(s, dir, "part"), "p_partkey"),
+        ("orders.o_custkey->customer", orders, "o_custkey",
+          Tables.load(s, dir, "customer"), "c_custkey")))
+      .orderBy(col("fk"))
+  }
+
+  private val q106_sql =
+    """WITH po AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 <> 0),
+      |c1 AS (SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL),
+      |o1 AS (SELECT k FROM c1 WHERE NOT EXISTS (SELECT 1 FROM po WHERE po.o_orderkey = c1.k)),
+      |c2 AS (SELECT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL),
+      |o2 AS (SELECT k FROM c2 WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = c2.k)),
+      |c3 AS (SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
+      |o3 AS (SELECT k FROM c3 WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = c3.k))
+      |SELECT 'lineitem.l_orderkey->orders[planted]' AS fk,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n_child_rows,
+      |  CAST(count(*) AS BIGINT) AS n_orphans,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_orphan_keys FROM o1
+      |UNION ALL
+      |SELECT 'lineitem.l_partkey->part',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM c2),
+      |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT) FROM o2
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM c3),
+      |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT) FROM o3
+      |ORDER BY fk""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_tfidf_cosine_pairs" -> (q96_tfidf_cosine_pairs _),
@@ -196,7 +395,12 @@ object Audit {
     "q98_zorder_key" -> (q98_zorder_key _),
     "q99_profile" -> (q99_profile _),
     "q100_keyword_score" -> (q100_keyword_score _),
-    "q101_order_gaps" -> (q101_order_gaps _))
+    "q101_order_gaps" -> (q101_order_gaps _),
+    "q102_sentences" -> (q102_sentences _),
+    "q103_extract_links" -> (q103_extract_links _),
+    "q104_source_scorecard" -> (q104_source_scorecard _),
+    "q105_snapshot_diff" -> (q105_snapshot_diff _),
+    "q106_fk_audit" -> (q106_fk_audit _))
 
   def oracle: Map[String, String] = Map(
     "q96_tfidf_cosine_pairs" -> q96_sql,
@@ -204,5 +408,10 @@ object Audit {
     "q98_zorder_key" -> q98_sql,
     "q99_profile" -> q99_sql,
     "q100_keyword_score" -> q100_sql,
-    "q101_order_gaps" -> q101_sql)
+    "q101_order_gaps" -> q101_sql,
+    "q102_sentences" -> q102_sql,
+    "q103_extract_links" -> q103_sql,
+    "q104_source_scorecard" -> q104_sql,
+    "q105_snapshot_diff" -> q105_sql,
+    "q106_fk_audit" -> q106_sql)
 }

@@ -145,6 +145,66 @@ class AuditOpsSpec extends SparkSpec {
     assert(!out.contains(4L)) // null text filtered
   }
 
+  test("splitSentences: terminators split, trailing sentence kept, indices 1-based") {
+    val df = Seq(
+      (1L, "one two. three four! five"),
+      (2L, "no terminator here"),
+      (3L, "ends with period. ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.splitSentences(df).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sent_idx")) ->
+        (r.getAs[String]("sentence"), r.getAs[Long]("n_tokens"))).toMap
+    assert(out((1L, 1L)) == (("one two.", 2L)))
+    assert(out((1L, 2L)) == (("three four!", 2L)))
+    assert(out((1L, 3L)) == (("five", 1L)))
+    assert(out((2L, 1L)) == (("no terminator here", 3L)))
+    // ". " at end: the trailing empty segment drops, terminator kept
+    assert(out((3L, 1L))._1 == "ends with period.")
+    assert(!out.contains((3L, 2L)))
+  }
+
+  test("extractLinks: url+anchor pairs with target domain; docs without links yield no rows") {
+    val df = Seq(
+      (1L, """pre <a href="http://A.example.com/x">First</a> mid <a class="z" href="https://b.org/y?q=1">second one</a> post"""),
+      (2L, "no links at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.extractLinks(df).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("link_idx")) ->
+        (r.getAs[String]("url"), r.getAs[String]("anchor"), r.getAs[String]("target_domain")))
+      .toMap
+    assert(out.size == 2)
+    assert(out((1L, 1L)) == (("http://A.example.com/x", "First", "a.example.com")))
+    assert(out((1L, 2L)) == (("https://b.org/y?q=1", "second one", "b.org")))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged with null-safe compare") {
+    val oldDf = Seq((1L, Some(10.0), "A"), (2L, Some(20.0), "B"),
+      (3L, None: Option[Double], "C"), (4L, Some(40.0), "D")).toDF("k", "p", "s")
+    val newDf = Seq((1L, Some(10.0), "A"),           // unchanged
+      (2L, Some(21.0), "B"),                          // changed (value)
+      (3L, Some(30.0), "C"),                          // changed (null -> value)
+      (5L, Some(50.0), "E"))                          // added; 4 removed
+      .toDF("k", "p", "s")
+    val out = Diff.snapshotDiff(oldDf, newDf, Seq("k"), Seq("p", "s")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("change_type")).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("fkAudit counts orphans per FK; null child keys excluded; intact FK reports zero") {
+    val child = Seq((1L, Some(10L)), (2L, Some(10L)), (3L, Some(99L)),
+      (4L, None: Option[Long]), (5L, Some(98L))).toDF("id", "fk_key")
+    val parent = Seq(10L).toDF("pk")
+    val out = Integrity.fkAudit(Seq(
+        ("child->parent", child, "fk_key", parent, "pk"),
+        ("child->self", child, "id", child, "id")))
+      .collect().map(r => r.getAs[String]("fk") ->
+        (r.getAs[Long]("n_child_rows"), r.getAs[Long]("n_orphans"),
+          r.getAs[Long]("n_orphan_keys"))).toMap
+    assert(out("child->parent") == ((4L, 2L, 2L))) // keys 99, 98; null excluded
+    assert(out("child->self") == ((5L, 0L, 0L)))
+  }
+
   test("keywordScore plans shuffle-free (no exchange)") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = TextAnalysis.keywordScore(df, Seq("a" -> 1L))
