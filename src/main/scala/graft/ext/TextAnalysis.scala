@@ -25,9 +25,15 @@ object TextAnalysis {
 
   /** The engine-portable 60-bit hash: first 15 md5 hex digits as BIGINT.
     * A cross-engine compatibility contract — every fingerprint/signature
-    * operator derives from THIS definition (oracles reproduce it in SQL). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    * operator derives from THIS definition (oracles reproduce it in SQL
+    * as `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`).
+    *
+    * Computed by the codegen'd [[graft.functions.Hash60]] expression —
+    * bit-identical to the built-in spelling
+    * `conv(substring(md5(c), 1, 15), 16, 10)` (equality-tested against
+    * it), without the hex-string materialization and base-16 string
+    * parse that form pays per n-gram occurrence. */
+  def hash60(c: Column): Column = graft.functions.TextMetrics.hash60(c)
 
   /** Per-document token statistics. No shuffle — a projection. */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
@@ -805,13 +811,13 @@ object TextAnalysis {
     require(minDf >= 2, s"minDf < 2 would mask every token: $minDf")
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ", -1).as("ws"))
-    // 1-based starts (matches SQL list slicing in the oracle)
+    // 1-based starts (matches SQL list slicing in the oracle); the fused
+    // window hash replaces the per-window slice/concat_ws lambda
     val grams = base.filter(size(col("ws")) >= n)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("ws")) - (n - 1)),
-        i => struct(i.cast(LongType).as("start"),
-          hash60(concat_ws(" ", slice(col("ws"), i, lit(n)))).as("gk")))).as("g"))
-      .select(col(idCol), col("g.start"), col("g.gk"))
+      .select(col(idCol), posexplode(
+        graft.functions.TextMetrics.wordGramHash60(col("ws"), n))
+        .as(Seq("p0", "gk")))
+      .select(col(idCol), (col("p0") + 1).cast(LongType).as("start"), col("gk"))
     val hot = hotGramKeys(docs, n, minDf, idCol, textCol)
     val covered = grams.join(hot, Seq("gk"), "left_semi")
       .select(col(idCol), explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
@@ -848,9 +854,8 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ws = split(col(textCol), " ", -1)
     docs.filter(col(textCol).isNotNull && size(ws) >= n)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => hash60(concat_ws(" ", slice(ws, i, lit(n)))))).as("gk"))
+      .select(col(idCol),
+        explode(graft.functions.TextMetrics.wordGramHash60(ws, n)).as("gk"))
       .distinct()
       .groupBy(col("gk")).agg(count(lit(1)).as("gram_df"))
       .filter(col("gram_df") >= minDf)
@@ -932,9 +937,8 @@ object TextAnalysis {
     // (it would fabricate grams for short docs; DuckDB's generate_series
     // returns empty — the oracle contract)
     val grams = docs.filter(col(textCol).isNotNull && size(ws) >= n)
-      .select(col(srcCol).as("src"), explode(transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => hash60(concat_ws(" ", slice(ws, i, lit(n)))))).as("gk"))
+      .select(col(srcCol).as("src"),
+        explode(graft.functions.TextMetrics.wordGramHash60(ws, n)).as("gk"))
       .distinct()
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
     val inter = grams.select(col("src").as("source_a"), col("gk"))

@@ -35,7 +35,9 @@ object GraftExtensions {
     // 1-arg SQL form at the default deflate level (the Scala surface
     // exposes the level knob)
     fn("graft_deflate_len", classOf[DeflateLength],
-      es => DeflateLength(es(0), level = 6)))
+      es => DeflateLength(es(0), level = 6)),
+    fn("graft_hash60", classOf[Hash60],
+      es => Hash60(es(0))))
 
   private def fn(name: String, cls: Class[_],
       builder: Seq[Expression] => Expression)

@@ -16,6 +16,21 @@ object TextMetrics {
     * fixed `level`). See [[DeflateLength]]. */
   def deflateLen(c: Column, level: Int = 6): Column =
     Bridge.column(DeflateLength(Bridge.expression(c), level))
+
+  /** The engine-portable 60-bit md5 hash (first 15 hex digits of md5 as
+    * BIGINT). See [[Hash60]]. */
+  def hash60(c: Column): Column =
+    Bridge.column(Hash60(Bridge.expression(c)))
+
+  /** [[hash60]] of every n-token window of a token array, as
+    * ARRAY<BIGINT>. See [[WordGramHash60]]. */
+  def wordGramHash60(tokens: Column, n: Int): Column =
+    Bridge.column(WordGramHash60(Bridge.expression(tokens), n))
+
+  /** Apply an ordered BPE merge list to a symbol array. See
+    * [[BpeApply]]. */
+  def bpeApply(symbols: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeApply(Bridge.expression(symbols), merges))
 }
 
 /** zlib-deflate length of a string's UTF-8 bytes — the engine primitive
@@ -54,6 +69,129 @@ case class DeflateLength(child: Expression, level: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.DeflateLength.lenOf($c.getBytes(), $level);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** First 60 bits of md5 over a string's UTF-8 bytes, as BIGINT — the
+  * engine-portable hash key contract
+  * ([[graft.ext.TextAnalysis.hash60]]: "first 15 md5 hex digits as
+  * BIGINT", which every DuckDB oracle reproduces as
+  * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`).
+  *
+  * Semantically identical to `conv(substring(md5(c), 1, 15), 16, 10)`
+  * but skips that form's per-value detours — 32-char hex string
+  * materialization, substring copy, and `conv`'s digit-by-digit
+  * base-16 string parse — hashing digest bytes straight to the long
+  * (first 8 bytes big-endian, low nibble dropped = first 15 nibbles).
+  * This expression sits under EVERY shingle/fingerprint explode (it
+  * runs once per n-gram occurrence — the single hottest scalar in the
+  * near-dup family), so the constant-factor cost matters at corpus
+  * scale. The per-thread `MessageDigest` is reused; `digest()` resets
+  * it after each call. */
+case class Hash60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash60"
+
+  override def nullSafeEval(s: Any): Any =
+    Hash60.of(s.asInstanceOf[UTF8String].getBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hash60.of($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Hash60 {
+  private val mds = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def first60(h: Array[Byte]): Long =
+    (((h(0) & 0xFFL) << 56) | ((h(1) & 0xFFL) << 48) | ((h(2) & 0xFFL) << 40) |
+      ((h(3) & 0xFFL) << 32) | ((h(4) & 0xFFL) << 24) | ((h(5) & 0xFFL) << 16) |
+      ((h(6) & 0xFFL) << 8) | (h(7) & 0xFFL)) >>> 4
+
+  /** First 60 bits of md5(bytes) as a non-negative long. Called from
+    * codegen. */
+  def of(bytes: Array[Byte]): Long = first60(mds.get().digest(bytes))
+
+  /** [[of]] over every n-window of `ws` joined by single spaces —
+    * `hash60(concat_ws(" ", slice(ws, i, n)))` for i = 1..len−n+1,
+    * without building a gram string: token bytes extract ONCE per row,
+    * each window feeds the digest incrementally (null tokens skipped
+    * with their separator, concat_ws semantics). Called from codegen. */
+  def grams(ws: org.apache.spark.sql.catalyst.util.ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = ws.numElements()
+    val m = k - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val toks = new Array[Array[Byte]](k)
+    var j = 0
+    while (j < k) {
+      toks(j) = if (ws.isNullAt(j)) null else ws.getUTF8String(j).getBytes
+      j += 1
+    }
+    val d = mds.get()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var first = true
+      var t = i
+      while (t < i + n) {
+        val b = toks(t)
+        if (b != null) {
+          if (!first) d.update(' '.toByte)
+          d.update(b)
+          first = false
+        }
+        t += 1
+      }
+      out(i) = first60(d.digest())
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** [[Hash60]] of every n-token window of an ARRAY<STRING> — the fused
+  * form of the shingle generator
+  * `transform(sequence(1, len−n+1), i -> hash60(concat_ws(' ', slice(ws, i, n))))`,
+  * which pays an interpreted lambda, a slice allocation, and a gram
+  * string per WINDOW. This expression extracts token bytes once per row
+  * and runs one tight digest loop (bit-identical output, equality-tested
+  * against the composed form). Short arrays (< n tokens) yield an empty
+  * array — callers keep their `size(ws) >= n` filter to match the
+  * oracle's generate_series semantics explicitly. */
+case class WordGramHash60(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"window must be positive: $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_gram_hash60"
+
+  override def nullSafeEval(a: Any): Any =
+    Hash60.grams(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hash60.grams($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -171,4 +171,36 @@ object GraftProps extends Properties("graft") {
       val got = df.select(ArrayMath.dotLong(col("a"), col("b"))).as[Long].collect()
       got.toSeq == pairs.map { case (a, b) => a.zip(b).map { case (x, y) => x * y }.sum }
     }
+
+  // includes multi-byte UTF-8, empties, and separators-only strings —
+  // the digest-bytes path must agree with the hex-string path everywhere
+  private val hashTextGen: Gen[String] =
+    Gen.chooseNum(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'Z', '0', ' ', 'é', '語', '!')).map(_.mkString))
+
+  property("codegen Hash60 == conv(substring(md5)) spelling") =
+    Prop.forAll(Gen.listOfN(24, hashTextGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val neq = df.select(
+          graft.functions.TextMetrics.hash60(col("t")).as("n"),
+          conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("o"))
+        .filter(col("n") =!= col("o")).count()
+      neq == 0L
+    }
+
+  property("WordGramHash60 == per-window hash60(concat_ws(slice)) incl. short arrays") =
+    Prop.forAll(Gen.listOfN(16, Gen.chooseNum(0, 9).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("agg", "row", "é語", "", "x"))))) { tokenLists =>
+      val df = tokenLists.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "ws")
+      val fused = df.select(col("id"),
+          graft.functions.TextMetrics.wordGramHash60(col("ws"), 3).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composed = df.select(col("id"),
+          when(size(col("ws")) >= 3, transform(
+            sequence(lit(1), size(col("ws")) - 2),
+            i => conv(substring(md5(concat_ws(" ", slice(col("ws"), i, lit(3)))), 1, 15), 16, 10).cast("long")))
+            .otherwise(array().cast("array<long>")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      fused == composed
+    }
 }
