@@ -165,6 +165,97 @@ object Hash60 {
   }
 }
 
+/** Apply an ordered byte-pair-encoding merge list to a symbol array —
+  * the inner loop of BPE training AND tokenization
+  * ([[graft.ext.Bpe]]): for each merge (a, b) in rank order, one
+  * left-to-right pass replaces every non-overlapping adjacent (a, b)
+  * with the fused symbol a+b (the classic `re.sub`-per-merge semantics
+  * of the original BPE implementation: non-overlapping, the scan
+  * resumes AFTER the fused symbol, so "a a a" under (a,a) yields
+  * ["aa","a"]).
+  *
+  * An Expression rather than a UDF/HOF because it runs once per
+  * DISTINCT WORD per training iteration and once per word occurrence at
+  * tokenization — a per-element interpreted lambda with array rebuilds
+  * would dominate both. The merge list is part of the expression
+  * (driver literal, like the IVF centroids), so codegen sees a constant.
+  */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_apply"
+
+  // the codegen-visible constant form of the merge table
+  @transient private lazy val mergeArr: Array[Array[String]] =
+    merges.map { case (a, b) => Array(a, b) }.toArray
+
+  override def nullSafeEval(a: Any): Any =
+    BpeApply.applyMerges(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], mergeArr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", mergeArr, "java.lang.String[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeApply.applyMerges($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeApply {
+  /** One non-overlapping left-to-right pass of merge (a, b) over
+    * `symbols`, in place semantics-wise (returns the new array and its
+    * length; the input array is not mutated). Shared by the expression
+    * and [[graft.ext.Bpe]]'s small-vocab local trainer so the merge rule
+    * has ONE implementation. */
+  def mergePass(cur: Array[String], n: Int, a: String, b: String): Array[String] = {
+    val next = new Array[String](n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && cur(i) == a && cur(i + 1) == b) {
+        next(w) = a + b; w += 1; i += 2
+      } else {
+        next(w) = cur(i); w += 1; i += 1
+      }
+    }
+    java.util.Arrays.copyOf(next, w)
+  }
+
+  /** One pass per merge over the symbol list. Called from codegen. */
+  def applyMerges(symbols: org.apache.spark.sql.catalyst.util.ArrayData,
+      merges: Array[Array[String]])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = symbols.numElements()
+    var cur = new Array[String](k)
+    var n = 0
+    var j = 0
+    while (j < k) {
+      if (!symbols.isNullAt(j)) { cur(n) = symbols.getUTF8String(j).toString; n += 1 }
+      j += 1
+    }
+    var m = 0
+    while (m < merges.length && n > 1) {
+      cur = mergePass(cur, n, merges(m)(0), merges(m)(1))
+      n = cur.length
+      m += 1
+    }
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var t = 0
+    while (t < n) {
+      out(t) = org.apache.spark.unsafe.types.UTF8String.fromString(cur(t)); t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+}
+
 /** [[Hash60]] of every n-token window of an ARRAY<STRING> — the fused
   * form of the shingle generator
   * `transform(sequence(1, len−n+1), i -> hash60(concat_ws(' ', slice(ws, i, n))))`,

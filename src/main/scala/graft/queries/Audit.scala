@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ext.{Diff, Integrity, Layout, Search, Stats, TextAnalysis}
+import graft.ext.{Bpe, Diff, Integrity, Layout, Search, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -388,6 +388,29 @@ object Audit {
       |ORDER BY fk""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q107/q108 — BPE vocabulary training + tokenization. No SQL engine
+  // expresses the training recursion → rows-only by design; the merge
+  // semantics are gated by the hand-computed Sennrich-style fixture in
+  // BpeSpec. q107 emits the learned merge table from a deterministic
+  // doc subsample; q108 retrains and tokenizes the full corpus.
+  private val BpeMerges = 20
+
+  def q107_bpe_merges(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainDf(s, docs(s, dir).filter(pmod(col("doc_id"), lit(5L)) === 0),
+        nMerges = BpeMerges)
+      .orderBy(col("rank"))
+
+  def q108_bpe_tokenize(s: SparkSession, dir: String): DataFrame = {
+    val sample = docs(s, dir).filter(pmod(col("doc_id"), lit(5L)) === 0)
+    val merges = Bpe.train(sample, nMerges = BpeMerges)
+      .map { case (_, a, b, _) => (a, b) }
+    Bpe.tokenize(docs(s, dir), merges)
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        slice(col("bpe_tokens"), 1, 8).as("head_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_tfidf_cosine_pairs" -> (q96_tfidf_cosine_pairs _),
@@ -400,7 +423,9 @@ object Audit {
     "q103_extract_links" -> (q103_extract_links _),
     "q104_source_scorecard" -> (q104_source_scorecard _),
     "q105_snapshot_diff" -> (q105_snapshot_diff _),
-    "q106_fk_audit" -> (q106_fk_audit _))
+    "q106_fk_audit" -> (q106_fk_audit _),
+    "q107_bpe_merges" -> (q107_bpe_merges _),
+    "q108_bpe_tokenize" -> (q108_bpe_tokenize _))
 
   def oracle: Map[String, String] = Map(
     "q96_tfidf_cosine_pairs" -> q96_sql,

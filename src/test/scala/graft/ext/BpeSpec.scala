@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE training/tokenization semantics against the hand-computed
+  * Sennrich-style fixture (low/lower/newest/widest), plus the merge-pass
+  * contract of the BpeApply expression. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // word counts: low×5, lower×2, newest×6, widest×3
+  private def fixtureDocs = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")
+  ).toDF("doc_id", "text")
+
+  test("train learns the hand-computed merge sequence with deterministic tie-breaks") {
+    // pair counts: (e,s)=(s,t)=(t,</w>)=9 → left-asc tie-break picks (e,s);
+    // then (es,t)=9, (est,</w>)=9, then (l,o)=(o,w)=7 → (l,o), then (lo,w)=7
+    val merges = Bpe.train(fixtureDocs, nMerges = 5)
+    assert(merges == Seq(
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L),
+      (5, "lo", "w", 7L)))
+  }
+
+  test("tokenize applies merges in rank order per word") {
+    val merges = Bpe.train(fixtureDocs, nMerges = 5)
+      .map { case (_, a, b, _) => (a, b) }
+    val doc = Seq((1L, "low lower newest")).toDF("doc_id", "text")
+    val out = Bpe.tokenize(doc, merges).select("bpe_tokens", "n_bpe_tokens").head
+    assert(out.getSeq[String](0) ==
+      Seq("low", "</w>", "low", "e", "r", "</w>", "n", "e", "w", "est</w>"))
+    assert(out.getLong(1) == 10L)
+  }
+
+  test("training is deterministic run to run") {
+    val a = Bpe.train(fixtureDocs, nMerges = 8)
+    val b = Bpe.train(fixtureDocs, nMerges = 8)
+    assert(a == b)
+  }
+
+  test("train stops early when no pairs remain") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // symbols a b </w>: merges (a,b)? counts: (a,b)=2, (b,</w>)=2 → (a,b)
+    // first, then (ab,</w>), then exhausted at 1 symbol per word
+    val merges = Bpe.train(tiny, nMerges = 10)
+    assert(merges.map { case (_, a, b, _) => (a, b) } ==
+      Seq(("a", "b"), ("ab", "</w>")))
+  }
+
+  test("distributed loop == small-vocab local fast path") {
+    val local = Bpe.train(fixtureDocs, nMerges = 8)
+    val dist = Bpe.train(fixtureDocs, nMerges = 8, smallVocabWords = 0)
+    assert(local == dist)
+  }
+
+  test("BpeApply merges non-overlapping left-to-right") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"), Seq("x"))
+      .toDF("syms")
+    val out = df.select(graft.functions.TextMetrics.bpeApply(col("syms"),
+        Seq(("a", "a"), ("a", "b"))).as("m"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    // (a,a) over [a,a,a] → [aa,a]; then (a,b) no-op
+    assert(out(0) == Seq("aa", "a"))
+    // (a,a) no-op; (a,b) over [a,b,a,b] → [ab,ab]
+    assert(out(1) == Seq("ab", "ab"))
+    assert(out(2) == Seq("x"))
+  }
+
+  test("tokenize round-trips: concatenated tokens minus markers rebuild the text") {
+    val merges = Bpe.train(fixtureDocs, nMerges = 6)
+      .map { case (_, a, b, _) => (a, b) }
+    val out = Bpe.tokenize(fixtureDocs, merges)
+      .select(col("doc_id"), col("text"), concat_ws("", col("bpe_tokens")).as("joined"))
+      .collect()
+    out.foreach { r =>
+      val rebuilt = r.getString(2).replace(Bpe.EndOfWord, " ").trim
+      assert(rebuilt == r.getString(1), s"doc ${r.getLong(0)}")
+    }
+  }
+}
