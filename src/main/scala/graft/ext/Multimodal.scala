@@ -80,4 +80,49 @@ object Multimodal {
   def metaOnly(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("media_type"),
       element_at(col("meta"), "lang").as("lang"))
+
+  /** Container-header sniff ([[graft.functions.MediaHeader]]) — the
+    * codec-free metadata pass: format id + dimensions / audio params
+    * parsed from the payload's first bytes. Map-only; the fields a media
+    * crawl filters and routes on before any codec runs. */
+  def sniff(media: DataFrame): DataFrame =
+    media
+      .withColumn("hdr", graft.functions.MediaHeaderFns.mediaHeader(col("payload")))
+      .select(col("media_id"), col("hdr.format").as("format"),
+        col("hdr.width").as("width"), col("hdr.height").as("height"),
+        col("hdr.sample_rate").as("sample_rate"),
+        col("hdr.channels").as("channels"),
+        col("hdr.duration_ms").as("duration_ms"))
+
+  /** Handcrafted container headers (shared by q109 and the spec tests):
+    * real byte layouts, hand-derivable expected values. */
+  object SampleHeaders {
+    private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+    /** PNG signature + IHDR: 64 × 48. */
+    val png: Array[Byte] = bytes(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+      bytes(0, 0, 0, 0x40, 0, 0, 0, 0x30, 8, 2, 0, 0, 0)
+
+    /** GIF89a logical screen: 320 × 200 (little-endian). */
+    val gif: Array[Byte] = "GIF89a".getBytes("US-ASCII") ++
+      bytes(0x40, 0x01, 0xC8, 0x00, 0xF7, 0x00, 0x00)
+
+    /** JPEG with a COM segment before SOF0: 640 × 480. */
+    val jpeg: Array[Byte] = bytes(0xFF, 0xD8,
+      0xFF, 0xFE, 0x00, 0x04, 0x68, 0x69,               // COM "hi"
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x01, 0xE0, 0x02, 0x80, // SOF0 480×640
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+
+    /** WAV header: mono, 8000 Hz, 16-bit, 1500 ms of PCM declared. */
+    val wav: Array[Byte] = "RIFF".getBytes("US-ASCII") ++
+      bytes(0x24, 0x5E, 0x00, 0x00) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++
+      bytes(16, 0, 0, 0,            // fmt chunk size
+        0x01, 0x00, 0x01, 0x00,     // PCM, 1 channel
+        0x40, 0x1F, 0x00, 0x00,     // 8000 Hz
+        0x80, 0x3E, 0x00, 0x00,     // byte rate 16000
+        0x02, 0x00, 0x10, 0x00) ++  // block align 2, 16 bits
+      "data".getBytes("US-ASCII") ++ bytes(0xC0, 0x5D, 0x00, 0x00) // 24000 bytes
+  }
 }

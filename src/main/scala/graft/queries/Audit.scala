@@ -411,6 +411,33 @@ object Audit {
   }
 
   // --------------------------------------------------------------------------
+  // q109 — media container-header sniffing: planted payloads cycle
+  // through real PNG/GIF/JPEG/WAV header byte layouts; the engine PARSES
+  // them (graft_media_header) while the oracle states the hand-derived
+  // truth per format — an independent cross-check of the byte parsing.
+  def q109_media_sniff(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Multimodal
+    val m = pmod(col("doc_id"), lit(4L))
+    val planted = docs(s, dir).select(col("doc_id").as("media_id"),
+      when(m === 0, lit(Multimodal.SampleHeaders.png))
+        .when(m === 1, lit(Multimodal.SampleHeaders.gif))
+        .when(m === 2, lit(Multimodal.SampleHeaders.jpeg))
+        .otherwise(lit(Multimodal.SampleHeaders.wav)).as("payload"))
+    Multimodal.sniff(planted).orderBy(col("media_id"))
+  }
+
+  private val q109_sql =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |                  WHEN 2 THEN 'jpeg' ELSE 'wav' END AS format,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 320 WHEN 2 THEN 640 END AS INT) AS width,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 48 WHEN 1 THEN 200 WHEN 2 THEN 480 END AS INT) AS height,
+      |  CAST(CASE doc_id % 4 WHEN 3 THEN 8000 END AS INT) AS sample_rate,
+      |  CAST(CASE doc_id % 4 WHEN 3 THEN 1 END AS INT) AS channels,
+      |  CAST(CASE doc_id % 4 WHEN 3 THEN 1500 END AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_tfidf_cosine_pairs" -> (q96_tfidf_cosine_pairs _),
@@ -425,7 +452,8 @@ object Audit {
     "q105_snapshot_diff" -> (q105_snapshot_diff _),
     "q106_fk_audit" -> (q106_fk_audit _),
     "q107_bpe_merges" -> (q107_bpe_merges _),
-    "q108_bpe_tokenize" -> (q108_bpe_tokenize _))
+    "q108_bpe_tokenize" -> (q108_bpe_tokenize _),
+    "q109_media_sniff" -> (q109_media_sniff _))
 
   def oracle: Map[String, String] = Map(
     "q96_tfidf_cosine_pairs" -> q96_sql,
@@ -438,5 +466,6 @@ object Audit {
     "q103_extract_links" -> q103_sql,
     "q104_source_scorecard" -> q104_sql,
     "q105_snapshot_diff" -> q105_sql,
-    "q106_fk_audit" -> q106_sql)
+    "q106_fk_audit" -> q106_sql,
+    "q109_media_sniff" -> q109_sql)
 }

@@ -205,6 +205,34 @@ class AuditOpsSpec extends SparkSpec {
     assert(out("child->self") == ((5L, 0L, 0L)))
   }
 
+  test("media sniff parses real header layouts; garbage stays 'unknown', never errors") {
+    import Multimodal.SampleHeaders
+    val rows = Seq(
+      (1L, SampleHeaders.png), (2L, SampleHeaders.gif),
+      (3L, SampleHeaders.jpeg), (4L, SampleHeaders.wav),
+      (5L, Array[Byte](1, 2, 3)),                  // garbage
+      (6L, Array.emptyByteArray),                  // empty
+      (7L, SampleHeaders.png.take(10)),            // truncated PNG
+      (8L, null.asInstanceOf[Array[Byte]])         // null payload
+    ).toDF("media_id", "payload")
+    val out = Multimodal.sniff(rows).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[String]("format") == "png" &&
+      out(1L).getAs[Int]("width") == 64 && out(1L).getAs[Int]("height") == 48)
+    assert(out(2L).getAs[String]("format") == "gif" &&
+      out(2L).getAs[Int]("width") == 320 && out(2L).getAs[Int]("height") == 200)
+    assert(out(3L).getAs[String]("format") == "jpeg" &&
+      out(3L).getAs[Int]("width") == 640 && out(3L).getAs[Int]("height") == 480)
+    assert(out(4L).getAs[String]("format") == "wav" &&
+      out(4L).getAs[Int]("sample_rate") == 8000 &&
+      out(4L).getAs[Int]("channels") == 1 &&
+      out(4L).getAs[Long]("duration_ms") == 1500L)
+    assert(out(5L).getAs[String]("format") == "unknown" && out(5L).isNullAt(2))
+    assert(out(6L).getAs[String]("format") == "unknown")
+    assert(out(7L).getAs[String]("format") == "unknown") // sig incomplete ⇒ not a parseable PNG
+    assert(out(8L).isNullAt(1)) // null payload ⇒ null struct fields throughout
+  }
+
   test("keywordScore plans shuffle-free (no exchange)") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = TextAnalysis.keywordScore(df, Seq("a" -> 1L))

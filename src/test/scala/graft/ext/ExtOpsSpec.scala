@@ -156,7 +156,7 @@ class ExtOpsSpec extends SparkSpec {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
-  test("all five graft SQL functions resolve and compute via spark.sql") {
+  test("all six graft SQL functions resolve and compute via spark.sql") {
     graft.functions.GraftExtensions.functions
       .foreach(org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, _))
     val row = spark.sql(
@@ -165,7 +165,9 @@ class ExtOpsSpec extends SparkSpec {
         |  graft_dot_double(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dd,
         |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
         |  graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic,
-        |  graft_deflate_len(repeat('ab', 100)) AS dfl
+        |  graft_deflate_len(repeat('ab', 100)) AS dfl,
+        |  graft_hash60('abc') AS h60,
+        |  conv(substring(md5('abc'), 1, 15), 16, 10) AS h60_ref
         |""".stripMargin).collect().head
     assert(row.getLong(0) == 32L)
     assert(row.getDouble(1) == 11.0)
@@ -173,6 +175,7 @@ class ExtOpsSpec extends SparkSpec {
     assert(row.getLong(3) == 2L)
     // 200 bytes of 'ababab…' deflate far below their raw length
     assert(row.getLong(4) > 0L && row.getLong(4) < 40L)
+    assert(row.getLong(5) == row.getString(6).toLong)
   }
 
   test("ArrayMath null elements: numeric folds null out, sorted intersect skips") {
