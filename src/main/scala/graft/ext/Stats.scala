@@ -148,6 +148,61 @@ object Stats {
     }: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Rolling-window anomaly flags over an INTEGRAL value column — the
+    * outlier pass of metric/price/length monitoring, decided entirely in
+    * integer arithmetic so flags are engine-reproducible (a float z-score
+    * flips near the boundary between engines):
+    *
+    *   flag ⇔ n ≥ minN  ∧  (v·n − Σ)² > k²·(n·Σv² − Σ²)
+    *
+    * which is |v − mean| > k·σ with both sides multiplied through by n²
+    * — every term an exact BIGINT (values up to ~10⁸ with windows ≤ ~100
+    * rows stay far from overflow). The window is the `lookback` rows
+    * STRICTLY BEFORE the current one: a value must not dilute its own
+    * baseline (with the current row included, a lone spike in an
+    * n-row window is capped at z = (n−1)/√n — below 2σ for any n ≤ 5,
+    * so small windows could never flag anything). `minN` refuses to
+    * judge against fewer than that many context rows (the first rows of
+    * every key). One window shuffle on the key, no global pass. */
+  def rollingAnomaly(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, lookback: Int = 6, k: Int = 2, minN: Int = 3): DataFrame = {
+    require(lookback >= 1, s"lookback must be positive: $lookback")
+    require(k >= 1, s"k must be positive: $k")
+    require(minN >= 1, s"minN must be positive: $minN")
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val v = col(valueCol)
+    val out = df
+      .withColumn("win_n", count(v).over(w))
+      .withColumn("win_sum", sum(v).over(w))
+      .withColumn("win_sum2", sum(v * v).over(w))
+    val dev = v * col("win_n") - col("win_sum")
+    val spread = col("win_n") * col("win_sum2") - col("win_sum") * col("win_sum")
+    out.withColumn("is_anomaly",
+      when(col("win_n") >= minN && dev * dev > lit(k.toLong * k) * spread, lit(1L))
+        .otherwise(lit(0L)))
+  }
+
+  /** One-row key-skew report for a prospective shuffle/join key — the
+    * diagnosis behind salting decisions ([[graft.operators.Skew]]) and
+    * partition-count choices: distinct keys, total rows, min/max/median/
+    * p99 per-key counts, and the hottest key. Composes the
+    * [[groupedPercentiles]] histogram machinery over the per-key count
+    * table (|keys| rows — never a second corpus pass). */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__ks_k")).agg(count(lit(1)).as("cnt"))
+    val basic = counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"))
+    val pcts = groupedPercentiles(counts.withColumn("__g", lit(1)), "__g", "cnt",
+        discPs = Seq(0.99))
+      .select(col("median").as("median_cnt"), col("p99").as("p99_cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("__ks_k")).limit(1)
+      .select(col("__ks_k").cast(StringType).as("top_key"), col("cnt").as("top_cnt"))
+    basic.crossJoin(broadcast(pcts)).crossJoin(broadcast(top))
+  }
+
   /** Fixed-width histogram over a numeric column: bucket index
     * ⌊(v − lo) / width⌋ (one IEEE subtraction + division + floor —
     * identical in any engine), per-bucket count and exact min/max.

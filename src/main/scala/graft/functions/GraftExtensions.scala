@@ -37,7 +37,9 @@ object GraftExtensions {
     fn("graft_deflate_len", classOf[DeflateLength],
       es => DeflateLength(es(0), level = 6)),
     fn("graft_hash60", classOf[Hash60],
-      es => Hash60(es(0))))
+      es => Hash60(es(0))),
+    fn("graft_nfc", classOf[NfcNormalize],
+      es => NfcNormalize(es(0))))
 
   private def fn(name: String, cls: Class[_],
       builder: Seq[Expression] => Expression)

@@ -31,6 +31,10 @@ object TextMetrics {
     * [[BpeApply]]. */
   def bpeApply(symbols: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeApply(Bridge.expression(symbols), merges))
+
+  /** Unicode NFC normalization of a string. See [[NfcNormalize]]. */
+  def nfcNormalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
 }
 
 /** zlib-deflate length of a string's UTF-8 bytes — the engine primitive
@@ -162,6 +166,47 @@ object Hash60 {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Unicode NFC normalization — the canonical-composition pass that must
+  * run BEFORE any hash/shingle/dedup operator on multilingual text:
+  * "é" arrives both precomposed (U+00E9) and decomposed (e + U+0301)
+  * in real crawls, and every byte-level hash in this engine would treat
+  * those as different documents. Spark has no built-in; this wraps the
+  * JDK's `java.text.Normalizer` (ICU-grade, Unicode-standard NFC) as a
+  * codegen'd expression. The DuckDB oracle dual is `nfc_normalize` —
+  * both implement the same Unicode algorithm, so outputs agree
+  * byte-for-byte. Map-only, linear at any corpus size. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(s: Any): Any =
+    NfcNormalize.nfc(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** NFC-normalize; already-normalized strings (the overwhelmingly common
+    * case) return the input object without re-encoding. Called from
+    * codegen. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 }
 

@@ -438,6 +438,99 @@ object Audit {
       |FROM documents ORDER BY media_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q110 — rolling-window anomaly flags: per customer, each order's price
+  // (exact cents) against its previous ≤6 orders; the flag is decided in
+  // pure integer arithmetic ((v·n−Σ)² > k²(nΣv²−Σ²)), so both engines
+  // agree bit-for-bit even at the boundary.
+  def q110_rolling_anomaly(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(col("o_custkey"),
+      col("o_orderkey"), col("o_orderdate"),
+      floor(col("o_totalprice") * lit(100.0)).cast(LongType).as("cents"))
+    Stats.rollingAnomaly(o, "o_custkey", Seq("o_orderdate", "o_orderkey"),
+        "cents", lookback = 6, k = 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+        col("win_n"), col("win_sum"), col("is_anomaly"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q110_sql =
+    """WITH v AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders),
+      |w AS (
+      |  SELECT o_custkey, o_orderkey, cents,
+      |    CAST(count(cents) OVER win AS BIGINT) AS win_n,
+      |    CAST(sum(cents) OVER win AS BIGINT) AS win_sum,
+      |    CAST(sum(cents * cents) OVER win AS BIGINT) AS win_sum2
+      |  FROM v
+      |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+      |SELECT o_custkey, o_orderkey, cents, win_n, win_sum,
+      |  CAST(CASE WHEN win_n >= 3
+      |              AND (cents * win_n - win_sum) * (cents * win_n - win_sum)
+      |                  > 4 * (win_n * win_sum2 - win_sum * win_sum)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM w ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q111 — key-skew report for lineitem.l_suppkey (the canonical join-key
+  // diagnosis before a salting decision): one row of distinct-key count,
+  // row count, min/max/median/p99 per-key counts, hottest key.
+  def q111_key_skew(s: SparkSession, dir: String): DataFrame =
+    Stats.keySkew(Tables.load(s, dir, "lineitem"), "l_suppkey")
+
+  private val q111_sql =
+    """WITH c AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS cnt
+      |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+      |b AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |        CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |        CAST(min(cnt) AS BIGINT) AS min_cnt,
+      |        CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+      |h AS (SELECT cnt AS v, CAST(count(*) AS BIGINT) AS hc FROM c GROUP BY 1),
+      |cm AS (SELECT v, hc,
+      |         CAST(sum(hc) OVER (ORDER BY v) AS BIGINT) AS cum,
+      |         CAST(sum(hc) OVER () AS BIGINT) AS n
+      |       FROM h),
+      |p AS (SELECT
+      |  CAST(max(CASE WHEN cum - hc < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN v END) +
+      |       max(CASE WHEN cum - hc < (n + 2) // 2 AND (n + 2) // 2 <= cum THEN v END)
+      |    AS DOUBLE) / 2.0 AS median_cnt,
+      |  CAST(max(CASE WHEN cum - hc < CAST(ceil(0.99 * n) AS BIGINT)
+      |                 AND CAST(ceil(0.99 * n) AS BIGINT) <= cum THEN v END)
+      |    AS BIGINT) AS p99_cnt
+      |  FROM cm),
+      |t AS (SELECT CAST(k AS VARCHAR) AS top_key, cnt AS top_cnt FROM c
+      |      ORDER BY cnt DESC, k LIMIT 1)
+      |SELECT b.n_keys, b.n_rows, b.min_cnt, b.max_cnt,
+      |  p.median_cnt, p.p99_cnt, t.top_key, t.top_cnt
+      |FROM b, p, t""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q112 — Unicode NFC normalization: planted decomposed sequences
+  // (e+COMBINING ACUTE, A+COMBINING RING) compose to their precomposed
+  // forms; the engine runs the JDK normalizer, the oracle DuckDB's
+  // utf8proc nfc_normalize — two independent Unicode implementations
+  // agreeing byte-for-byte.
+  def q112_nfc_normalize(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), concat(lit("caf"), lit("e\u0301"), lit(" "),
+        lit("A\u030Angstro\u0308m "), col("text")).as("text"))
+    planted.select(col("doc_id"),
+        graft.functions.TextMetrics.nfcNormalize(col("text")).as("nfc_text"))
+      .withColumn("n_chars_nfc", length(col("nfc_text")).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q112_sql =
+    """SELECT doc_id,
+      |  nfc_normalize('caf' || chr(101) || chr(769) || ' ' ||
+      |    chr(65) || chr(778) || 'ngstro' || chr(776) || 'm ' || text) AS nfc_text,
+      |  CAST(length(nfc_normalize('caf' || chr(101) || chr(769) || ' ' ||
+      |    chr(65) || chr(778) || 'ngstro' || chr(776) || 'm ' || text)) AS BIGINT) AS n_chars_nfc
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_tfidf_cosine_pairs" -> (q96_tfidf_cosine_pairs _),
@@ -453,7 +546,10 @@ object Audit {
     "q106_fk_audit" -> (q106_fk_audit _),
     "q107_bpe_merges" -> (q107_bpe_merges _),
     "q108_bpe_tokenize" -> (q108_bpe_tokenize _),
-    "q109_media_sniff" -> (q109_media_sniff _))
+    "q109_media_sniff" -> (q109_media_sniff _),
+    "q110_rolling_anomaly" -> (q110_rolling_anomaly _),
+    "q111_key_skew" -> (q111_key_skew _),
+    "q112_nfc_normalize" -> (q112_nfc_normalize _))
 
   def oracle: Map[String, String] = Map(
     "q96_tfidf_cosine_pairs" -> q96_sql,
@@ -467,5 +563,8 @@ object Audit {
     "q104_source_scorecard" -> q104_sql,
     "q105_snapshot_diff" -> q105_sql,
     "q106_fk_audit" -> q106_sql,
-    "q109_media_sniff" -> q109_sql)
+    "q109_media_sniff" -> q109_sql,
+    "q110_rolling_anomaly" -> q110_sql,
+    "q111_key_skew" -> q111_sql,
+    "q112_nfc_normalize" -> q112_sql)
 }

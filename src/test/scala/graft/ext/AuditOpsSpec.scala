@@ -233,6 +233,49 @@ class AuditOpsSpec extends SparkSpec {
     assert(out(8L).isNullAt(1)) // null payload ⇒ null struct fields throughout
   }
 
+  test("rollingAnomaly flags a spike against its own recent context, integer-exact") {
+    // steady 100s then a 100× spike: flag fires on the spike only;
+    // a second identical spike widens the window variance enough not to
+    val df = Seq(
+      (1L, 1L, 100L), (1L, 2L, 101L), (1L, 3L, 99L), (1L, 4L, 100L),
+      (1L, 5L, 10000L),
+      (2L, 1L, 5L), (2L, 2L, 5L)  // constant series: zero spread, no flag
+    ).toDF("k", "seq", "v")
+    val out = Stats.rollingAnomaly(df, "k", Seq("seq"), "v", lookback = 6, k = 2)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("seq")) ->
+        r.getAs[Long]("is_anomaly")).toMap
+    assert(out((1L, 5L)) == 1L)
+    assert(out((1L, 1L)) == 0L && out((1L, 4L)) == 0L)
+    assert(out((2L, 2L)) == 0L)
+  }
+
+  test("keySkew reports the hot key and exact count percentiles") {
+    // key "a" 6 rows, "b" 2, "c" 1, null excluded
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c") ++ Seq(null))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
+    val r = Stats.keySkew(df, "key").collect().head
+    assert(r.getAs[Long]("n_keys") == 3L && r.getAs[Long]("n_rows") == 9L)
+    assert(r.getAs[Long]("min_cnt") == 1L && r.getAs[Long]("max_cnt") == 6L)
+    assert(r.getAs[Double]("median_cnt") == 2.0)
+    assert(r.getAs[String]("top_key") == "a" && r.getAs[Long]("top_cnt") == 6L)
+  }
+
+  test("nfcNormalize composes decomposed sequences; NFC input passes through") {
+    val df = Seq(
+      (1L, "cafe\u0301"),                       // e + COMBINING ACUTE
+      (2L, "caf\u00E9"),                        // already composed
+      (3L, "A\u030Angstro\u0308m"),            // decomposed ring + diaeresis
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = df.select(col("id"),
+        graft.functions.TextMetrics.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "caf\u00E9")
+    assert(out(2L) == "caf\u00E9")
+    assert(out(3L) == "\u00C5ngstr\u00F6m")
+    assert(out(4L) == null)
+  }
+
   test("keywordScore plans shuffle-free (no exchange)") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = TextAnalysis.keywordScore(df, Seq("a" -> 1L))
