@@ -122,6 +122,26 @@ object Compiler {
       conf.config.foldLeft(spark.readStream) { case (r, (k, v)) => r.option(k, v) }
         .text(conf.path.getOrElse(sys.error("text_file needs path")))
         .withColumnRenamed("value", "text")
+    // streaming multimodal ingest: new media files appearing under the
+    // path stream through as (path, modificationTime, length, content)
+    // rows — the continuous dual of the batch binary_files source; the
+    // codec-free header sniff (ext.Multimodal.sniff) and frame ops are
+    // map-only, so they run unchanged per micro-batch
+    case "binary_files" =>
+      // streaming file sources need the schema up front; binaryFile's is
+      // fixed by the format
+      val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      conf.config.foldLeft(spark.readStream.format("binaryFile").schema(binarySchema)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(conf.path.getOrElse(sys.error("binary_files needs path")))
     case other => sys.error(s"source '$other' is batch-only; use source")
   }
 

@@ -105,6 +105,30 @@ class SpecSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming binary_files: new media files stream through with codec-free sniff") {
+    import graft.ext.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("graft-binstream")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.png", Multimodal.SampleHeaders.png)
+    val conf = SourceConf("binary_files", path = Some(dir.toString),
+      config = Map("pathGlobFilter" -> "*.{png,wav}"))
+    val src = Compiler.streamSource(spark, conf)
+    assert(src.isStreaming)
+    val sniffed = Multimodal.sniff(src.selectExpr("length AS media_id", "content AS payload")
+      .withColumnRenamed("content", "payload"))
+    val q = sniffed.writeStream.format("memory").queryName("bin_stream").start()
+    try {
+      q.processAllAvailable()
+      put("b.wav", Multimodal.SampleHeaders.wav)
+      put("c.txt", Array[Byte](1, 2, 3)) // filtered by glob
+      q.processAllAvailable()
+      val got = spark.table("bin_stream").select("format").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("png", "wav"))
+    } finally q.stop()
+  }
+
   test("kafka source/sink option building (kafka_in.yml / kafka_out.yml)") {
     val spec = SpecLoader.load(
       """input:
