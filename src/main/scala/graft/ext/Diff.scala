@@ -43,4 +43,37 @@ object Diff {
       compare.flatMap(c => Seq(col(c).as(s"old_$c"), col(s"__n_$c").as(s"new_$c")))
     out.select(cols: _*)
   }
+
+  /** Distribution DRIFT of one integral column between two snapshots —
+    * the monitoring pass behind "did this feed change shape?": exact
+    * per-value histograms of both sides, total-variation distance
+    * between them (the same log-free statistic as
+    * [[TextAnalysis.sourceDivergence]]; 0 = identical distribution,
+    * 10⁶ = disjoint supports), plus the per-value contribution table for
+    * drill-down. Returns ONE summary row: n_old, n_new, n_values,
+    * tvd_num (exact integer Σ|c_old·N_new − c_new·N_old|) and fixed-point
+    * tvd_fp.
+    *
+    * Scale shape: two histogram aggregates (|distinct values| rows), one
+    * full-outer value join of the HISTOGRAMS, one 1-row aggregate — the
+    * snapshots themselves are scanned once each and never joined. */
+  def columnDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String): DataFrame = {
+    def hist(df: DataFrame, cnt: String) = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__d_v")).agg(count(lit(1)).as(cnt))
+    val j = hist(oldDf, "c_old").join(hist(newDf, "c_new"), Seq("__d_v"), "full_outer")
+      .select(col("__d_v"), coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val totals = j.agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"),
+      count(lit(1)).as("n_values"))
+    j.crossJoin(broadcast(totals))
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        max(col("n_values")).as("n_values"),
+        sum(abs(col("c_old") * col("n_new") - col("c_new") * col("n_old")))
+          .as("tvd_num"))
+      .withColumn("tvd_fp",
+        floor(col("tvd_num").cast(org.apache.spark.sql.types.DoubleType) * lit(1000000.0) /
+          (lit(2.0) * col("n_old").cast(org.apache.spark.sql.types.DoubleType) *
+            col("n_new").cast(org.apache.spark.sql.types.DoubleType)))
+          .cast(org.apache.spark.sql.types.LongType))
+  }
 }

@@ -531,6 +531,77 @@ object Audit {
       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q113 — column drift between snapshots: l_quantity's distribution vs a
+  // planted "today" where a third of orders shifted +5 — exact integer
+  // TVD numerator over the two histograms (the snapshot dual of q97's
+  // source divergence).
+  def q113_column_drift(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val oldV = li.select(col("l_quantity").cast(LongType).as("v"))
+    val newV = li.select((col("l_quantity").cast(LongType) +
+      when(pmod(col("l_orderkey"), lit(3L)) === 0, lit(5L)).otherwise(lit(0L))).as("v"))
+    Diff.columnDrift(oldV, newV, "v")
+  }
+
+  private val q113_sql =
+    """WITH o AS (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem
+      |           WHERE l_quantity IS NOT NULL),
+      |n AS (SELECT CAST(l_quantity AS BIGINT) +
+      |        (CASE WHEN l_orderkey % 3 = 0 THEN 5 ELSE 0 END) AS v
+      |      FROM lineitem WHERE l_quantity IS NOT NULL),
+      |ho AS (SELECT v, CAST(count(*) AS BIGINT) AS c_old FROM o GROUP BY 1),
+      |hn AS (SELECT v, CAST(count(*) AS BIGINT) AS c_new FROM n GROUP BY 1),
+      |j AS (SELECT coalesce(ho.v, hn.v) AS v, coalesce(c_old, 0) AS c_old,
+      |        coalesce(c_new, 0) AS c_new
+      |      FROM ho FULL JOIN hn ON ho.v = hn.v),
+      |t AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+      |        CAST(sum(c_new) AS BIGINT) AS n_new,
+      |        CAST(count(*) AS BIGINT) AS n_values FROM j),
+      |m AS (SELECT t.n_old, t.n_new, t.n_values,
+      |        CAST(sum(abs(c_old * t.n_new - c_new * t.n_old)) AS BIGINT) AS tvd_num
+      |      FROM j, t GROUP BY 1, 2, 3)
+      |SELECT n_old, n_new, n_values, tvd_num,
+      |  CAST(floor(CAST(tvd_num AS DOUBLE) * 1000000.0 /
+      |    (2.0 * CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE))) AS BIGINT) AS tvd_fp
+      |FROM m""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q114 — event-transition matrix: P(next event type | current) per the
+  // per-user event order ((millis, event_id) — the Events pack's nano-safe
+  // convention), probabilities as exact integer-division fixed point.
+  def q114_transition_matrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_millis(col("ts")), col("event_id"))
+    val pairs = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("cnt")).as("row_total"))
+    pairs.join(totals, Seq("from_type"))
+      .withColumn("p_fp",
+        call_function("div", col("cnt") * lit(1000000L), col("row_total"))
+          .cast(LongType))
+      .select(col("from_type"), col("to_type"), col("cnt"), col("row_total"), col("p_fp"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val q114_sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS to_type
+      |  FROM events),
+      |p AS (SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS row_total FROM p GROUP BY 1)
+      |SELECT p.from_type, p.to_type, p.cnt, t.row_total,
+      |  CAST((p.cnt * 1000000) // t.row_total AS BIGINT) AS p_fp
+      |FROM p JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_tfidf_cosine_pairs" -> (q96_tfidf_cosine_pairs _),
@@ -549,7 +620,9 @@ object Audit {
     "q109_media_sniff" -> (q109_media_sniff _),
     "q110_rolling_anomaly" -> (q110_rolling_anomaly _),
     "q111_key_skew" -> (q111_key_skew _),
-    "q112_nfc_normalize" -> (q112_nfc_normalize _))
+    "q112_nfc_normalize" -> (q112_nfc_normalize _),
+    "q113_column_drift" -> (q113_column_drift _),
+    "q114_transition_matrix" -> (q114_transition_matrix _))
 
   def oracle: Map[String, String] = Map(
     "q96_tfidf_cosine_pairs" -> q96_sql,
@@ -566,5 +639,7 @@ object Audit {
     "q109_media_sniff" -> q109_sql,
     "q110_rolling_anomaly" -> q110_sql,
     "q111_key_skew" -> q111_sql,
-    "q112_nfc_normalize" -> q112_sql)
+    "q112_nfc_normalize" -> q112_sql,
+    "q113_column_drift" -> q113_sql,
+    "q114_transition_matrix" -> q114_sql)
 }

@@ -276,6 +276,17 @@ class AuditOpsSpec extends SparkSpec {
     assert(out(4L) == null)
   }
 
+  test("columnDrift: identical snapshots → 0; disjoint supports → 10⁶") {
+    val a = Seq(1L, 1L, 2L, 3L).toDF("v")
+    val b = Seq(1L, 1L, 2L, 3L).toDF("v")
+    val c = Seq(9L, 9L, 8L, 7L).toDF("v")
+    val same = Diff.columnDrift(a, b, "v").collect().head
+    assert(same.getAs[Long]("tvd_num") == 0L && same.getAs[Long]("tvd_fp") == 0L)
+    val disj = Diff.columnDrift(a, c, "v").collect().head
+    assert(disj.getAs[Long]("tvd_fp") == 1000000L)
+    assert(disj.getAs[Long]("n_values") == 6L)
+  }
+
   test("keywordScore plans shuffle-free (no exchange)") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = TextAnalysis.keywordScore(df, Seq("a" -> 1L))
