@@ -65,10 +65,14 @@ object Diff {
         coalesce(col("c_new"), lit(0L)).as("c_new"))
     val totals = j.agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"),
       count(lit(1)).as("n_values"))
+    // c·N cross products in decimal38 (HUGEINT in the oracle): exact past
+    // the ~3·10⁹-row point where BIGINT products would wrap
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     j.crossJoin(broadcast(totals))
       .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
         max(col("n_values")).as("n_values"),
-        sum(abs(col("c_old") * col("n_new") - col("c_new") * col("n_old")))
+        sum(abs(col("c_old").cast(dec) * col("n_new") -
+          col("c_new").cast(dec) * col("n_old"))).cast(org.apache.spark.sql.types.LongType)
           .as("tvd_num"))
       .withColumn("tvd_fp",
         floor(col("tvd_num").cast(org.apache.spark.sql.types.DoubleType) * lit(1000000.0) /

@@ -156,8 +156,11 @@ object Stats {
     *   flag ⇔ n ≥ minN  ∧  (v·n − Σ)² > k²·(n·Σv² − Σ²)
     *
     * which is |v − mean| > k·σ with both sides multiplied through by n²
-    * — every term an exact BIGINT (values up to ~10⁸ with windows ≤ ~100
-    * rows stay far from overflow). The window is the `lookback` rows
+    * — every term an exact BIGINT. Integer envelope: the deviation
+    * square needs `(|v| · (lookback+1))² < 2⁶³`, i.e. |v| · window
+    * below ~3·10⁹ — generous for scaled metrics (cents, token counts);
+    * rescale the value column if its magnitude approaches that.
+    * The window is the `lookback` rows
     * STRICTLY BEFORE the current one: a value must not dilute its own
     * baseline (with the current row included, a lone spike in an
     * n-row window is capped at z = (n−1)/√n — below 2σ for any n ≤ 5,

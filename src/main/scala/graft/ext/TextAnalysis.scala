@@ -1072,10 +1072,17 @@ object TextAnalysis {
       .groupBy(col("src"), col("gk")).agg(count(lit(1)).as("c"))
     val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n_tok"))
     val cw = counts.join(broadcast(totals), Seq("src"))
+    // the |c·N| cross products run in 38-digit decimals: at web scale a
+    // source holds ~10¹² tokens, so c·N reaches ~10²⁴ — past BIGINT —
+    // while decimal38 holds to ~10³⁸ (the oracle mirrors with HUGEINT);
+    // the final numerator is cast back once (exact at any scale whose
+    // result itself fits BIGINT)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val shared = cw.as("a")
       .join(cw.as("b"), col("a.gk") === col("b.gk") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
-      .agg(sum(abs(col("a.c") * col("b.n_tok") - col("b.c") * col("a.n_tok")))
+      .agg(sum(abs(col("a.c").cast(dec) * col("b.n_tok") -
+          col("b.c").cast(dec) * col("a.n_tok"))).cast(LongType)
           .as("shared_abs"),
         sum(col("a.c")).as("shared_ca"), sum(col("b.c")).as("shared_cb"))
     val num = coalesce(col("shared_abs"), lit(0L)) +

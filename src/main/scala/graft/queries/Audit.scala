@@ -55,7 +55,8 @@ object Audit {
       |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok FROM c GROUP BY 1),
       |cw AS (SELECT c.source, c.gk, c.c, t.n_tok FROM c JOIN t USING (source)),
       |sh AS (SELECT a.source AS source_a, b.source AS source_b,
-      |         CAST(sum(abs(a.c * b.n_tok - b.c * a.n_tok)) AS BIGINT) AS shared_abs,
+      |         CAST(sum(abs(CAST(a.c AS HUGEINT) * b.n_tok
+      |                      - CAST(b.c AS HUGEINT) * a.n_tok)) AS BIGINT) AS shared_abs,
       |         CAST(sum(a.c) AS BIGINT) AS shared_ca,
       |         CAST(sum(b.c) AS BIGINT) AS shared_cb
       |       FROM cw a JOIN cw b ON a.gk = b.gk AND a.source < b.source
@@ -558,7 +559,8 @@ object Audit {
       |        CAST(sum(c_new) AS BIGINT) AS n_new,
       |        CAST(count(*) AS BIGINT) AS n_values FROM j),
       |m AS (SELECT t.n_old, t.n_new, t.n_values,
-      |        CAST(sum(abs(c_old * t.n_new - c_new * t.n_old)) AS BIGINT) AS tvd_num
+      |        CAST(sum(abs(CAST(c_old AS HUGEINT) * t.n_new
+      |                     - CAST(c_new AS HUGEINT) * t.n_old)) AS BIGINT) AS tvd_num
       |      FROM j, t GROUP BY 1, 2, 3)
       |SELECT n_old, n_new, n_values, tvd_num,
       |  CAST(floor(CAST(tvd_num AS DOUBLE) * 1000000.0 /
