@@ -72,9 +72,12 @@ object Bpe {
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
       smallVocabWords: Long = SmallVocabWords): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be positive: $nMerges")
-    val wt = wordTable(docs, textCol)
+    // checkpoint BEFORE counting: the count otherwise pays the full
+    // corpus tokenization once, and the collect/loop would recompute the
+    // identical uncached plan a second time
+    val wt = wordTable(docs, textCol).localCheckpoint()
     if (wt.count() <= smallVocabWords) return trainLocal(wt, nMerges)
-    var words = wt.localCheckpoint()
+    var words = wt
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false

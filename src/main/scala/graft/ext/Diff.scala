@@ -27,6 +27,8 @@ object Diff {
       keys: Seq[String], compare: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff needs key columns")
     require(compare.nonEmpty, "snapshotDiff needs compare columns")
+    require(keys.intersect(compare).isEmpty,
+      s"columns cannot be both key and compared: ${keys.intersect(compare).mkString(", ")}")
     val o = oldDf.select((keys ++ compare).map(col): _*)
       .withColumn("__d_old", lit(1))
     val n = newDf.select((keys ++ compare).map(c =>
@@ -65,19 +67,22 @@ object Diff {
         coalesce(col("c_new"), lit(0L)).as("c_new"))
     val totals = j.agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"),
       count(lit(1)).as("n_values"))
-    // c·N cross products in decimal38 (HUGEINT in the oracle): exact past
-    // the ~3·10⁹-row point where BIGINT products would wrap
+    // the numerator runs in decimal38 (HUGEINT in the oracle): exact past
+    // the ~3·10⁹-row point where BIGINT products would wrap. tvd_fp
+    // divides the DECIMAL (always exact, lands in [0, 10⁶]); tvd_num is
+    // cast to BIGINT last, for drill-down at scales where it fits.
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lt = org.apache.spark.sql.types.LongType
+    val dt = org.apache.spark.sql.types.DoubleType
     j.crossJoin(broadcast(totals))
       .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
         max(col("n_values")).as("n_values"),
         sum(abs(col("c_old").cast(dec) * col("n_new") -
-          col("c_new").cast(dec) * col("n_old"))).cast(org.apache.spark.sql.types.LongType)
-          .as("tvd_num"))
+          col("c_new").cast(dec) * col("n_old"))).as("__num_dec"))
       .withColumn("tvd_fp",
-        floor(col("tvd_num").cast(org.apache.spark.sql.types.DoubleType) * lit(1000000.0) /
-          (lit(2.0) * col("n_old").cast(org.apache.spark.sql.types.DoubleType) *
-            col("n_new").cast(org.apache.spark.sql.types.DoubleType)))
-          .cast(org.apache.spark.sql.types.LongType))
+        floor(col("__num_dec").cast(dt) * lit(1000000.0) /
+          (lit(2.0) * col("n_old").cast(dt) * col("n_new").cast(dt))).cast(lt))
+      .select(col("n_old"), col("n_new"), col("n_values"),
+        col("__num_dec").cast(lt).as("tvd_num"), col("tvd_fp"))
   }
 }

@@ -183,11 +183,13 @@ object Search {
     * through every shuffle. Compose after [[graft.ext.Dedup.exactDedup]]
     * at corpus scale so exact-copy groups don't quadratically re-pair.
     *
-    * Integer envelope: with the ×100 idf scale, per-doc norms stay in
-    * BIGINT while `(max tf · idf)² · n_terms < 2⁶³` — comfortably true
-    * to ~10⁷-doc corpora with ~10³-term documents; past that, lower the
-    * idf scale (the threshold is scale-invariant) or move the w sums to
-    * DECIMAL(38,0) as [[TextAnalysis.sourceDivergence]] does. */
+    * Integer envelope (the BINDING constraint is the threshold decision,
+    * not the norms): `num² · na2 · nb2 < 10³⁸` — i.e. per-doc norms
+    * below ~10¹⁸/num, true to ~10⁶-doc corpora with ~10³-term documents
+    * at the ×100 idf scale. Past that, lower the idf scale (the cosine
+    * threshold is scale-invariant, so results only change by the coarser
+    * weight rounding) or move the sums to DECIMAL(38,0) as
+    * [[TextAnalysis.sourceDivergence]] does. */
   def tfidfCosinePairs(docs: DataFrame, minCosNum: Int, minCosDen: Int,
       maxDf: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minCosNum > 0 && minCosDen >= minCosNum, "need 0 < num/den <= 1")

@@ -203,7 +203,11 @@ object Stats {
       .select(col("median").as("median_cnt"), col("p99").as("p99_cnt"))
     val top = counts.orderBy(col("cnt").desc, col("__ks_k")).limit(1)
       .select(col("__ks_k").cast(StringType).as("top_key"), col("cnt").as("top_cnt"))
-    basic.crossJoin(broadcast(pcts)).crossJoin(broadcast(top))
+    // LEFT joins on true, not crossJoins: with zero non-null keys the
+    // percentile/top frames are EMPTY, and a crossJoin would annihilate
+    // the (n_keys=0) report row callers rely on receiving
+    basic.join(broadcast(pcts), lit(true), "left")
+      .join(broadcast(top), lit(true), "left")
   }
 
   /** Fixed-width histogram over a numeric column: bucket index

@@ -1072,32 +1072,35 @@ object TextAnalysis {
       .groupBy(col("src"), col("gk")).agg(count(lit(1)).as("c"))
     val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n_tok"))
     val cw = counts.join(broadcast(totals), Seq("src"))
-    // the |c·N| cross products run in 38-digit decimals: at web scale a
-    // source holds ~10¹² tokens, so c·N reaches ~10²⁴ — past BIGINT —
-    // while decimal38 holds to ~10³⁸ (the oracle mirrors with HUGEINT);
-    // the final numerator is cast back once (exact at any scale whose
-    // result itself fits BIGINT)
+    // the whole numerator runs in 38-digit decimals: at web scale a
+    // source holds ~10¹² tokens, so c·N cross products reach ~10²⁴ —
+    // past BIGINT — while decimal38 holds to ~10³⁸ (the oracle mirrors
+    // with HUGEINT). tvd_fp divides the DECIMAL numerator (always exact,
+    // lands in [0, 10⁶]); tvd_num is the one field that only fits BIGINT
+    // below ~3·10⁹ tokens/source — emitted for drill-down, cast LAST.
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val shared = cw.as("a")
       .join(cw.as("b"), col("a.gk") === col("b.gk") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
       .agg(sum(abs(col("a.c").cast(dec) * col("b.n_tok") -
-          col("b.c").cast(dec) * col("a.n_tok"))).cast(LongType)
+          col("b.c").cast(dec) * col("a.n_tok")))
           .as("shared_abs"),
         sum(col("a.c")).as("shared_ca"), sum(col("b.c")).as("shared_cb"))
-    val num = coalesce(col("shared_abs"), lit(0L)) +
-      (col("n_a") - coalesce(col("shared_ca"), lit(0L))) * col("n_b") +
-      (col("n_b") - coalesce(col("shared_cb"), lit(0L))) * col("n_a")
+    val num = coalesce(col("shared_abs"), lit(0L).cast(dec)) +
+      (col("n_a") - coalesce(col("shared_ca"), lit(0L))).cast(dec) * col("n_b") +
+      (col("n_b") - coalesce(col("shared_cb"), lit(0L))).cast(dec) * col("n_a")
     totals.select(col("src").as("source_a"), col("n_tok").as("n_a"))
       .crossJoin(totals.select(col("src").as("source_b"), col("n_tok").as("n_b")))
       .filter(col("source_a") < col("source_b"))
       .join(shared, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
-        num.as("tvd_num"))
+        num.as("__num_dec"))
       .withColumn("tvd_fp",
-        floor(col("tvd_num").cast(DoubleType) * lit(1000000.0) /
+        floor(col("__num_dec").cast(DoubleType) * lit(1000000.0) /
           (lit(2.0) * col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
           .cast(LongType))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("__num_dec").cast(LongType).as("tvd_num"), col("tvd_fp"))
   }
 
   /** Whitespace/control class of [[normalizeText]], shared with its oracle:

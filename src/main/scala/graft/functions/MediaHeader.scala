@@ -103,7 +103,8 @@ object MediaHeader {
             return row("jpeg", be16(b, i + 7), be16(b, i + 5))
           return row("jpeg")
         }
-        if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone
+        if (m == 0xFF) i += 1 // fill byte before a marker (spec-legal)
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone
         else if (m == 0xD9 || m == 0xDA) return row("jpeg") // EOI / scan data
         else i += 2 + be16(b, i + 2)
       }
@@ -113,22 +114,27 @@ object MediaHeader {
     // byte_rate, data's size over byte_rate gives the PCM duration
     if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
-      var i = 12
+      // Long cursor: chunk sizes are UNSIGNED 32-bit — truncating to Int
+      // turns an adversarial 0xFFFFFFF8 size into a negative step (an
+      // infinite loop or a negative array index); advancing in Long past
+      // the buffer just ends the walk
+      var i = 12L
       var channels: java.lang.Integer = null
       var rate: java.lang.Integer = null
       var byteRate = 0L
       var dataLen = -1L
       while (i + 8 <= b.length) {
-        val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
-        val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a'
-        val size = le32(b, i + 4)
-        if (isFmt && i + 8 + 12 <= b.length) {
-          channels = le16(b, i + 10)
-          rate = le32(b, i + 12).toInt
-          byteRate = le32(b, i + 16)
+        val j = i.toInt
+        val isFmt = b(j) == 'f' && b(j + 1) == 'm' && b(j + 2) == 't' && b(j + 3) == ' '
+        val isData = b(j) == 'd' && b(j + 1) == 'a' && b(j + 2) == 't' && b(j + 3) == 'a'
+        val size = le32(b, j + 4)
+        if (isFmt && j + 8 + 12 <= b.length) {
+          channels = le16(b, j + 10)
+          rate = le32(b, j + 12).toInt
+          byteRate = le32(b, j + 16)
         }
         if (isData) dataLen = size
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        i += 8L + size + (size & 1L) // chunks are word-aligned
       }
       val dur: java.lang.Long =
         if (dataLen >= 0 && byteRate > 0) java.lang.Long.valueOf(dataLen * 1000L / byteRate)

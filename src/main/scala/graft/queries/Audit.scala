@@ -55,8 +55,8 @@ object Audit {
       |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok FROM c GROUP BY 1),
       |cw AS (SELECT c.source, c.gk, c.c, t.n_tok FROM c JOIN t USING (source)),
       |sh AS (SELECT a.source AS source_a, b.source AS source_b,
-      |         CAST(sum(abs(CAST(a.c AS HUGEINT) * b.n_tok
-      |                      - CAST(b.c AS HUGEINT) * a.n_tok)) AS BIGINT) AS shared_abs,
+      |         sum(abs(CAST(a.c AS HUGEINT) * b.n_tok
+      |                 - CAST(b.c AS HUGEINT) * a.n_tok)) AS shared_abs,
       |         CAST(sum(a.c) AS BIGINT) AS shared_ca,
       |         CAST(sum(b.c) AS BIGINT) AS shared_cb
       |       FROM cw a JOIN cw b ON a.gk = b.gk AND a.source < b.source
@@ -64,8 +64,8 @@ object Audit {
       |m AS (SELECT x.source AS source_a, y.source AS source_b,
       |        x.n_tok AS n_a, y.n_tok AS n_b,
       |        coalesce(sh.shared_abs, 0)
-      |          + (x.n_tok - coalesce(sh.shared_ca, 0)) * y.n_tok
-      |          + (y.n_tok - coalesce(sh.shared_cb, 0)) * x.n_tok AS tvd_num
+      |          + CAST(x.n_tok - coalesce(sh.shared_ca, 0) AS HUGEINT) * y.n_tok
+      |          + CAST(y.n_tok - coalesce(sh.shared_cb, 0) AS HUGEINT) * x.n_tok AS tvd_num
       |      FROM t x JOIN t y ON x.source < y.source
       |      LEFT JOIN sh ON sh.source_a = x.source AND sh.source_b = y.source)
       |SELECT source_a, source_b, n_a, n_b, CAST(tvd_num AS BIGINT) AS tvd_num,
@@ -559,10 +559,10 @@ object Audit {
       |        CAST(sum(c_new) AS BIGINT) AS n_new,
       |        CAST(count(*) AS BIGINT) AS n_values FROM j),
       |m AS (SELECT t.n_old, t.n_new, t.n_values,
-      |        CAST(sum(abs(CAST(c_old AS HUGEINT) * t.n_new
-      |                     - CAST(c_new AS HUGEINT) * t.n_old)) AS BIGINT) AS tvd_num
+      |        sum(abs(CAST(c_old AS HUGEINT) * t.n_new
+      |                - CAST(c_new AS HUGEINT) * t.n_old)) AS tvd_num
       |      FROM j, t GROUP BY 1, 2, 3)
-      |SELECT n_old, n_new, n_values, tvd_num,
+      |SELECT n_old, n_new, n_values, CAST(tvd_num AS BIGINT) AS tvd_num,
       |  CAST(floor(CAST(tvd_num AS DOUBLE) * 1000000.0 /
       |    (2.0 * CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE))) AS BIGINT) AS tvd_fp
       |FROM m""".stripMargin

@@ -276,6 +276,33 @@ class AuditOpsSpec extends SparkSpec {
     assert(out(4L) == null)
   }
 
+  test("media sniff survives adversarial chunk sizes and JPEG fill bytes") {
+    import Multimodal.SampleHeaders
+    // RIFF/WAVE with chunk size 0xFFFFFFF8 — an Int truncation would
+    // loop forever (step 0) or index negatively
+    val evilWav = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      Array(0xF8, 0xFF, 0xFF, 0xFF).map(_.toByte)
+    // JPEG with spec-legal 0xFF fill bytes before the SOF marker
+    val fillJpeg = Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF).map(_.toByte) ++
+      SampleHeaders.jpeg.drop(8) // the SOF0 segment from the fixture
+    val df = Seq((1L, evilWav), (2L, fillJpeg)).toDF("media_id", "payload")
+    val out = Multimodal.sniff(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[String]("format") == "wav") // parsed, no hang/crash
+    assert(out(2L).getAs[String]("format") == "jpeg" &&
+      out(2L).getAs[Int]("width") == 640 && out(2L).getAs[Int]("height") == 480)
+  }
+
+  test("keySkew on an all-null key column still returns the one-row report") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "key")
+    val rows = Stats.keySkew(df, "key").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_keys") == 0L)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("top_key")))
+  }
+
   test("columnDrift: identical snapshots → 0; disjoint supports → 10⁶") {
     val a = Seq(1L, 1L, 2L, 3L).toDF("v")
     val b = Seq(1L, 1L, 2L, 3L).toDF("v")
