@@ -38,10 +38,30 @@ class PlanSpec extends SparkSpec {
         "deterministicSplit" -> graft.ext.TextAnalysis.deterministicSplit(docs),
         "fingerprint" -> graft.ext.TextAnalysis.fingerprint(docs),
         "normalizeText" -> graft.ext.TextAnalysis.normalizeText(docs),
-        "compressionRatio" -> graft.ext.TextAnalysis.compressionRatio(docs))) {
+        "compressionRatio" -> graft.ext.TextAnalysis.compressionRatio(docs),
+        // round-5 audit additions: all fan-out/projection shapes
+        "splitSentences" -> graft.ext.TextAnalysis.splitSentences(docs),
+        "extractLinks" -> graft.ext.TextAnalysis.extractLinks(docs),
+        "keywordScore" -> graft.ext.TextAnalysis.keywordScore(docs, Seq("a" -> 1L)),
+        "nfcNormalize" -> docs.select(
+          graft.functions.TextMetrics.nfcNormalize(col("text"))),
+        "mediaSniff" -> graft.ext.Multimodal.sniff(
+          docs.select(col("doc_id").as("media_id"),
+            encode(col("text"), "UTF-8").as("payload"))),
+        "bpeTokenize" -> graft.ext.Bpe.tokenize(docs, Seq(("a", "b"))))) {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name plans a shuffle:\n$p")
     }
+  }
+
+  test("profile computes every column's stats in ONE aggregate pass (Expand, one scan)") {
+    val orders = graft.core.Tables.load(spark, sf001, "orders")
+    val p = plan(graft.ext.Stats.profile(orders, Seq(
+      "o_orderkey" -> col("o_orderkey"), "o_custkey" -> col("o_custkey"))))
+    // one scan: the parquet relation appears exactly once
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"profile should scan the table once:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct should plan via Expand:\n$p")
   }
 
   test("dimension join broadcasts the small side (q05 shape)") {

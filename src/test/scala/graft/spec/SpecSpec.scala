@@ -129,6 +129,18 @@ class SpecSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bundled example specs load and declare valid plugin chains") {
+    val curation = SpecLoader.loadFile("examples/curation_batch.yml")
+    assert(curation.input.typ == "parquet")
+    assert(curation.pipeline.map(_.typ) == Seq("strip_markup", "pii_redact",
+      "normalize_text", "quality_filter", "keyword_filter"))
+    assert(curation.output.typ == "parquet")
+    val media = SpecLoader.loadFile("examples/media_ingest_stream.yml")
+    assert(media.input.typ == "binary_files")
+    assert(media.input.config.get("pathGlobFilter").exists(_.contains("png")))
+    assert(media.pipeline.isEmpty && media.output.typ == "parquet")
+  }
+
   test("kafka source/sink option building (kafka_in.yml / kafka_out.yml)") {
     val spec = SpecLoader.load(
       """input:
