@@ -604,6 +604,24 @@ object Audit {
       |ORDER BY from_type, to_type""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q115 — mergeable sketch rollup (the incremental-cube pattern): daily
+  // HLL sketches of distinct users are built ONCE (the stored partial —
+  // at production scale a materialized daily table), then weekly distinct
+  // estimates come from UNIONING the stored sketches, never rescanning
+  // events. Approximate → rows-only by design; the ≤5% accuracy gate vs
+  // exact distinct counts lives in ScalaTest.
+  def q115_sketch_rollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_events"))
+    daily
+      .groupBy(date_trunc("week", col("day")).as("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_week_users"))
+      .orderBy(col("week"))
+  }
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_tfidf_cosine_pairs" -> (q96_tfidf_cosine_pairs _),
@@ -624,7 +642,8 @@ object Audit {
     "q111_key_skew" -> (q111_key_skew _),
     "q112_nfc_normalize" -> (q112_nfc_normalize _),
     "q113_column_drift" -> (q113_column_drift _),
-    "q114_transition_matrix" -> (q114_transition_matrix _))
+    "q114_transition_matrix" -> (q114_transition_matrix _),
+    "q115_sketch_rollup" -> (q115_sketch_rollup _))
 
   def oracle: Map[String, String] = Map(
     "q96_tfidf_cosine_pairs" -> q96_sql,

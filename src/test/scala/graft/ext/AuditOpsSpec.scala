@@ -303,6 +303,22 @@ class AuditOpsSpec extends SparkSpec {
     assert(rows.head.isNullAt(rows.head.fieldIndex("top_key")))
   }
 
+  test("sketch rollup: weekly estimate from merged daily sketches within 5% of exact") {
+    import graft.core.Tables
+    val e = Tables.load(spark, sf001, "events")
+    val approx = graft.queries.Audit.q115_sketch_rollup(spark, sf001)
+      .select("week", "approx_week_users").collect()
+      .map(r => r.get(0) -> r.getAs[Long]("approx_week_users")).toMap
+    val exact = e.groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.get(0) -> r.getAs[Long]("n")).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for ((w, est) <- approx) {
+      val ex = exact(w).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05, s"week $w: est $est vs exact $ex")
+    }
+  }
+
   test("columnDrift: identical snapshots → 0; disjoint supports → 10⁶") {
     val a = Seq(1L, 1L, 2L, 3L).toDF("v")
     val b = Seq(1L, 1L, 2L, 3L).toDF("v")
