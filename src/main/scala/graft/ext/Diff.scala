@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot comparison — the change-data pass between two versions of a
@@ -44,6 +45,52 @@ object Diff {
     val cols = keys.map(col) ++ Seq(col("change_type")) ++
       compare.flatMap(c => Seq(col(c).as(s"old_$c"), col(s"__n_$c").as(s"new_$c")))
     out.select(cols: _*)
+  }
+
+  /** SCD-Type-2 history build — collapse a keyed change LOG into validity
+    * intervals: one row per (key, attribute state), `valid_from` =
+    * timestamp of the first log row carrying that state, `valid_to` =
+    * timestamp of the next state change (null while current),
+    * `version` = 1-based change ordinal, `is_current` flag. The warehouse
+    * dual of [[snapshotDiff]]: diff compares two snapshots, this folds the
+    * full log into the dimension table an as-of join
+    * ([[graft.operators.AsofJoin]]) probes.
+    *
+    * Semantics: rows are ordered per key by (`tsCol`, `tieCols`…) — the
+    * tie-break makes the order total, so the result is deterministic under
+    * any partitioning. A row opens a new version iff it is the key's first
+    * row or ANY tracked attribute differs null-safely from the previous
+    * row (null→value and value→null are changes; consecutive identical
+    * states collapse into one interval).
+    *
+    * Scale shape: ONE shuffle on the key columns. Both window passes (the
+    * change filter, then version/lead over the surviving change rows) use
+    * the same partitioning and ordering, and a filter preserves both, so
+    * the second window reuses the first's exchange and sort. */
+  def scd2History(log: DataFrame, keys: Seq[String], tsCol: String,
+      tieCols: Seq[String], attrs: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "scd2History needs key columns")
+    require(attrs.nonEmpty, "scd2History needs tracked attribute columns")
+    val order = (tsCol +: tieCols).map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val opens: Column = attrs.map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val changes = log
+      .withColumn("__s2_rn", row_number().over(w))
+      // window expressions must be projected before they can gate a filter
+      .withColumn("__s2_open", opens)
+      // lag() over an all-null first row null-safe-EQUALS a first state of
+      // null, so rn=1 must be kept explicitly, not via the compare
+      .filter(col("__s2_rn") === 1 || col("__s2_open"))
+      .drop("__s2_rn", "__s2_open")
+    changes
+      .withColumn("version", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current",
+        when(lead(col(tsCol), 1).over(w).isNull, lit(1L)).otherwise(lit(0L)))
+      .select((keys.map(col) :+ col("version")) ++ attrs.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
   /** Distribution DRIFT of one integral column between two snapshots —

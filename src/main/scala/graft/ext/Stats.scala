@@ -210,6 +210,30 @@ object Stats {
       .join(broadcast(top), lit(true), "left")
   }
 
+  /** Winsorization — clip an integral value column to its own per-group
+    * EXACT discrete percentile band [p_lo, p_hi] (the robust-scaling prep
+    * for length/score features before they feed thresholds or models;
+    * clipping beats dropping when row totality matters). Composes
+    * [[groupedPercentiles]]: the bounds come from the histogram machinery
+    * (never a per-group sort), the percentile table is |groups| rows and
+    * broadcasts back onto the rows — the row table is scanned twice
+    * (histogram + clip pass) but never shuffled on the group key.
+    * Output adds `w_lo`, `w_hi`, `clipped`, `is_clipped` (0/1). Null
+    * values pass through unclipped with `is_clipped` null. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo < pHi, s"pLo must be below pHi: $pLo vs $pHi")
+    def label(p: Double) = s"p${math.round(p * 100)}"
+    val bounds = groupedPercentiles(df, groupCol, valueCol, Seq(pLo, pHi))
+      .select(col(groupCol), col(label(pLo)).as("w_lo"), col(label(pHi)).as("w_hi"))
+    val v = col(valueCol)
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn("clipped", least(greatest(v, col("w_lo")), col("w_hi")))
+      .withColumn("is_clipped",
+        when(v.isNull, lit(null).cast(LongType))
+          .when(v < col("w_lo") || v > col("w_hi"), lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Fixed-width histogram over a numeric column: bucket index
     * ⌊(v − lo) / width⌋ (one IEEE subtraction + division + floor —
     * identical in any engine), per-bucket count and exact min/max.

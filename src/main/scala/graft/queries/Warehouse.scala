@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ext.{Diff, Graph, Stats}
+import graft.operators.IntervalJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Round-6 warehouse/graph operators as oracle-checked queries: the
+  * SCD-Type-2 history build (q116), the grid-bucketed interval-overlap
+  * join (q117), exact fixed-point PageRank over a synthesized link graph
+  * (q118), and per-group winsorization (q119).
+  *
+  * Timestamp discipline: every epoch extraction is MILLIS
+  * (`unix_millis` ↔ DuckDB `epoch_ms`) — the Events pack's nano-safe
+  * convention (the two engines truncate the parquet NANOS column to
+  * micros differently; at millis they agree).
+  */
+object Warehouse {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // --------------------------------------------------------------------------
+  // q116 — SCD2 history: the events table read as a change log of each
+  // user's event_type. Consecutive identical states collapse; every
+  // surviving change opens a version with [valid_from, valid_to) millis
+  // bounds and an is_current flag. One shuffle on user_id (both window
+  // passes share it).
+  def q116_scd2_history(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+    Diff.scd2History(log, keys = Seq("user_id"), tsCol = "ts_ms",
+        tieCols = Seq("event_id"), attrs = Seq("event_type"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val q116_sql =
+    """WITH l AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |o AS (
+      |  SELECT *, row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+      |  FROM l WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |c AS (
+      |  SELECT user_id, event_id, event_type, ts_ms FROM o
+      |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+      |SELECT user_id, CAST(row_number() OVER w2 AS BIGINT) AS version,
+      |  event_type, ts_ms AS valid_from, lead(ts_ms) OVER w2 AS valid_to,
+      |  CAST(CASE WHEN lead(ts_ms) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_current
+      |FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q117 — interval-overlap pairs: each event claims [ts, ts + value
+  // minutes]; all same-user pairs whose closed intervals overlap, each
+  // pair exactly once, with the exact overlap length. The engine runs the
+  // grid-bucketed exactly-once join (6 h cells ≈ the typical span); the
+  // oracle is the naive per-key theta self-join — same rows proves the
+  // bucketing emits every pair once and only once.
+  def q117_overlap_pairs(s: SparkSession, dir: String): DataFrame = {
+    val ms = unix_millis(col("ts"))
+    val iv = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), ms.as("s_ms"),
+        (ms + floor(col("value") * lit(60000.0)).cast(LongType)).as("e_ms"))
+    IntervalJoin.overlapPairs(iv, keyCol = "user_id", idCol = "event_id",
+        startCol = "s_ms", endCol = "e_ms", bucketWidth = 21600000L)
+      .orderBy(col("user_id"), col("a_id"), col("b_id"))
+  }
+
+  private val q117_sql =
+    """WITH iv AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS s,
+      |    epoch_ms(ts) + CAST(floor(value * 60000.0) AS BIGINT) AS e
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)
+      |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |  a.s AS a_s, a.e AS a_e, b.s AS b_s, b.e AS b_e,
+      |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_len
+      |FROM iv a JOIN iv b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND a.s <= b.e AND b.s <= a.e
+      |ORDER BY a.user_id, a_id, b_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q118 — PageRank (3 iterations, damping 0.85, fixed-point 10⁶) over a
+  // deterministic synthetic link graph derived from doc_id arithmetic:
+  // mod-11 sources link to mod-13 targets, so nodes n11/n12 are DANGLING
+  // (inbound only — their mass leaves the system, the documented "drop"
+  // convention) and the even-doc second edge gives uneven in-degrees.
+  // Every arithmetic step is integer, so the oracle's unrolled three
+  // iterations must agree bit-for-bit.
+  def q118_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id").isNotNull).select(col("doc_id"))
+    def n(c: org.apache.spark.sql.Column) = concat(lit("n"), c.cast("string"))
+    val e1 = d.select(n(pmod(col("doc_id"), lit(11L))).as("src"),
+      n(pmod(col("doc_id") * 3 + 1, lit(13L))).as("dst"))
+    val e2 = d.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .select(n(pmod(col("doc_id") + 2, lit(11L))).as("src"),
+        n(pmod(col("doc_id") * 5 + 7, lit(13L))).as("dst"))
+    Graph.pageRankFp(e1.union(e2), iters = 3)
+      .select(col("node"), col("rank").as("rank_fp"))
+      .orderBy(col("node"))
+  }
+
+  private val q118_sql =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+      |e_raw AS (
+      |  SELECT 'n' || CAST(doc_id % 11 AS VARCHAR) AS src,
+      |         'n' || CAST((doc_id * 3 + 1) % 13 AS VARCHAR) AS dst FROM d
+      |  UNION ALL
+      |  SELECT 'n' || CAST((doc_id + 2) % 11 AS VARCHAR),
+      |         'n' || CAST((doc_id * 5 + 7) % 13 AS VARCHAR)
+      |  FROM d WHERE doc_id % 2 = 0),
+      |e AS (SELECT DISTINCT src, dst FROM e_raw),
+      |nodes AS (SELECT DISTINCT src AS node FROM e
+      |          UNION SELECT DISTINCT dst FROM e),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |c1 AS (SELECT e.dst AS node, sum(r0.r // deg.deg) AS cin
+      |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT n.node,
+      |         CAST((15 * 1000000 + 85 * COALESCE(c1.cin, 0)) // 100 AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN c1 USING (node)),
+      |c2 AS (SELECT e.dst AS node, sum(r1.r // deg.deg) AS cin
+      |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT n.node,
+      |         CAST((15 * 1000000 + 85 * COALESCE(c2.cin, 0)) // 100 AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN c2 USING (node)),
+      |c3 AS (SELECT e.dst AS node, sum(r2.r // deg.deg) AS cin
+      |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS (SELECT n.node,
+      |         CAST((15 * 1000000 + 85 * COALESCE(c3.cin, 0)) // 100 AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN c3 USING (node))
+      |SELECT node, r AS rank_fp FROM r3 ORDER BY node""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q119 — winsorization: every document's n_chars clipped to its own
+  // source's exact discrete [p5, p95] band. Bounds come from the
+  // histogram percentile machinery (q69's) — never a per-group sort —
+  // and broadcast back onto the rows.
+  def q119_winsorize(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    Stats.winsorize(d, groupCol = "source", valueCol = "n_chars",
+        pLo = 0.05, pHi = 0.95)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("w_lo"),
+        col("w_hi"), col("clipped"), col("is_clipped"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q119_sql =
+    """WITH rows_ AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      |h AS (SELECT source, n_chars AS v, count(*) AS cnt
+      |      FROM rows_ GROUP BY 1, 2),
+      |c AS (SELECT source, v, cnt,
+      |        CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum,
+      |        CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+      |      FROM h),
+      |b AS (SELECT source,
+      |        max(CASE WHEN cum - cnt < CAST(ceil(0.05 * n) AS BIGINT)
+      |                  AND CAST(ceil(0.05 * n) AS BIGINT) <= cum THEN v END) AS w_lo,
+      |        max(CASE WHEN cum - cnt < CAST(ceil(0.95 * n) AS BIGINT)
+      |                  AND CAST(ceil(0.95 * n) AS BIGINT) <= cum THEN v END) AS w_hi
+      |      FROM c GROUP BY 1)
+      |SELECT r.doc_id, r.source, r.n_chars, b.w_lo, b.w_hi,
+      |  least(greatest(r.n_chars, b.w_lo), b.w_hi) AS clipped,
+      |  CAST(CASE WHEN r.n_chars < b.w_lo OR r.n_chars > b.w_hi
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_clipped
+      |FROM rows_ r JOIN b USING (source)
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_scd2_history" -> (q116_scd2_history _),
+    "q117_overlap_pairs" -> (q117_overlap_pairs _),
+    "q118_pagerank" -> (q118_pagerank _),
+    "q119_winsorize" -> (q119_winsorize _))
+
+  def oracle: Map[String, String] = Map(
+    "q116_scd2_history" -> q116_sql,
+    "q117_overlap_pairs" -> q117_sql,
+    "q118_pagerank" -> q118_sql,
+    "q119_winsorize" -> q119_sql)
+}

@@ -1,0 +1,173 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.operators.IntervalJoin
+import org.apache.spark.sql.functions._
+
+/** Unit gates for the warehouse/graph block (q116–q119): SCD2 history,
+  * grid-bucketed interval-overlap join, fixed-point PageRank,
+  * winsorization. The DuckDB oracle checks the full-table duals; these
+  * fixtures pin the edge semantics the oracle's data may never exercise.
+  */
+class WarehouseOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- scd2
+
+  test("scd2History collapses runs, tracks null transitions, versions in order") {
+    val log = Seq(
+      // key 1: A A B B A  -> versions A,B,A
+      (1L, 1L, Some("A")), (1L, 2L, Some("A")), (1L, 3L, Some("B")),
+      (1L, 4L, Some("B")), (1L, 5L, Some("A")),
+      // key 2: null null X null -> versions null, X, null (null<->value are changes)
+      (2L, 1L, None), (2L, 2L, None), (2L, 3L, Some("X")), (2L, 4L, None)
+    ).toDF("k", "t", "attr")
+    val out = Diff.scd2History(log, Seq("k"), "t", Seq.empty, Seq("attr"))
+      .orderBy("k", "version")
+      .select("k", "version", "attr", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, Some("A"), 1L, 3L, 0L),
+      (1L, 2L, Some("B"), 3L, 5L, 0L),
+      (1L, 3L, Some("A"), 5L, -1L, 1L),
+      (2L, 1L, None, 1L, 3L, 0L),
+      (2L, 2L, Some("X"), 3L, 4L, 0L),
+      (2L, 3L, None, 4L, -1L, 1L)))
+  }
+
+  test("scd2History multi-attribute: change in ANY tracked column opens a version") {
+    val log = Seq(
+      (1L, 1L, "A", 10L), (1L, 2L, "A", 10L), (1L, 3L, "A", 20L), (1L, 4L, "B", 20L)
+    ).toDF("k", "t", "a1", "a2")
+    val out = Diff.scd2History(log, Seq("k"), "t", Seq.empty, Seq("a1", "a2"))
+      .orderBy("version").select("version", "a1", "a2").as[(Long, String, Long)].collect()
+    assert(out.toSeq == Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 20L)))
+  }
+
+  test("scd2History plans ONE exchange (both windows share the key shuffle)") {
+    val log = Seq((1L, 1L, "A")).toDF("k", "t", "attr")
+    val plan = Diff.scd2History(log, Seq("k"), "t", Seq.empty, Seq("attr"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 key exchange, got $exchanges:\n$plan")
+  }
+
+  // ------------------------------------------------------- interval join
+
+  private def naiveOverlap(rows: Seq[(Long, Long, Long, Long)]) = {
+    val iv = rows.toDF("id", "k", "s", "e")
+    val a = iv.select($"k", $"id".as("a_id"), $"s".as("a_s"), $"e".as("a_e"))
+    val b = iv.select($"k".as("k2"), $"id".as("b_id"), $"s".as("b_s"), $"e".as("b_e"))
+    a.join(b, $"k" === $"k2" && $"a_id" < $"b_id" &&
+        $"a_s" <= $"b_e" && $"b_s" <= $"a_e")
+      .select($"k", $"a_id", $"b_id").as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("overlapPairs matches the naive theta join for every bucket width") {
+    // adversarial mix: touching endpoints, containment, identical intervals,
+    // cross-key, long-vs-short spans, interval ending exactly on a cell edge
+    val rows = Seq(
+      (1L, 1L, 0L, 10L), (2L, 1L, 10L, 20L),   // touch at 10 -> overlap (closed)
+      (3L, 1L, 21L, 30L),                      // disjoint from id=2
+      (4L, 1L, 0L, 100L),                      // contains everything in key 1
+      (5L, 2L, 0L, 10L), (6L, 2L, 0L, 10L),    // identical pair, other key
+      (7L, 2L, 200L, 210L),                    // far-away cell
+      (8L, 1L, 40L, 40L)                       // zero-length, inside id=4
+    )
+    val expected = naiveOverlap(rows)
+    for (w <- Seq(1L, 7L, 10L, 64L, 1000L)) {
+      val got = IntervalJoin
+        .overlapPairs(rows.toDF("id", "k", "s", "e"), "k", "id", "s", "e", w)
+        .select($"k", $"a_id", $"b_id").as[(Long, Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"width $w emitted duplicate pairs")
+      assert(got.toSet == expected, s"width $w mismatch")
+    }
+  }
+
+  test("overlapPairs: negative coordinates floor-bucket correctly") {
+    val rows = Seq((1L, 1L, -25L, -5L), (2L, 1L, -10L, 3L), (3L, 1L, 4L, 8L))
+    val expected = naiveOverlap(rows)
+    for (w <- Seq(3L, 10L, 100L)) {
+      val got = IntervalJoin
+        .overlapPairs(rows.toDF("id", "k", "s", "e"), "k", "id", "s", "e", w)
+        .select($"k", $"a_id", $"b_id").as[(Long, Long, Long)].collect()
+      assert(got.length == got.toSet.size && got.toSet == expected, s"width $w")
+    }
+  }
+
+  test("overlapPairs drops negative-span rows and reports exact overlap_len") {
+    val rows = Seq((1L, 1L, 0L, 10L), (2L, 1L, 5L, 20L), (3L, 1L, 30L, 20L))
+    val out = IntervalJoin
+      .overlapPairs(rows.toDF("id", "k", "s", "e"), "k", "id", "s", "e", 8L)
+      .select($"a_id", $"b_id", $"overlap_len").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 5L))) // [5,10] overlap, id 3 dropped
+  }
+
+  // ------------------------------------------------------------ pagerank
+
+  test("pageRankFp matches the hand-computed fixed-point model on a small graph") {
+    // a->b, a->c, b->c, d dangling-SOURCE-free (c has no outlinks: dangling)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    // serial model of the documented integer recurrence
+    def step(r: Map[String, Long]): Map[String, Long] = {
+      val deg = Map("a" -> 2L, "b" -> 1L)
+      val contrib = Map(
+        "b" -> r("a") / 2,
+        "c" -> (r("a") / 2 + r("b") / 1)).withDefaultValue(0L)
+      Seq("a", "b", "c").map(n => n -> (15L * 1000000L + 85L * contrib(n)) / 100L).toMap
+    }
+    val expect = step(step(step(Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L))))
+    val got = Graph.pageRankFp(edges, iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == expect)
+    // dangling c's mass left the system: total below 3*scale
+    assert(got.values.sum < 3000000L)
+    // teleport floor: a node with no inbound holds exactly (15*scale)/100
+    assert(got("a") == 150000L)
+  }
+
+  test("pageRankFp deduplicates repeated edges before computing degrees") {
+    val dup = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("src", "dst")
+    val once = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r1 = Graph.pageRankFp(dup, 2).as[(String, Long)].collect().toMap
+    val r2 = Graph.pageRankFp(once, 2).as[(String, Long)].collect().toMap
+    assert(r1 == r2)
+  }
+
+  test("degreeStats: hub/sink counts with multi-edges") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("c", "a")).toDF("src", "dst")
+    val m = Graph.degreeStats(edges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(m("a") == (3L, 2L, 1L, 1L))
+    assert(m("b") == (0L, 0L, 2L, 1L)) // sink: no out-edges
+    assert(m("c") == (1L, 1L, 1L, 1L))
+  }
+
+  // ----------------------------------------------------------- winsorize
+
+  test("winsorize clips to the exact discrete band and flags the tails") {
+    // group g: values 1..20 -> p5 = ceil(0.05*20)=rank 1 -> 1? use 2 groups
+    val df = (1L to 20L).map(v => ("g", v)).toDF("grp", "v")
+    val out = Stats.winsorize(df, "grp", "v", 0.10, 0.90)
+      .select($"v", $"w_lo", $"w_hi", $"clipped", $"is_clipped")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // rank ceil(0.1*20)=2 -> value 2; rank ceil(0.9*20)=18 -> value 18
+    assert(out.forall { case (_, lo, hi, _, _) => lo == 2L && hi == 18L })
+    assert(out.filter(_._5 == 1L).map(_._1).toSeq == Seq(1L, 19L, 20L))
+    assert(out.forall { case (v, lo, hi, c, _) => c == math.min(math.max(v, lo), hi) })
+  }
+
+  test("winsorize: null values pass through with null flag; groups independent") {
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(3L)),
+      ("a", None), ("b", Some(100L))).toDF("grp", "v")
+    val rows = Stats.winsorize(df, "grp", "v", 0.05, 0.95).collect()
+    val nullRow = rows.find(_.isNullAt(1)).get
+    assert(nullRow.isNullAt(nullRow.fieldIndex("is_clipped")))
+    val b = rows.find(r => r.getString(0) == "b").get
+    assert(b.getLong(b.fieldIndex("clipped")) == 100L &&
+      b.getLong(b.fieldIndex("is_clipped")) == 0L)
+  }
+}
