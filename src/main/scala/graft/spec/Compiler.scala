@@ -189,6 +189,23 @@ object Compiler {
         kafkaPayload(df).write.format("kafka")) {
         case (w, (k, v)) => w.option(k, v)
       }.save()
+    // keyed merge into a parquet table (CDC apply): config.key = merge key
+    // columns, config.order = latest-wins total order, config.partition_by
+    // (optional, ⊆ key) = copy-on-write partition pruning
+    case "upsert_parquet" =>
+      val (path, keys, order, parts) = upsertConf(conf)
+      graft.operators.Upsert.mergeParquet(df.sparkSession, df, path, keys,
+        order, parts)
+  }
+
+  private def upsertConf(conf: SinkConf): (String, Seq[String], Seq[String], Seq[String]) = {
+    def list(k: String): Seq[String] =
+      conf.config.getOrElse(k, sys.error(s"upsert_parquet needs config.$k"))
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    (conf.path.getOrElse(sys.error("upsert_parquet needs path")),
+      list("key"), list("order"),
+      conf.config.get("partition_by").toSeq
+        .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
   }
 
   /** Streaming sink writer (start()/awaitTermination at the call site). */
@@ -201,6 +218,15 @@ object Compiler {
     case "kafka" =>
       kafkaSinkOptions(conf).foldLeft(kafkaPayload(df).writeStream.format("kafka")) {
         case (w, (k, v)) => w.option(k, v)
+      }
+    // streaming CDC apply: every micro-batch merges by key; checkpoint
+    // replay re-merges idempotently (effective exactly-once — see
+    // graft.operators.Upsert)
+    case "upsert_parquet" =>
+      val (path, keys, order, parts) = upsertConf(conf)
+      df.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        graft.operators.Upsert.mergeParquet(b.sparkSession, b, path, keys,
+          order, parts)
       }
   }
 

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.spec.SinkConf
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Gates for the keyed parquet upsert (CDC apply): batch merge semantics,
+  * latest-wins in-delta collapse, copy-on-write partition pruning (the
+  * untouched partition's files must not be rewritten), replay idempotence,
+  * and the streaming `upsert_parquet` spec sink end-to-end.
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def readTable(path: String): Set[(Long, String, Long)] =
+    spark.read.parquet(path).select("k", "v", "ord")
+      .as[(Long, String, Long)].collect().toSet
+
+  test("mergeParquet: insert, update, preserve; latest-wins inside the delta") {
+    val path = tmpDir("upsert-basic")
+    Upsert.mergeParquet(spark,
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("k", "v", "ord"),
+      path, Seq("k"), Seq("ord"))
+    // delta: update k=1 (two versions, ord=3 must win), insert k=4
+    Upsert.mergeParquet(spark,
+      Seq((1L, "a2", 2L), (1L, "a3", 3L), (4L, "d", 2L)).toDF("k", "v", "ord"),
+      path, Seq("k"), Seq("ord"))
+    assert(readTable(path) == Set(
+      (1L, "a3", 3L), (2L, "b", 1L), (3L, "c", 1L), (4L, "d", 2L)))
+  }
+
+  test("mergeParquet replay is idempotent (checkpoint-recovery contract)") {
+    val path = tmpDir("upsert-replay")
+    Upsert.mergeParquet(spark, Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ord"),
+      path, Seq("k"), Seq("ord"))
+    val delta = Seq((2L, "b2", 5L), (3L, "c", 5L))
+    Upsert.mergeParquet(spark, delta.toDF("k", "v", "ord"), path, Seq("k"), Seq("ord"))
+    val once = readTable(path)
+    Upsert.mergeParquet(spark, delta.toDF("k", "v", "ord"), path, Seq("k"), Seq("ord"))
+    assert(readTable(path) == once)
+    assert(once == Set((1L, "a", 1L), (2L, "b2", 5L), (3L, "c", 5L)))
+  }
+
+  test("partitioned merge rewrites ONLY the touched partitions") {
+    val path = tmpDir("upsert-part")
+    // key = (p, k); partition column p is part of the key
+    Upsert.mergeParquet(spark,
+      Seq((1L, 1L, "a", 1L), (1L, 2L, "b", 1L), (2L, 3L, "c", 1L))
+        .toDF("p", "k", "v", "ord"),
+      path, Seq("p", "k"), Seq("ord"), partitionBy = Seq("p"))
+    def filesOf(part: String) = {
+      val d = new java.io.File(s"$path/$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toSet
+    }
+    val p1Before = filesOf("p=1")
+    // delta touches only p=2: update k=3, insert k=4
+    Upsert.mergeParquet(spark,
+      Seq((2L, 3L, "c2", 2L), (2L, 4L, "d", 2L)).toDF("p", "k", "v", "ord"),
+      path, Seq("p", "k"), Seq("ord"), partitionBy = Seq("p"))
+    assert(filesOf("p=1") == p1Before, "untouched partition was rewritten")
+    val out = spark.read.parquet(path).select("p", "k", "v")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 1L, "a"), (1L, 2L, "b"), (2L, 3L, "c2"), (2L, 4L, "d")))
+  }
+
+  test("partition columns outside the key are rejected (stranded-copy hazard)") {
+    val path = tmpDir("upsert-badpart")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeParquet(spark, Seq((1L, 1L, "a", 1L)).toDF("p", "k", "v", "ord"),
+        path, Seq("k"), Seq("ord"), partitionBy = Seq("p"))
+    }
+    assert(e.getMessage.contains("subset of the keys"))
+  }
+
+  test("streaming upsert_parquet sink merges every micro-batch (spec e2e)") {
+    val path = tmpDir("upsert-stream")
+    val ckpt = tmpDir("upsert-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val df = in.toDF().toDF("k", "v", "ord")
+    val sink = SinkConf("upsert_parquet", path = Some(path),
+      config = Map("key" -> "k", "order" -> "ord"))
+    val q = graft.spec.Compiler.streamSink(df, sink)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      assert(readTable(path) == Set((1L, "a", 1L), (2L, "b", 1L)))
+      in.addData((2L, "b2", 2L), (3L, "c", 2L))
+      q.processAllAvailable()
+      assert(readTable(path) == Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 2L)))
+    } finally q.stop()
+  }
+}
