@@ -71,6 +71,56 @@ object Graph {
     ranks
   }
 
+  /** Exact triangle count via DEGREE-ORIENTED edge joining — the
+    * clustering-coefficient / community-density signal over an undirected
+    * graph. Edges are first undirected+deduplicated, then ORIENTED from
+    * the lower-degree endpoint to the higher (ties by node id): every
+    * triangle has exactly one orientation-respecting wedge, so one
+    * self-join on the wedge apex + one closing-edge semi-join counts each
+    * triangle ONCE — and, crucially, the join fan-out per node is bounded
+    * by its ORIENTED out-degree, which is O(√|E|) for any graph
+    * (a hub with a million followers contributes wedges only toward its
+    * few higher-degree peers, not the million² a naive wedge join would
+    * build). This is the standard scalable formulation; cost
+    * O(|E|^{3/2}) worst-case instead of Σ deg².
+    *
+    * Returns one row: `n_nodes`, `n_edges` (undirected), `n_triangles`.
+    * Exact integers throughout. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val raw = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst")) // self-loops close no triangles
+    // canonical undirected edge (u < v), deduplicated
+    val und = raw.select(
+      least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg, id) of a < of b — a total order, so acyclic
+    val withDeg = und
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val oriented = graft.core.Caches.persist(withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("u")).otherwise(col("v")).as("a"),
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("v")).otherwise(col("u")).as("b")))
+    // wedges a→b, a→c with b != c (each unordered {b,c} once)
+    val e1 = oriented.select(col("a"), col("b").as("w1"))
+    val e2 = oriented.select(col("a"), col("b").as("w2"))
+    val wedges = e1.join(e2, Seq("a")).filter(col("w1") < col("w2"))
+    // close the wedge: is (w1→w2) or (w2→w1) an oriented edge?
+    val closing = oriented.select(
+      least(col("a"), col("b")).as("w1"), greatest(col("a"), col("b")).as("w2"))
+    val tri = wedges.join(closing, Seq("w1", "w2"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    // the persisted oriented-edge hub stays live for the consumer's run;
+    // Verify/Bench release it via Caches.unpersistAll() between queries
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
   /** Per-node degree report: out-degree, in-degree, and distinct
     * neighbor counts — the cheap structural profile run before ranking
     * (hub/sink detection, dangling-mass estimate for [[pageRankFp]]).

@@ -182,16 +182,120 @@ object Warehouse {
       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q120 — exact triangle count over the same synthetic link graph as
+  // q118, via the degree-oriented wedge join (per-node fan-out bounded by
+  // oriented out-degree ≈ O(√|E|)). The oracle is the naive canonical
+  // three-way join — agreement proves each triangle is counted exactly
+  // once.
+  def q120_triangles(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id").isNotNull).select(col("doc_id"))
+    def n(c: org.apache.spark.sql.Column) = concat(lit("n"), c.cast("string"))
+    val e1 = d.select(n(pmod(col("doc_id"), lit(11L))).as("src"),
+      n(pmod(col("doc_id") * 3 + 1, lit(13L))).as("dst"))
+    val e2 = d.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .select(n(pmod(col("doc_id") + 2, lit(11L))).as("src"),
+        n(pmod(col("doc_id") * 5 + 7, lit(13L))).as("dst"))
+    Graph.triangleCount(e1.union(e2))
+  }
+
+  private val q120_sql =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+      |e_raw AS (
+      |  SELECT 'n' || CAST(doc_id % 11 AS VARCHAR) AS src,
+      |         'n' || CAST((doc_id * 3 + 1) % 13 AS VARCHAR) AS dst FROM d
+      |  UNION ALL
+      |  SELECT 'n' || CAST((doc_id + 2) % 11 AS VARCHAR),
+      |         'n' || CAST((doc_id * 5 + 7) % 13 AS VARCHAR)
+      |  FROM d WHERE doc_id % 2 = 0),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |        FROM e_raw WHERE src <> dst),
+      |nn AS (SELECT count(*) AS n_nodes FROM
+      |        (SELECT u AS x FROM und UNION SELECT v FROM und)),
+      |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |       FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+      |            JOIN und c ON c.u = a.v AND c.v = b.v)
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes, n_edges, n_triangles
+      |FROM nn, ne, nt""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q121 — declarative expectations audit over lineitem: four row-level
+  // checks folded into ONE aggregate scan plus two uniqueness checks (the
+  // composite PK passes; the deliberately-wrong single-column key fails —
+  // the report must carry pass=0 rows, not hide them).
+  def q121_expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Expectations._
+    val li = Tables.load(s, dir, "lineitem")
+    audit(li,
+      rowChecks = Seq(
+        "quantity_in_1_50" -> inRange(col("l_quantity"), lit(1.0), lit(50.0)),
+        "shipdate_notnull" -> notNull(col("l_shipdate")),
+        "linestatus_code" -> matches(col("l_linestatus"), "^[A-Z]$"),
+        "price_under_100k" -> inRange(col("l_extendedprice"), lit(0.0), lit(100000.0))),
+      uniqueChecks = Seq(
+        "pk_order_line" -> Seq("l_orderkey", "l_linenumber"),
+        "orderkey_alone" -> Seq("l_orderkey")))
+      .orderBy(col("check_name"))
+  }
+
+  private val q121_sql =
+    """WITH r AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l_quantity IS NOT NULL
+      |          AND (l_quantity < 1.0 OR l_quantity > 50.0)
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+      |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_ship,
+      |    CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+      |          AND NOT regexp_matches(l_linestatus, '^[A-Z]$')
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS v_ls,
+      |    CAST(sum(CASE WHEN l_extendedprice IS NOT NULL
+      |          AND (l_extendedprice < 0.0 OR l_extendedprice > 100000.0)
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+      |  FROM lineitem),
+      |u1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |         CAST(sum(cnt) - count(*) AS BIGINT) AS v
+      |       FROM (SELECT count(*) AS cnt FROM lineitem
+      |             GROUP BY l_orderkey, l_linenumber)),
+      |u2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |         CAST(sum(cnt) - count(*) AS BIGINT) AS v
+      |       FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey))
+      |SELECT * FROM (
+      |  SELECT 'quantity_in_1_50' AS check_name, n AS n_rows,
+      |    v_qty AS n_violations,
+      |    CAST(CASE WHEN v_qty = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass FROM r
+      |  UNION ALL
+      |  SELECT 'shipdate_notnull', n, v_ship,
+      |    CAST(CASE WHEN v_ship = 0 THEN 1 ELSE 0 END AS BIGINT) FROM r
+      |  UNION ALL
+      |  SELECT 'linestatus_code', n, v_ls,
+      |    CAST(CASE WHEN v_ls = 0 THEN 1 ELSE 0 END AS BIGINT) FROM r
+      |  UNION ALL
+      |  SELECT 'price_under_100k', n, v_price,
+      |    CAST(CASE WHEN v_price = 0 THEN 1 ELSE 0 END AS BIGINT) FROM r
+      |  UNION ALL
+      |  SELECT 'pk_order_line', n, v,
+      |    CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) FROM u1
+      |  UNION ALL
+      |  SELECT 'orderkey_alone', n, v,
+      |    CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) FROM u2)
+      |ORDER BY check_name""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_scd2_history" -> (q116_scd2_history _),
     "q117_overlap_pairs" -> (q117_overlap_pairs _),
     "q118_pagerank" -> (q118_pagerank _),
-    "q119_winsorize" -> (q119_winsorize _))
+    "q119_winsorize" -> (q119_winsorize _),
+    "q120_triangles" -> (q120_triangles _),
+    "q121_expectations" -> (q121_expectations _))
 
   def oracle: Map[String, String] = Map(
     "q116_scd2_history" -> q116_sql,
     "q117_overlap_pairs" -> q117_sql,
     "q118_pagerank" -> q118_sql,
-    "q119_winsorize" -> q119_sql)
+    "q119_winsorize" -> q119_sql,
+    "q120_triangles" -> q120_sql,
+    "q121_expectations" -> q121_sql)
 }

@@ -146,6 +146,76 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(m("c") == (1L, 1L, 1L, 1L))
   }
 
+  // ----------------------------------------------------------- triangles
+
+  test("triangleCount: K4 has 4 triangles; duplicates/reversals/self-loops ignored") {
+    // K4 given with duplicate, reversed, and self-loop noise
+    val k4 = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("c", "d"), ("d", "d")).toDF("src", "dst")
+    val r = Graph.triangleCount(k4).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 6L, 4L))
+  }
+
+  test("triangleCount: path and star graphs have zero triangles") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    assert(Graph.triangleCount(path).collect().head.getLong(2) == 0L)
+    val star = Seq(("hub", "x"), ("hub", "y"), ("hub", "z")).toDF("src", "dst")
+    assert(Graph.triangleCount(star).collect().head.getLong(2) == 0L)
+  }
+
+  test("triangleCount matches brute force on a pseudo-random graph") {
+    // deterministic edge set via modular arithmetic, incl. skewed degrees
+    val edges = (0 until 200).map { i =>
+      (s"v${i % 23}", s"v${(i * 7 + 3) % 23}")
+    }.toDF("src", "dst")
+    val got = Graph.triangleCount(edges).collect().head.getLong(2)
+    // brute force on the driver
+    val und = (0 until 200).map { i => (i % 23, (i * 7 + 3) % 23) }
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val vs = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val brute = (for {
+      x <- vs; y <- vs if y > x; z <- vs if z > y
+      if und((x, y)) && und((x, z)) && und((y, z))
+    } yield 1).size
+    assert(got == brute.toLong)
+  }
+
+  // -------------------------------------------------------- expectations
+
+  test("expectations audit: row checks in one scan, uniqueness, pass flags") {
+    import graft.ext.Expectations._
+    val df = Seq(
+      (1L, Some(5L), Some("A")), (2L, Some(500L), Some("B")),
+      (3L, None, Some("ab")), (3L, Some(7L), None)
+    ).toDF("id", "amount", "code")
+    val out = audit(df,
+      rowChecks = Seq(
+        "amount_in_0_100" -> inRange($"amount", lit(0L), lit(100L)),
+        "amount_notnull" -> notNull($"amount"),
+        "code_upper" -> matches($"code", "^[A-Z]$")),
+      uniqueChecks = Seq("id_unique" -> Seq("id")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("amount_in_0_100") == (4L, 1L, 0L)) // 500 out of range; null ignored
+    assert(out("amount_notnull") == (4L, 1L, 0L))
+    assert(out("code_upper") == (4L, 1L, 0L))      // "ab" fails; null ignored
+    assert(out("id_unique") == (4L, 1L, 0L))       // id=3 twice
+  }
+
+  test("expectations audit: all-green table and empty-table report") {
+    import graft.ext.Expectations._
+    val ok = Seq((1L, "A"), (2L, "B")).toDF("id", "code")
+    val r = audit(ok, Seq("code_upper" -> matches($"code", "^[A-Z]$")),
+      Seq("id_unique" -> Seq("id"))).collect()
+    assert(r.forall(_.getLong(3) == 1L))
+    val empty = spark.emptyDataset[(Long, String)].toDF("id", "code")
+    val r2 = audit(empty, Seq("code_upper" -> matches($"code", "^[A-Z]$")),
+      Seq("id_unique" -> Seq("id"))).collect()
+    assert(r2.forall(row => row.getLong(1) == 0L && row.getLong(2) == 0L &&
+      row.getLong(3) == 1L))
+  }
+
   // ----------------------------------------------------------- winsorize
 
   test("winsorize clips to the exact discrete band and flags the tails") {
