@@ -31,7 +31,8 @@ object Scratch {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[scratch] $q run$r: $dt%.2f s")
         if (dt > 10 || sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-          println(df.queryExecution.executedPlan.toString.take(9000))
+          println(df.queryExecution.executedPlan.toString.take(
+            sys.env.getOrElse("SPARK_GRAFT_PLAN_CHARS", "9000").toInt))
       }
       spark.stop(); return
     }

@@ -90,12 +90,15 @@ object Graph {
     val raw = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst")) // self-loops close no triangles
-    // canonical undirected edge (u < v), deduplicated
-    val und = raw.select(
+    // canonical undirected edge (u < v), deduplicated — a hub read three
+    // times (degrees, orientation join, edge count), so persist it; the
+    // degree table (|V| rows) likewise feeds two join sides + the node count
+    val und = graft.core.Caches.persist(raw.select(
       least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-    val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .distinct())
+    val deg = graft.core.Caches.persist(
+      und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg")))
     // orient a→b iff (deg, id) of a < of b — a total order, so acyclic
     val withDeg = und
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
