@@ -45,17 +45,32 @@ object IntervalJoin {
     * intervals, and the exact overlap length
     * `min(a.e, b.e) − max(a.s, b.s)`. */
   def overlapPairs(df: DataFrame, keyCol: String, idCol: String,
-      startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
+      startCol: String, endCol: String, bucketWidth: Long,
+      maxCellsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(maxCellsPerInterval > 0, s"maxCellsPerInterval must be positive")
     val iv = df
       .filter(col(keyCol).isNotNull && col(idCol).isNotNull &&
         col(startCol).isNotNull && col(endCol).isNotNull &&
         col(startCol) <= col(endCol))
       .select(col(keyCol).as("__iv_key"), col(idCol).as("__iv_id"),
         col(startCol).cast("long").as("__iv_s"), col(endCol).cast("long").as("__iv_e"))
-    val cells = iv.withColumn("__iv_cell",
-      explode(sequence(floorDiv(col("__iv_s"), bucketWidth),
-        floorDiv(col("__iv_e"), bucketWidth))))
+    // fail FAST on a mis-sized grid: one runaway interval (or a bucketWidth
+    // orders of magnitude below the span scale) would otherwise explode
+    // into billions of cells and OOM an executor mid-shuffle — at 100 TB
+    // that failure arrives hours in; the per-row assert costs one compare
+    val lo = floorDiv(col("__iv_s"), bucketWidth)
+    val hi = floorDiv(col("__iv_e"), bucketWidth)
+    // assert_true yields NULL on success, so routing `hi` through it keeps
+    // the check inside the evaluated expression tree (a standalone guard
+    // column would be pruned as unused)
+    val hiGuarded = when(
+      assert_true(hi - lo < lit(maxCellsPerInterval),
+        concat(lit(s"interval spans >= $maxCellsPerInterval grid cells " +
+          s"(bucketWidth=$bucketWidth too small for id="), col("__iv_id"),
+          lit(")"))).isNull,
+      hi)
+    val cells = iv.withColumn("__iv_cell", explode(sequence(lo, hiGuarded)))
     val a = cells.select(col("__iv_key"), col("__iv_cell"),
       col("__iv_id").as("a_id"), col("__iv_s").as("a_s"), col("__iv_e").as("a_e"))
     val b = cells.select(col("__iv_key"), col("__iv_cell"),

@@ -105,6 +105,16 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 5L))) // [5,10] overlap, id 3 dropped
   }
 
+  test("overlapPairs fails fast when an interval spans too many grid cells") {
+    val rows = Seq((1L, 1L, 0L, 1000000L), (2L, 1L, 5L, 10L)).toDF("id", "k", "s", "e")
+    val e = intercept[Exception] {
+      IntervalJoin.overlapPairs(rows, "k", "id", "s", "e",
+        bucketWidth = 1L, maxCellsPerInterval = 100L).count()
+    }
+    assert(e.getMessage.contains("grid cells") ||
+      Option(e.getCause).exists(_.getMessage.contains("grid cells")))
+  }
+
   // ------------------------------------------------------------ pagerank
 
   test("pageRankFp matches the hand-computed fixed-point model on a small graph") {
