@@ -54,4 +54,37 @@ object Layout {
     df.withColumn("zval", zorderKey(a, b, bits))
       .repartitionByRange(numFiles, col("zval"))
       .sortWithinPartitions("zval")
+
+  /** Small-files compaction — rewrite a parquet directory into files of
+    * roughly `targetBytes` each. Streaming ingest (micro-batch sinks, the
+    * `upsert_parquet` merges, per-executor writers) accretes thousands of
+    * KB-sized files; at 100 TB the NameNode/listing pressure and
+    * per-file open cost of a scan then dominate I/O, and compaction is
+    * the standard maintenance pass every table format schedules.
+    *
+    * The partition count comes from the directory's actual byte size
+    * (`ceil(bytes / targetBytes)`, floor 1) — a LISTING, not a scan.
+    * `coalesce` merges read splits without a shuffle (compaction is
+    * I/O-bound; a shuffle would double the data movement). The rewrite
+    * lands in a temp dir and swaps in via the same rename pair as
+    * [[graft.operators.Upsert]] — readers race only with the final two
+    * renames. Returns the new file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val bytes = fs.getContentSummary(target).getLength
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(path).coalesce(n).write.parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + ".__compact_old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(target, bak)
+    fs.rename(tmp, target)
+    fs.delete(bak, true)
+    n
+  }
 }

@@ -226,6 +226,22 @@ class WarehouseOpsSpec extends SparkSpec {
       row.getLong(3) == 1L))
   }
 
+  // ---------------------------------------------------------- compaction
+
+  test("compactParquet merges small files without changing content") {
+    val path = java.nio.file.Files.createTempDirectory("compact")
+      .resolve("t").toString
+    val df = (1L to 1000L).map(i => (i, s"row$i")).toDF("id", "s")
+    df.repartition(16).write.parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 16)
+    val before = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    val n = Layout.compactParquet(spark, path, targetBytes = 512L * 1024 * 1024)
+    assert(n == 1 && parquetFiles == 1)
+    assert(spark.read.parquet(path).as[(Long, String)].collect().toSet == before)
+  }
+
   // ----------------------------------------------------------- winsorize
 
   test("winsorize clips to the exact discrete band and flags the tails") {
