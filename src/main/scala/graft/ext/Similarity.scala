@@ -396,6 +396,142 @@ object Similarity {
       .withColumn("keep", col("sem_canonical_id") === col(idCol))
   }
 
+  /** Product-quantization codebooks — `m` subspaces × `ksub` centroids ×
+    * `dims/m` components, trained on UNIT-normalized vectors with the same
+    * deterministic recipe as [[lloydCentroids]] (hash-seeded cells, exact
+    * fixed-point integer means), collected as a driver literal
+    * (m·ksub·subdim doubles — tiny). Residual-free variant (codes quantize
+    * the vector itself, not the IVF residual) — simpler and fully
+    * deterministic. Empty cells become zero centroids (never the argmin
+    * for a unit vector against a populated cell, and deterministic). */
+  private def pqCodebooks(base: DataFrame, m: Int, ksub: Int, dims: Int,
+      idCol: String, vecCol: String): Array[Array[Array[Double]]] = {
+    val subdim = dims / m
+    val unit = unitVec(col(vecCol))
+    val subs = graft.core.Tables.spread(base)
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), posexplode(array((0 until m).map(s =>
+        slice(unit, s * subdim + 1, subdim)): _*)).as(Seq("s", "sub")))
+      .select(col("s"),
+        pmod(xxhash64(col("id"), lit("pq"), col("s")), lit(ksub))
+          .cast(IntegerType).as("cell"),
+        posexplode(fixedPointVec(col("sub"))).as(Seq("idx", "xi")))
+    val rows = subs.groupBy(col("s"), col("cell"), col("idx"))
+      .agg(sum(col("xi")).as("sm"), count(lit(1)).as("c"))
+      .groupBy(col("s"), col("cell"))
+      // ÷ 32768: the exact integer sums are in fixedPointVec's 2¹⁵ scale,
+      // but ADC distances are computed against RAW unit subvectors — and
+      // unlike the IVF path's cosine, L2 is not scale-invariant
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("sm"), col("c")))),
+        t => t.getField("sm").cast(DoubleType) /
+          (t.getField("c").cast(DoubleType) * lit(32768.0)))
+        .as("centroid"))
+      .collect()
+    val cb = Array.fill(m, ksub)(Array.fill(dims / m)(0.0))
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    cb
+  }
+
+  /** x / ‖x‖ in double (zero vector stays zero) — PQ trains and encodes in
+    * unit space so ADC L2 order matches cosine order
+    * (‖a−b‖² = 2 − 2·cos for unit vectors). */
+  private def unitVec(vec: Column): Column = {
+    val n = sqrt(ArrayMath.dotDouble(vec, vec))
+    when(n === 0.0, transform(vec, _ => lit(0.0)))
+      .otherwise(transform(vec, x => x.cast(DoubleType) / n))
+  }
+
+  /** PQ code per subspace: argmin_c (c·c − 2·x_s·c) — the ‖x_s−c‖² argmin
+    * with the row-constant x_s·x_s dropped; deterministic tie-break on the
+    * code index via the sorted (d, c) struct. One codegen'd dot per
+    * (subspace, centroid), map-only. */
+  private def pqCodeCols(unit: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val m = cb.length; val subdim = cb(0)(0).length
+    array((0 until m).map { s =>
+      val sub = slice(unit, s * subdim + 1, subdim)
+      val scored = array(cb(s).indices.map { c =>
+        val cc = cb(s)(c).map(x => x * x).sum
+        struct((lit(cc) - lit(2.0) * ArrayMath.dotDouble(sub, typedLit(cb(s)(c))))
+          .as("d"), lit(c).as("c"))
+      }: _*)
+      element_at(array_sort(scored), 1).getField("c").cast(LongType)
+    }: _*)
+  }
+
+  /** IVF-PQ approximate top-k — the memory-bandwidth scale path for ANN
+    * over a corpus whose raw vectors no longer fit hot storage:
+    *
+    *  1. '''Coarse cells''' ([[lloydCentroids]], as [[ivfTopK]]): each base
+    *     vector lands in its argmax-cosine cell; queries probe `nProbe`.
+    *  2. '''PQ encode''': each base vector compresses to `m` codebook
+    *     indices (unit-space subvector argmins) — at m=8, 8 longs instead
+    *     of `dims` floats; the candidate stage carries ONLY these codes.
+    *  3. '''ADC''': each query precomputes its distance table (m·ksub
+    *     codegen'd dots against the literal codebooks, once per query) and
+    *     scores candidates with `m` array lookups per pair — no per-pair
+    *     vector math, which is the whole point at 10⁹+ candidates.
+    *  4. '''Refine''': the ADC-best `refine` per query join back to raw
+    *     vectors (a refine·|Q|-row shuffle, never corpus-sized) for exact
+    *     fold-cosine re-rank → top `k`.
+    *
+    * Approximate by construction (cell recall × PQ distortion) → rows-only
+    * correctness with a ScalaTest recall gate against [[bruteForceTopK]],
+    * like q42/q45. Deterministic end to end: hash-seeded integer-mean
+    * codebooks, tie-broken argmins, exact re-rank order (cosine, vid). */
+  def pqTopK(queries: DataFrame, base: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, nCells: Int = 16, nProbe: Int = 4,
+      refine: Int = 32, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    require(refine >= k, s"refine=$refine must be at least k=$k")
+    val centroids = lloydCentroids(base, nCells, idCol, vecCol)
+    val cb = pqCodebooks(base, m, ksub, dims, idCol, vecCol)
+    val subdim = dims / m
+    def topCells(vec: Column, n: Int): Column =
+      slice(reverse(array_sort(cellScores(vec, centroids))), 1, n)
+
+    // base side: cell + PQ codes ONLY (the slim candidate representation)
+    val b = graft.core.Tables.spread(base).filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vid"),
+        element_at(topCells(col(vecCol), 1), 1).getField("cell").as("cell"),
+        pqCodeCols(unitVec(col(vecCol)), cb).as("code"))
+    // query side: probed cells + the per-query ADC distance table
+    // (flattened m·ksub doubles; entry s·ksub+c = c·c − 2·q_s·c — the
+    // query-constant q_s·q_s dropped, rank-preserving)
+    val dtab = array((0 until m).flatMap { s =>
+      val sub = slice(unitVec(col("qv")), s * subdim + 1, subdim)
+      cb(s).indices.map { c =>
+        val cc = cb(s)(c).map(x => x * x).sum
+        lit(cc) - lit(2.0) * ArrayMath.dotDouble(sub, typedLit(cb(s)(c)))
+      }
+    }: _*)
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        explode(transform(topCells(col(vecCol), nProbe), _.getField("cell")))
+          .as("cell"))
+      .withColumn("dtab", dtab)
+    // ADC score: m array lookups per candidate pair
+    val adc = (0 until m).map(s =>
+      element_at(col("dtab"),
+        (lit(s * ksub) + element_at(col("code"), s + 1) + 1).cast(IntegerType)))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+    val shortlist = q.join(b.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("qv"), col("vid"), adc.as("adc"))
+      .dropDuplicates("qid", "vid") // a pair can meet in several probed cells
+      .withColumn("ra", row_number().over(wAdc))
+      .filter(col("ra") <= refine)
+    // exact re-rank of the shortlist against raw vectors
+    val wCos = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    shortlist
+      .join(base.select(col(idCol).as("vid"), col(vecCol).as("bv")), Seq("vid"))
+      .withColumn("cosine", foldCosine(col("qv"), col("bv")))
+      .select(col("qid"), col("vid"), col("cosine"))
+      .withColumn("rk", row_number().over(wCos))
+      .filter(col("rk") <= k)
+  }
+
   /** L2 normalization to fixed point — the preprocessing step that turns
     * dot product into cosine for the ANN/index family: component `x_i`
     * maps to `floor((x_fp_i / √(Σ x_fp²)) · 10⁶)` over the exact 16-bit

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ext.{Diff, Graph, Stats}
+import graft.ext.{Diff, Graph, Similarity, Stats}
 import graft.operators.IntervalJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -282,6 +282,19 @@ object Warehouse {
       |ORDER BY check_name""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q122 — IVF-PQ approximate top-k: coarse cells + product-quantized
+  // codes + ADC shortlist + exact re-rank (the memory-bandwidth ANN scale
+  // path — candidates carry 8 longs, never vectors). Approximate by
+  // construction → rows-only; the recall gate vs the exact brute force
+  // lives in ScalaTest (the q42/q45 convention).
+  def q122_pq_ann(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.pqTopK(e.filter(col("vec_id") < 32), e, k = 5)
+      .select(col("qid"), col("vid"), col("cosine"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_scd2_history" -> (q116_scd2_history _),
@@ -289,7 +302,8 @@ object Warehouse {
     "q118_pagerank" -> (q118_pagerank _),
     "q119_winsorize" -> (q119_winsorize _),
     "q120_triangles" -> (q120_triangles _),
-    "q121_expectations" -> (q121_expectations _))
+    "q121_expectations" -> (q121_expectations _),
+    "q122_pq_ann" -> (q122_pq_ann _))
 
   def oracle: Map[String, String] = Map(
     "q116_scd2_history" -> q116_sql,

@@ -226,6 +226,36 @@ class WarehouseOpsSpec extends SparkSpec {
       row.getLong(3) == 1L))
   }
 
+  // -------------------------------------------------------------- ivf-pq
+
+  test("pqTopK: recall vs exact brute force; deterministic across runs") {
+    import graft.core.Tables
+    val e = Tables.load(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") < 32)
+    val exact = Similarity.bruteForceTopK(q, e, 5)
+      .select($"qid", $"vid").as[(Long, Long)].collect().toSet
+    // full probe isolates PQ/ADC distortion from coarse-cell recall (the
+    // synthetic embeddings are weakly clustered — the IVF gate itself sits
+    // at 0.25 on this data): every cell searched, ADC shortlists, exact
+    // re-rank — recall here measures the CODES, not the cells
+    val fullProbe = Similarity.pqTopK(q, e, 5, nCells = 16, nProbe = 16,
+        refine = 64)
+      .select($"qid", $"vid").as[(Long, Long)].collect().toSet
+    val adcRecall = exact.intersect(fullProbe).size.toDouble / exact.size
+    info(f"pq adc recall@5 (full probe) = $adcRecall%.3f")
+    assert(adcRecall >= 0.6, f"ADC recall $adcRecall%.3f below floor")
+    // default settings: end-to-end recall floor matches the IVF gate
+    def run() = Similarity.pqTopK(q, e, 5)
+      .select($"qid", $"vid", $"rk").as[(Long, Long, Long)].collect().toSet
+    val approx = run()
+    val recall = exact.intersect(approx.map(t => (t._1, t._2))).size.toDouble / exact.size
+    info(f"ivf-pq recall@5 (defaults) = $recall%.3f")
+    assert(recall >= 0.25, f"recall $recall%.3f below floor")
+    // per-query k results always come back
+    assert(approx.groupBy(_._1).forall(_._2.size == 5))
+    assert(run() == approx, "pqTopK is not deterministic across runs")
+  }
+
   // ---------------------------------------------------------- compaction
 
   test("compactParquet merges small files without changing content") {
