@@ -82,8 +82,17 @@ object Layout {
     spark.read.parquet(path).coalesce(n).write.parquet(tmp.toString)
     val bak = new org.apache.hadoop.fs.Path(path + ".__compact_old")
     if (fs.exists(bak)) fs.delete(bak, true)
-    fs.rename(target, bak)
-    fs.rename(tmp, target)
+    // rename returns false on failure (no exception): verify each step and
+    // keep the backup until the compacted data is in place, so a failed
+    // swap never drops the table (same contract as Upsert.mergeParquet)
+    if (!fs.rename(target, bak))
+      sys.error(s"compaction swap failed: could not move $target aside")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(bak, target) // best-effort restore
+      sys.error(s"compaction swap failed: could not move $tmp into place")
+    }
+    if (!fs.exists(target))
+      sys.error(s"compaction swap failed: $target missing after rename")
     fs.delete(bak, true)
     n
   }

@@ -227,10 +227,16 @@ object Stats {
     val bounds = groupedPercentiles(df, groupCol, valueCol, Seq(pLo, pHi))
       .select(col(groupCol), col(label(pLo)).as("w_lo"), col(label(pHi)).as("w_hi"))
     val v = col(valueCol)
+    // missing bounds (a group whose values were all null never gets a
+    // percentile row) behave like a null value: null clipped, null flag —
+    // never an inconsistent (clipped=null, is_clipped=0) row
+    val noBounds = col("w_lo").isNull || col("w_hi").isNull
     df.join(broadcast(bounds), Seq(groupCol), "left")
-      .withColumn("clipped", least(greatest(v, col("w_lo")), col("w_hi")))
+      .withColumn("clipped",
+        when(v.isNull || noBounds, lit(null))
+          .otherwise(least(greatest(v, col("w_lo")), col("w_hi"))))
       .withColumn("is_clipped",
-        when(v.isNull, lit(null).cast(LongType))
+        when(v.isNull || noBounds, lit(null).cast(LongType))
           .when(v < col("w_lo") || v > col("w_hi"), lit(1L)).otherwise(lit(0L)))
   }
 

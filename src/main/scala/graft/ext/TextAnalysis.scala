@@ -70,35 +70,72 @@ object TextAnalysis {
     * itself, score each document by distinct-token overlap with each
     * profile, and predict the argmax language (score desc, language asc).
     *
-    * Plan shape at scale: the corpus is scanned and tokenized ONCE into a
-    * per-(doc, token) count hub (one shuffle); the language profiles are a
-    * cheap rollup of that hub (token counts per language = sum of per-doc
-    * counts) and the per-doc distinct token set is exactly the hub's key
-    * set — no second corpus scan, no separate corpus-wide distinct. The
-    * profile is |langs|·k rows broadcast back. Integer scores ⇒
-    * deterministic across engines. */
+    * Plan shape at scale: ONE aggregation pass builds the per-language
+    * token totals (map-side combine keeps the shuffle at
+    * |distinct (lang, token) per partition|, never raw occurrences),
+    * finished by a bounded per-partition heap + driver merge (tree
+    * top-k — no window, no second exchange, no global sort); the
+    * winning k×|langs| profile is a DIMENSION-scale driver literal — the
+    * corpus itself is then scored in a single shuffle-free projection
+    * (`array_distinct` tokens ∩ each language's literal token array,
+    * argmax over a struct-min), so the per-document side touches the data
+    * exactly once with no join, no second shuffle, and no window. Integer
+    * scores ⇒ deterministic across engines. */
   def langId(docs: DataFrame, k: Int = 20): DataFrame = {
-    val tokCounts = graft.core.Caches.persist(graft.core.Tables.spread(docs)
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ", -1)).as("w"))
-      .groupBy(col("doc_id"), col("lang"), col("w"))
-      .agg(count(lit(1)).as("cnt")))
-    val profile = tokCounts.groupBy(col("lang").as("p_lang"), col("w"))
-      .agg(sum(col("cnt")).as("cnt"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("w"))))
-      .filter(col("rk") <= k)
-      .select(col("p_lang"), col("w"))
-    val docToks = tokCounts.select(col("doc_id"), col("w"))
-    val scores = docToks.join(broadcast(profile), Seq("w"))
-      .groupBy(col("doc_id"), col("p_lang"))
-      .agg(count(lit(1)).as("score"))
-    val best = scores.withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("p_lang").as("pred_lang"), col("score"))
-    // LEFT join: a document overlapping no profile still comes out (null
-    // prediction) — a language-ID operator must not drop input rows.
-    docs.select(col("doc_id"), col("lang")).join(best, Seq("doc_id"), "left")
+    val toksOf = split(col("text"), " ", -1)
+    // top-k per lang WITHOUT a window pass: after the (lang, token) count
+    // agg each key exists exactly once, so a BOUNDED per-partition heap
+    // (≤ |langs|·k entries per task — per-partition imperative logic, the
+    // one honest mapPartitions case) followed by a driver merge of
+    // ≤ partitions·|langs|·k candidates is exact, adds NO second exchange
+    // and no global sort, and never moves corpus-scale rows
+    val worstFirst: Ordering[(Long, String)] = Ordering.fromLessThan {
+      (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // a better ⇔ a "less"
+    }
+    // no spread: the corpus text at bench scale is one parquet rowgroup —
+    // a repartition costs more than the serial explode it parallelizes; at
+    // real scale the scan arrives already split and the point is moot
+    val partials: Array[(String, Long, String)] = docs
+      .filter(col("lang").isNotNull) // null lang cannot label a profile
+      .select(col("lang"), explode(toksOf).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("cnt"), col("w")).rdd
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, String)]]
+        it.foreach { r =>
+          val h = heaps.getOrElseUpdate(r.getString(0),
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          h.enqueue((r.getLong(1), r.getString(2)))
+          if (h.size > k) h.dequeue()
+        }
+        heaps.iterator.flatMap { case (l, h) => h.iterator.map(e => (l, e._1, e._2)) }
+      }.collect()
+    val profile: Seq[(String, Seq[String])] = partials
+      .groupBy(_._1).view.mapValues { cs =>
+        cs.map(c => (c._2, c._3)).sorted(worstFirst).take(k).map(_._2).toSeq
+      }.toSeq.sortBy(_._1)
+    if (profile.isEmpty)
+      return docs.select(col("doc_id"), col("lang"),
+        lit(null).cast(StringType).as("pred_lang"),
+        lit(null).cast(LongType).as("score"))
+    val docToks = array_distinct(toksOf)
+    // argmax(score desc, lang asc) as one struct-min over literal arrays:
+    // (-score, lang) sorts highest score first, ties to the smaller lang
+    val cands = profile.map { case (lang, words) =>
+      struct((-size(array_intersect(docToks, typedlit(words)))).as("ns"),
+        lit(lang).as("pl"))
+    }
+    val best = array_min(array(cands: _*))
+    // zero overlap (ns = 0) ⇒ null prediction, but the row survives — a
+    // language-ID operator must not drop input rows (null text ⇒ null ns
+    // ⇒ the when() also nulls out)
+    // no spread here: the scoring pass is a cheap projection (k·|langs|
+    // literal intersects per row) — an exchange would cost more than the
+    // single-split compute it parallelizes; large scans split naturally
+    docs.select(col("doc_id"), col("lang"),
+      when(best("ns") < 0, best("pl")).as("pred_lang"),
+      when(best("ns") < 0, -best("ns").cast(LongType)).as("score"))
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): the

@@ -105,8 +105,18 @@ object Upsert {
       // this layer the checkpoint replay re-runs the merge idempotently
       val bak = new org.apache.hadoop.fs.Path(path + s".__up_old")
       if (fs.exists(bak)) fs.delete(bak, true)
-      fs.rename(target, bak)
-      fs.rename(tmp, target)
+      // Hadoop FS signals rename failure by returning false, not throwing:
+      // check each step and never delete the backup until the new data is
+      // verifiably in place — otherwise a failed swap could silently no-op
+      // or, worse, destroy the only copy of the table.
+      if (!fs.rename(target, bak))
+        sys.error(s"upsert swap failed: could not move $target aside")
+      if (!fs.rename(tmp, target)) {
+        fs.rename(bak, target) // best-effort restore of the original table
+        sys.error(s"upsert swap failed: could not move $tmp into place")
+      }
+      if (!fs.exists(target))
+        sys.error(s"upsert swap failed: $target missing after rename")
       fs.delete(bak, true)
     }
   }

@@ -405,9 +405,12 @@ object Audit {
     val sample = docs(s, dir).filter(pmod(col("doc_id"), lit(5L)) === 0)
     val merges = Bpe.train(sample, nMerges = BpeMerges)
       .map { case (_, a, b, _) => (a, b) }
+    // head_tokens is rendered as a scalar (space-joined) so rows-only
+    // canonicalization can sort the frame; the array form stays available
+    // via Bpe.tokenize's bpe_tokens column in the Scala API.
     Bpe.tokenize(docs(s, dir), merges)
       .select(col("doc_id"), col("n_bpe_tokens"),
-        slice(col("bpe_tokens"), 1, 8).as("head_tokens"))
+        concat_ws(" ", slice(col("bpe_tokens"), 1, 8)).as("head_tokens"))
       .orderBy(col("doc_id"))
   }
 

@@ -82,10 +82,11 @@ object Warehouse {
       |    epoch_ms(ts) + CAST(floor(value * 60000.0) AS BIGINT) AS e
       |  FROM events
       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)
+      |, iv2 AS (SELECT * FROM iv WHERE s <= e)
       |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
       |  a.s AS a_s, a.e AS a_e, b.s AS b_s, b.e AS b_e,
       |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_len
-      |FROM iv a JOIN iv b
+      |FROM iv2 a JOIN iv2 b
       |  ON a.user_id = b.user_id AND a.event_id < b.event_id
       | AND a.s <= b.e AND b.s <= a.e
       |ORDER BY a.user_id, a_id, b_id""".stripMargin

@@ -17,7 +17,8 @@ object SpecLoader {
     // stages, so they run unchanged on batch AND streaming pipelines)
     "normalize_text", "strip_markup", "pii_redact",
     "quality_filter", "keyword_filter")
-  val sinkTypes = Set("stdout", "kafka", "parquet", "csv", "json", "orc", "xml")
+  val sinkTypes = Set("stdout", "kafka", "parquet", "csv", "json", "orc", "xml",
+    "upsert_parquet")
 
   def load(yaml: String): Spec = {
     val root = anyMap(new Yaml().load[Object](yaml))
@@ -81,7 +82,7 @@ object SpecLoader {
   private def sinkConf(m: Map[String, Any]): SinkConf = {
     val t = m("type").toString
     require(sinkTypes(t), s"unknown sink type: $t")
-    if (Set("parquet", "csv", "json", "orc", "xml")(t))
+    if (Set("parquet", "csv", "json", "orc", "xml", "upsert_parquet")(t))
       require(m.contains("path"), s"sink type '$t' requires a path")
     SinkConf(t,
       topic = m.get("topic").map(_.toString),

@@ -239,6 +239,22 @@ class SpecSpec extends SparkSpec {
     }
   }
 
+  test("upsert_parquet sink loads from YAML and requires a path") {
+    val spec = SpecLoader.load(
+      """input: {type: stdin}
+        |output:
+        |  type: upsert_parquet
+        |  path: /tmp/up_tbl
+        |  config: {keys: "k", order_by: "ts"}
+        |""".stripMargin)
+    assert(spec.output.typ == "upsert_parquet")
+    assert(spec.output.path.contains("/tmp/up_tbl"))
+    assert(spec.output.config("keys") == "k")
+    intercept[IllegalArgumentException] {
+      SpecLoader.load("input: {type: stdin}\noutput: {type: upsert_parquet}\n")
+    }
+  }
+
   test("regex_replace spec translates Rust substitution syntax") {
     val spec = SpecLoader.load(
       """input: {type: stdin}
