@@ -517,8 +517,12 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val full = textGroups(docs, idCol, textCol)
     val groups = slimGroups(full)
-    val sig = simhashSignature(
-      full.select(col("rep").as("doc_id"), col("gtext").as("text")), n)
+    // persist the signatures: the banded self-join reads `banded` on BOTH
+    // sides, which would otherwise evaluate the whole textGroups +
+    // shingle/md5 signature chain twice. 16 bytes per distinct text —
+    // negligible footprint, released via Caches.unpersistAll
+    val sig = graft.core.Caches.persist(simhashSignature(
+      full.select(col("rep").as("doc_id"), col("gtext").as("text")), n))
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("sig"), 15 * k).bitwiseAND(lit(0x7FFFL))): _*)).as(Seq("band", "bh")))

@@ -825,8 +825,12 @@ object Corpus {
     val q = TextAnalysis.qualityScore(d)
       .select(col("doc_id"), col("text"), col("quality_score"))
     val r = TextAnalysis.repetitionStats(d).select(col("doc_id"), col("top_bigram_frac"))
-    val kept = q.join(r, Seq("doc_id"))
-      .filter(col("quality_score") >= 0.5 && col("top_bigram_frac") <= 0.1)
+    // persist the survivors BEFORE dedup: exactDedup's elect-and-join-back
+    // self-join would otherwise evaluate the whole quality ∧ repetition
+    // subtree twice (both sides of the fingerprint join re-derive it) —
+    // the hub is |kept| slim rows, released via Caches.unpersistAll
+    val kept = graft.core.Caches.persist(q.join(r, Seq("doc_id"))
+      .filter(col("quality_score") >= 0.5 && col("top_bigram_frac") <= 0.1))
     val ded = Dedup.exactDedup(kept)
       .filter(col("doc_id") === col("canonical_id"))
     ded.select(col("doc_id"), col("fp60"),
