@@ -611,18 +611,42 @@ object Audit {
   // HLL sketches of distinct users are built ONCE (the stored partial —
   // at production scale a materialized daily table), then weekly distinct
   // estimates come from UNIONING the stored sketches, never rescanning
-  // events. Approximate → rows-only by design; the ≤5% accuracy gate vs
-  // exact distinct counts lives in ScalaTest.
+  // events. The estimate itself can't be hash-compared (DuckDB can't
+  // reproduce Spark's HLL), so the DRIVER-VISIBLE surface emits the exact
+  // weekly distincts plus `est_ok` = |approx − exact| ≤ 5%·exact, and the
+  // oracle asserts est_ok = 1 over the same exact counts — a sketch
+  // regression flips the flag and fails the hash. The exact-distinct join
+  // exists only for this gate; production consumers read the sketch
+  // subtree (the ≤5% ScalaTest accuracy gate also remains).
   def q115_sketch_rollup(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.load(s, dir, "events")
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_events"))
-    daily
+    val weekly = daily
       .groupBy(date_trunc("week", col("day")).as("week"))
       .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("n_events"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_week_users"))
-      .orderBy(col("week"))
+    val exact = Tables.load(s, dir, "events")
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(count_distinct(col("user_id")).as("exact_week_users"))
+    weekly.join(exact, Seq("week"))
+      .select(unix_millis(col("week")).as("week_ms"), col("n_days"),
+        col("n_events"), col("exact_week_users"),
+        (abs(col("approx_week_users") - col("exact_week_users")) <=
+          col("exact_week_users") * lit(0.05)).cast("int").as("est_ok"))
+      .orderBy(col("week_ms"))
   }
+
+  private val q115_sql =
+    """WITH weekly AS (
+      |  SELECT date_trunc('week', ts) AS week,
+      |    count(DISTINCT date_trunc('day', ts)) AS n_days,
+      |    count(*) AS n_events,
+      |    count(DISTINCT user_id) AS exact_week_users
+      |  FROM events GROUP BY 1)
+      |SELECT epoch_ms(week) AS week_ms, n_days, n_events, exact_week_users,
+      |  1 AS est_ok
+      |FROM weekly ORDER BY week_ms""".stripMargin
 
   // --------------------------------------------------------------------------
 
@@ -665,5 +689,6 @@ object Audit {
     "q111_key_skew" -> q111_sql,
     "q112_nfc_normalize" -> q112_sql,
     "q113_column_drift" -> q113_sql,
-    "q114_transition_matrix" -> q114_sql)
+    "q114_transition_matrix" -> q114_sql,
+    "q115_sketch_rollup" -> q115_sql)
 }

