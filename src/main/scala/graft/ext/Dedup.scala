@@ -106,10 +106,8 @@ object Dedup {
   private def verifyJaccard(cand: DataFrame, arrsI: DataFrame, arrsJ: DataFrame,
       minJaccard: Double): DataFrame =
     cand
-      .join(arrsI.select(col("id").as("i"), col("shs").as("shs_i"), col("n").as("ni"))
-        .hint("shuffle_hash"), Seq("i"))
-      .join(arrsJ.select(col("id").as("j"), col("shs").as("shs_j"), col("n").as("nj"))
-        .hint("shuffle_hash"), Seq("j"))
+      .join(arrsI.select(col("id").as("i"), col("shs").as("shs_i"), col("n").as("ni")), Seq("i"))
+      .join(arrsJ.select(col("id").as("j"), col("shs").as("shs_j"), col("n").as("nj")), Seq("j"))
       .withColumn("c", graft.functions.ArrayMath.sortedIntersectCount(col("shs_i"), col("shs_j")))
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("ni") + col("nj") - col("c")).cast(DoubleType))
@@ -289,9 +287,14 @@ object Dedup {
     val dHub = prefixHub(dSh)
     val cand = prefixCandidatesAcross(dHub, cHub, minJaccard)
     val repPairs = verifyJaccard(cand, dHub, cHub, minJaccard)
-    // dg/cg each feed exactly one expansion join — no persist (contrast
-    // slimGroups in the self-join family, whose output has 3 consumers).
-    expandCross(repPairs, dg, cg, "jaccard", reorder = false)
+    // persist the SLIM group projections for the expansion joins: dg/cg
+    // also feed the shingle subtrees above, so without a persist each
+    // expansion join re-runs the full per-side text groupBy (the only
+    // corpus-scale recompute left in the steady-state plan). members-only
+    // rows — tiny next to the posting/hub caches, released with them.
+    val dgS = graft.core.Caches.persist(dg.select(col("rep"), col("members")))
+    val cgS = graft.core.Caches.persist(cg.select(col("rep"), col("members")))
+    expandCross(repPairs, dgS, cgS, "jaccard", reorder = false)
   }
 
   /** Prefix candidates ACROSS two hubs: delta prefixes probe corpus
@@ -372,8 +375,8 @@ object Dedup {
   private def expandCross(repPairs: DataFrame, gi: DataFrame, gj: DataFrame,
       payloadCol: String, reorder: Boolean): DataFrame = {
     val expanded = repPairs
-      .join(gi.select(col("rep").as("i"), col("members").as("mi")).hint("shuffle_hash"), Seq("i"))
-      .join(gj.select(col("rep").as("j"), col("members").as("mj")).hint("shuffle_hash"), Seq("j"))
+      .join(gi.select(col("rep").as("i"), col("members").as("mi")), Seq("i"))
+      .join(gj.select(col("rep").as("j"), col("members").as("mj")), Seq("j"))
       .select(explode(col("mi")).as("a"), col("mj"), col(payloadCol))
       .select(col("a"), explode(col("mj")).as("b"), col(payloadCol))
     if (reorder)
