@@ -181,7 +181,15 @@ object Dedup {
   }
 
   private def prefixCandidates(hub: DataFrame, minJaccard: Double): DataFrame = {
-    prefixExplode(hub, minJaccard).groupBy(col("sh"))
+    // candidate generation needs only EQUALITY of the prefix key, so the
+    // fat (df||gram) string is hashed to 64 bits before the posting
+    // shuffle: a collision can only MERGE two posting lists, adding
+    // candidates the exact verify then discards — lossless, and the
+    // widest shuffle of the plan carries 8-byte longs instead of
+    // gram-sized strings.
+    prefixExplode(hub, minJaccard)
+      .select(xxhash64(col("sh")).as("shh"), col("id"))
+      .groupBy(col("shh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explodePairs(col("ids")).as("p"))
@@ -303,8 +311,12 @@ object Dedup {
     * this op's contract); the corpus-sized posting stream probes it. */
   private def prefixCandidatesAcross(dHub: DataFrame, cHub: DataFrame,
       minJaccard: Double): DataFrame =
-    prefixExplode(dHub, minJaccard, "i").hint("shuffle_hash")
-      .join(prefixExplode(cHub, minJaccard, "j"), Seq("sh"))
+    // same 64-bit key hashing as the self-join candidates (merge-only,
+    // exact-verify-safe): the corpus-sized prefix stream shuffles longs
+    prefixExplode(dHub, minJaccard, "i")
+      .select(xxhash64(col("sh")).as("shh"), col("i")).hint("shuffle_hash")
+      .join(prefixExplode(cHub, minJaccard, "j")
+        .select(xxhash64(col("sh")).as("shh"), col("j")), Seq("shh"))
       .select(col("i"), col("j"))
       .distinct()
 
