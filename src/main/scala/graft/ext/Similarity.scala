@@ -84,27 +84,28 @@ object Similarity {
     * sign-random-projection codes over `bands` independent codes of
     * `planesPerBand` bits; candidates share any (band, code); exact
     * fold-cosine re-ranks. The ±1 hyperplane coefficients are drawn from a
-    * keyed xxhash64 family — deterministic and seedless; they are evaluated
-    * ONCE on a `dims × planes` driver-side job and embedded as literals, so
-    * the per-row work is a plain multiply-add fold, not hashing. Recall
+    * keyed xxhash64 family — deterministic and seedless; they fold to
+    * constants on the driver (no Spark job) and embed as literals, so the
+    * per-row work is a plain multiply-add fold, not hashing. Recall
     * rises with bands, candidate volume with 2^-planesPerBand; the defaults
     * suit weakly-clustered data (recall ≈ 0.5 at cos 0.4) — corpora with
     * real duplicate clusters (cos ≥ 0.8) get recall ≈ 1 from the same
     * settings. */
   /** ±1 SRP hyperplane coefficients from the keyed xxhash64 family
-    * ("srp", plane, component) — deterministic and seedless; evaluated
-    * ONCE on a `nPlanes × dims` driver-side job and embedded as literals,
-    * so per-row banding is a plain multiply-add fold, not hashing. Shared
-    * by [[annLshTopK]] and [[annLshPairs]] — one hash family, one code
-    * layout, both operators. */
-  private def srpCoefs(spark: org.apache.spark.sql.SparkSession,
-      nPlanes: Int, dims: Int): Array[Array[Double]] =
-    spark.range(nPlanes.toLong)
-      .select(col("id").cast(IntegerType).as("p"),
-        transform(sequence(lit(0), lit(dims - 1)), i =>
-          (pmod(xxhash64(lit("srp"), col("p"), i), lit(2)) * 2 - 1).cast(DoubleType)).as("cs"))
-      .orderBy(col("p")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    * ("srp", plane, component) — deterministic and seedless; evaluated on
+    * the DRIVER by folding the same literal xxhash64 expression Catalyst
+    * would run (no Spark job — the coefficients are pure constants), then
+    * embedded as literals, so per-row banding is a plain multiply-add
+    * fold, not hashing. Shared by [[annLshTopK]] and [[annLshPairs]] —
+    * one hash family, one code layout, both operators. */
+  private def srpCoefs(nPlanes: Int, dims: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    Array.tabulate(nPlanes, dims) { (p, i) =>
+      val h = new XxHash64(Seq(Literal("srp"), Literal(p), Literal(i)))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Long]
+      (java.lang.Math.floorMod(h, 2L) * 2L - 1L).toDouble
+    }
+  }
 
   /** One band code per band: `planesPerBand` projection sign bits packed
     * into a long (codegen'd dot per plane). */
@@ -112,7 +113,7 @@ object Similarity {
       planesPerBand: Int, bands: Int): Seq[Column] =
     (0 until bands).map { b =>
       (0 until planesPerBand).map { p =>
-        val proj = ArrayMath.dotDouble(vec, typedLit(coefs(b * planesPerBand + p)))
+        val proj = ArrayMath.dotDouble(vec, ArrayMath.doubleArrayLit(coefs(b * planesPerBand + p)))
         when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
@@ -120,34 +121,38 @@ object Similarity {
   def annLshTopK(queries: DataFrame, base: DataFrame, k: Int,
       planesPerBand: Int = 6, bands: Int = 12, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = queries.sparkSession
-    val coefs = srpCoefs(spark, bands * planesPerBand, dims)
+    val coefs = srpCoefs(bands * planesPerBand, dims)
 
-    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
-      val codes = srpCodes(col(vec), coefs, planesPerBand, bands)
-      df.select(col(id), col(vec), posexplode(array(codes: _*)).as(Seq("band", "code")))
+    def banded(df: DataFrame, id: String, as: String): DataFrame = {
+      val codes = srpCodes(col(vecCol), coefs, planesPerBand, bands)
+      df.select(col(id), posexplode(array(codes: _*)).as(Seq("band", "code")))
+        .select(col("band"), col("code"), col(id).as(as))
     }
-    val qb = banded(queries, idCol, vecCol)
-      .select(col("band"), col("code"), col(idCol).as("qid"), col(vecCol).as("qv"))
-    val bb = banded(base, idCol, vecCol)
-      .select(col("band"), col("code"), col(idCol).as("vid"), col(vecCol).as("bv"))
+    // The band join carries IDS ONLY: a base vector surfaces in `bands`
+    // code rows, so letting the vector ride the band shuffle multiplies
+    // corpus bytes by `bands` (~20× at 64 dims vs a 16-byte id row). The
+    // slim (qid, vid) stream dedups first — then ONE corpus-sized join
+    // attaches each vector exactly once, per side.
     // shuffle_hash with the QUERY side as build: queries are the smaller
-    // side but a forced broadcast would ship every query vector `bands`
-    // times and hard-fail past the broadcast limit for large query sets —
-    // a per-partition hash build has neither problem, and the pin keeps
-    // the estimator from ever broadcasting the corpus-sized base Generate.
-    // Score BEFORE the candidate dedup: a pair surfaced by b bands is
-    // scored b times (map-side, cheap — one codegen'd fold per surfacing),
-    // but the dropDuplicates shuffle then carries (qid, vid, cosine)
-    // scalars instead of two dims-float vectors per row — at 64 dims that
-    // is ~20× less dedup-shuffle traffic, and the window re-rank reads the
-    // slim rows too. Identical output: the fold is deterministic, so every
-    // duplicate carries the same cosine and the dedup's pick is immaterial.
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
-    qb.hint("shuffle_hash").join(bb, Seq("band", "code"))
+    // side but a forced broadcast would hard-fail past the broadcast limit
+    // for large query sets — a per-partition hash build has neither
+    // problem, and the pin keeps the estimator from ever broadcasting the
+    // corpus-sized base Generate.
+    // spread: a small parquet source arrives in one partition, and the
+    // 72-dot banding pass must use every core
+    val b = graft.core.Tables.spread(base)
+    val cand = banded(queries, idCol, "qid").hint("shuffle_hash")
+      .join(banded(b, idCol, "vid"), Seq("band", "code"))
       .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    cand
+      .join(b.select(col(idCol).as("vid"), col(vecCol).as("bv"))
+        .hint("shuffle_hash"), Seq("vid"))
+      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .hint("shuffle_hash"), Seq("qid"))
       .select(col("qid"), col("vid"), foldCosine(col("qv"), col("bv")).as("cosine"))
-      .dropDuplicates("qid", "vid")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
@@ -182,9 +187,8 @@ object Similarity {
   def annLshPairs(base: DataFrame, minCosine: Double,
       planesPerBand: Int = 4, bands: Int = 16, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = base.sparkSession
     val codes = srpCodes(col("v"),
-      srpCoefs(spark, bands * planesPerBand, dims), planesPerBand, bands)
+      srpCoefs(bands * planesPerBand, dims), planesPerBand, bands)
 
     // 1. exact-copy collapse on the raw vector (null vectors excluded: the
     // all-pairs dual never scores them either).
@@ -287,16 +291,34 @@ object Similarity {
     * legitimate driver literal, like the SRP hyperplanes. */
   private def lloydCentroids(base: DataFrame, nCells: Int,
       idCol: String, vecCol: String): Array[Array[Double]] = {
-    val fx = graft.core.Tables.spread(base).select(
+    import graft.functions.ArrayAgg.sumLongArray
+    // vectors aggregate WHOLE ([[graft.functions.SumLongArray]] — one
+    // long[] buffer per cell, element-wise add per row): the exploded
+    // per-component dual multiplies the aggregation input by `dims`, and
+    // its map-side combine state is the same nCells·dims longs this
+    // reaches without the explode. Sums are exact integers either way —
+    // bit-identical centroids, `dims`× less aggregation traffic.
+    val rows = graft.core.Tables.spread(base)
+      .select(
         pmod(xxhash64(col(idCol), lit("ivf")), lit(nCells)).cast(IntegerType).as("cell"),
-        posexplode(fixedPointVec(col(vecCol))).as(Seq("idx", "xi")))
-    val centroidRows = fx.groupBy(col("cell"), col("idx"))
-      .agg(sum(col("xi")).as("s"), count(lit(1)).as("c"))
+        fixedPointVec(col(vecCol)).as("x"))
       .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("idx"), col("s"), col("c")))),
-        t => t.getField("s").cast(DoubleType) / t.getField("c").cast(DoubleType)).as("centroid"))
-      .orderBy(col("cell")).collect()
-    centroidRows.map(_.getSeq[Double](1).toArray)
+      .agg(sumLongArray(col("x")).as("s"),
+        // per-position row count (the exploded dual's count(lit(1)) per
+        // (cell, idx) — counts null components too, sums skip them)
+        sumLongArray(transform(col("x"), _ => lit(1L))).as("c"))
+      .collect()
+    // keyed fill (never positional): a hash-empty cell keeps a zero
+    // centroid instead of shifting every later cell's index
+    val out = Array.fill(nCells)(Array.empty[Double])
+    rows.foreach { r =>
+      if (!r.isNullAt(1)) {
+        val s = r.getSeq[Long](1)
+        val c = r.getSeq[Long](2)
+        out(r.getInt(0)) = Array.tabulate(s.length)(i => s(i).toDouble / c(i).toDouble)
+      }
+    }
+    out
   }
 
   /** Per-cell cosine scores against literal centroids — one codegen'd dot
@@ -304,7 +326,7 @@ object Similarity {
     * array ops. */
   private def cellScores(vec: Column, centroids: Array[Array[Double]]): Column =
     array(centroids.indices.map(c =>
-      struct(ArrayMath.cosine(vec, typedLit(centroids(c))).as("s"), lit(c).as("cell"))): _*)
+      struct(ArrayMath.cosine(vec, ArrayMath.doubleArrayLit(centroids(c))).as("s"), lit(c).as("cell"))): _*)
 
   /** Semantic deduplication (the SemDeDup recipe): cluster the embedding
     * space coarsely, then compare ONLY co-clustered vectors — near-dup
@@ -406,39 +428,109 @@ object Similarity {
     * for a unit vector against a populated cell, and deterministic). */
   private def pqCodebooks(base: DataFrame, m: Int, ksub: Int, dims: Int,
       idCol: String, vecCol: String): Array[Array[Array[Double]]] = {
+    import graft.functions.ArrayAgg.sumLongArray
     val subdim = dims / m
-    val unit = unitVec(col(vecCol))
-    val subs = graft.core.Tables.spread(base)
-      .filter(col(vecCol).isNotNull)
+    // subvectors aggregate WHOLE (same [[graft.functions.SumLongArray]]
+    // rationale as [[lloydCentroids]]): the explode is m rows per vector,
+    // never m·subdim — exact integer sums, bit-identical codebooks,
+    // subdim× less aggregation traffic.
+    val rows = withUnit(graft.core.Tables.spread(base)
+        .filter(col(vecCol).isNotNull), vecCol, "__u")
       .select(col(idCol).as("id"), posexplode(array((0 until m).map(s =>
-        slice(unit, s * subdim + 1, subdim)): _*)).as(Seq("s", "sub")))
+        slice(col("__u"), s * subdim + 1, subdim)): _*)).as(Seq("s", "sub")))
       .select(col("s"),
         pmod(xxhash64(col("id"), lit("pq"), col("s")), lit(ksub))
           .cast(IntegerType).as("cell"),
-        posexplode(fixedPointVec(col("sub"))).as(Seq("idx", "xi")))
-    val rows = subs.groupBy(col("s"), col("cell"), col("idx"))
-      .agg(sum(col("xi")).as("sm"), count(lit(1)).as("c"))
+        fixedPointVec(col("sub")).as("fx"))
       .groupBy(col("s"), col("cell"))
-      // ÷ 32768: the exact integer sums are in fixedPointVec's 2¹⁵ scale,
-      // but ADC distances are computed against RAW unit subvectors — and
-      // unlike the IVF path's cosine, L2 is not scale-invariant
-      .agg(transform(array_sort(collect_list(struct(col("idx"), col("sm"), col("c")))),
-        t => t.getField("sm").cast(DoubleType) /
-          (t.getField("c").cast(DoubleType) * lit(32768.0)))
-        .as("centroid"))
+      .agg(sumLongArray(col("fx")).as("sm"),
+        sumLongArray(transform(col("fx"), _ => lit(1L))).as("c"))
       .collect()
-    val cb = Array.fill(m, ksub)(Array.fill(dims / m)(0.0))
-    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val cb = Array.fill(m, ksub)(Array.fill(subdim)(0.0))
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val sm = r.getSeq[Long](2)
+        val c = r.getSeq[Long](3)
+        // ÷ 32768: the exact integer sums are in fixedPointVec's 2¹⁵
+        // scale, but ADC distances are computed against RAW unit
+        // subvectors — and unlike the IVF path's cosine, L2 is not
+        // scale-invariant
+        cb(r.getInt(0))(r.getInt(1)) =
+          Array.tabulate(sm.length)(i => sm(i).toDouble / (c(i).toDouble * 32768.0))
+      }
+    }
     cb
+  }
+
+  /** IVF centroids + PQ codebooks from ONE corpus scan and ONE Spark job:
+    * the [[lloydCentroids]] rows tag as subspace −1 alongside the
+    * [[pqCodebooks]] subspace rows, union into one (s, cell) aggregate,
+    * and split on the tag after the single collect. Bit-identical to
+    * calling both trainers — each (s, cell) group receives exactly the
+    * rows it would alone, and the sums are exact integers — but the
+    * corpus is read once, not twice, and the driver waits on one job. */
+  private def trainIvfPq(base: DataFrame, nCells: Int, m: Int, ksub: Int,
+      dims: Int, idCol: String, vecCol: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import graft.functions.ArrayAgg.sumLongArray
+    val subdim = dims / m
+    val spreadB = graft.core.Tables.spread(base)
+    val lloydRows = spreadB
+      .select(lit(-1).as("s"),
+        pmod(xxhash64(col(idCol), lit("ivf")), lit(nCells)).cast(IntegerType).as("cell"),
+        fixedPointVec(col(vecCol)).as("fx"))
+    val pqRows = withUnit(spreadB.filter(col(vecCol).isNotNull), vecCol, "__u")
+      .select(col(idCol).as("id"), posexplode(array((0 until m).map(s =>
+        slice(col("__u"), s * subdim + 1, subdim)): _*)).as(Seq("s", "sub")))
+      .select(col("s"),
+        pmod(xxhash64(col("id"), lit("pq"), col("s")), lit(ksub))
+          .cast(IntegerType).as("cell"),
+        fixedPointVec(col("sub")).as("fx"))
+    val rows = lloydRows.unionByName(pqRows)
+      .groupBy(col("s"), col("cell"))
+      .agg(sumLongArray(col("fx")).as("sm"),
+        sumLongArray(transform(col("fx"), _ => lit(1L))).as("c"))
+      .collect()
+    val cents = Array.fill(nCells)(Array.empty[Double])
+    val cb = Array.fill(m, ksub)(Array.fill(subdim)(0.0))
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val sm = r.getSeq[Long](2)
+        val c = r.getSeq[Long](3)
+        if (r.getInt(0) == -1)
+          cents(r.getInt(1)) = Array.tabulate(sm.length)(i => sm(i).toDouble / c(i).toDouble)
+        else
+          cb(r.getInt(0))(r.getInt(1)) =
+            Array.tabulate(sm.length)(i => sm(i).toDouble / (c(i).toDouble * 32768.0))
+      }
+    }
+    (cents, cb)
   }
 
   /** x / ‖x‖ in double (zero vector stays zero) — PQ trains and encodes in
     * unit space so ADC L2 order matches cosine order
-    * (‖a−b‖² = 2 − 2·cos for unit vectors). */
-  private def unitVec(vec: Column): Column = {
-    val n = sqrt(ArrayMath.dotDouble(vec, vec))
+    * (‖a−b‖² = 2 − 2·cos for unit vectors).
+    *
+    * NEVER inline this into a consumer expression: higher-order-function
+    * lambdas are interpreted PER ELEMENT, so a norm kept inside the
+    * lambda re-folds the whole vector for every component — O(dims²)
+    * interpreted work per evaluation, and a consumer like [[pqCodeCols]]
+    * evaluates its input once per (subspace, centroid). [[withUnit]]
+    * materializes the unit vector as a REAL COLUMN with the norm hoisted
+    * to a per-row value first — O(dims) once per row — and CollapseProject
+    * keeps it materialized (a multiply-referenced non-cheap alias is never
+    * re-substituted into its consumers). */
+  private def unitVec(vec: Column, n: Column): Column =
     when(n === 0.0, transform(vec, _ => lit(0.0)))
       .otherwise(transform(vec, x => x.cast(DoubleType) / n))
+
+  /** `df` plus `as` = the unit-normalized view of `vecCol` (norm hoisted —
+    * see [[unitVec]]). */
+  private def withUnit(df: DataFrame, vecCol: String, as: String): DataFrame = {
+    val tmp = as + "__n"
+    df.withColumn(tmp, sqrt(ArrayMath.dotDouble(col(vecCol), col(vecCol))))
+      .withColumn(as, unitVec(col(vecCol), col(tmp)))
+      .drop(tmp)
   }
 
   /** PQ code per subspace: argmin_c (c·c − 2·x_s·c) — the ‖x_s−c‖² argmin
@@ -451,7 +543,7 @@ object Similarity {
       val sub = slice(unit, s * subdim + 1, subdim)
       val scored = array(cb(s).indices.map { c =>
         val cc = cb(s)(c).map(x => x * x).sum
-        struct((lit(cc) - lit(2.0) * ArrayMath.dotDouble(sub, typedLit(cb(s)(c))))
+        struct((lit(cc) - lit(2.0) * ArrayMath.dotDouble(sub, ArrayMath.doubleArrayLit(cb(s)(c))))
           .as("d"), lit(c).as("c"))
       }: _*)
       element_at(array_sort(scored), 1).getField("c").cast(LongType)
@@ -484,33 +576,40 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     require(refine >= k, s"refine=$refine must be at least k=$k")
-    val centroids = lloydCentroids(base, nCells, idCol, vecCol)
-    val cb = pqCodebooks(base, m, ksub, dims, idCol, vecCol)
+    val (centroids, cb) = trainIvfPq(base, nCells, m, ksub, dims, idCol, vecCol)
     val subdim = dims / m
     def topCells(vec: Column, n: Int): Column =
       slice(reverse(array_sort(cellScores(vec, centroids))), 1, n)
 
-    // base side: cell + PQ codes ONLY (the slim candidate representation)
-    val b = graft.core.Tables.spread(base).filter(col(vecCol).isNotNull)
+    // base side: cell + PQ codes ONLY (the slim candidate representation);
+    // the unit vector is a materialized column (see [[unitVec]]) so the
+    // 128 codebook dots read a plain array, not a re-normalizing lambda
+    val b = withUnit(graft.core.Tables.spread(base)
+        .filter(col(vecCol).isNotNull), vecCol, "__u")
       .select(col(idCol).as("vid"),
         element_at(topCells(col(vecCol), 1), 1).getField("cell").as("cell"),
-        pqCodeCols(unitVec(col(vecCol)), cb).as("code"))
+        pqCodeCols(col("__u"), cb).as("code"))
     // query side: probed cells + the per-query ADC distance table
     // (flattened m·ksub doubles; entry s·ksub+c = c·c − 2·q_s·c — the
     // query-constant q_s·q_s dropped, rank-preserving)
     val dtab = array((0 until m).flatMap { s =>
-      val sub = slice(unitVec(col("qv")), s * subdim + 1, subdim)
+      val sub = slice(col("__u"), s * subdim + 1, subdim)
       cb(s).indices.map { c =>
         val cc = cb(s)(c).map(x => x * x).sum
-        lit(cc) - lit(2.0) * ArrayMath.dotDouble(sub, typedLit(cb(s)(c)))
+        lit(cc) - lit(2.0) * ArrayMath.dotDouble(sub, ArrayMath.doubleArrayLit(cb(s)(c)))
       }
     }: _*)
-    val q = queries.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+    val q = withUnit(queries.filter(col(vecCol).isNotNull), vecCol, "__u")
+      .select(col(idCol).as("qid"), col("__u"),
         explode(transform(topCells(col(vecCol), nProbe), _.getField("cell")))
           .as("cell"))
       .withColumn("dtab", dtab)
-    // ADC score: m array lookups per candidate pair
+      .select(col("qid"), col("cell"), col("dtab")) // unit vec dropped pre-join
+    // ADC score: m array lookups per candidate pair. The shortlist stream
+    // carries (qid, vid, adc) ONLY — the query vector would otherwise ride
+    // the dedup and window shuffles once per CANDIDATE (dims floats × the
+    // probed fraction of the corpus); both vectors join back onto the
+    // |Q|·refine-row shortlist instead, after the ADC cut.
     val adc = (0 until m).map(s =>
       element_at(col("dtab"),
         (lit(s * ksub) + element_at(col("code"), s + 1) + 1).cast(IntegerType)))
@@ -518,16 +617,24 @@ object Similarity {
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
     val shortlist = q.join(b.hint("shuffle_hash"), Seq("cell"))
       .filter(col("qid") =!= col("vid"))
-      .select(col("qid"), col("qv"), col("vid"), adc.as("adc"))
-      .dropDuplicates("qid", "vid") // a pair can meet in several probed cells
+      .select(col("qid"), col("vid"), adc.as("adc"))
+      // one exchange serves both the dedup and the window: hash(qid)
+      // satisfies the dedup's ClusteredDistribution(qid, vid) — same
+      // (qid, vid) lands in the same partition — and IS the window's
+      // required distribution, so EnsureRequirements inserts nothing more.
+      // (a pair can meet in several probed cells, hence the dedup)
+      .repartition(col("qid"))
+      .dropDuplicates("qid", "vid")
       .withColumn("ra", row_number().over(wAdc))
       .filter(col("ra") <= refine)
     // exact re-rank of the shortlist against raw vectors
     val wCos = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
     shortlist
-      .join(base.select(col(idCol).as("vid"), col(vecCol).as("bv")), Seq("vid"))
-      .withColumn("cosine", foldCosine(col("qv"), col("bv")))
-      .select(col("qid"), col("vid"), col("cosine"))
+      .join(base.select(col(idCol).as("vid"), col(vecCol).as("bv"))
+        .hint("shuffle_hash"), Seq("vid"))
+      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .hint("shuffle_hash"), Seq("qid"))
+      .select(col("qid"), col("vid"), foldCosine(col("qv"), col("bv")).as("cosine"))
       .withColumn("rk", row_number().over(wCos))
       .filter(col("rk") <= k)
   }

@@ -46,6 +46,18 @@ object ArrayMath {
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(c2e(a), c2e(b)))
 
+  /** ARRAY<DOUBLE> literal in PRIMITIVE layout ([[UnsafeArrayData]]).
+    * `typedLit(Array[Double])` converts to a GenericArrayData of BOXED
+    * doubles — every `getDouble` in a scoring loop then pays an unbox and
+    * a megamorphic dispatch, which dominates the dot-product kernels these
+    * literals feed (centroids, hyperplanes, codebooks evaluate once per
+    * row × once per cell/plane/code). The unsafe layout reads like a
+    * primitive array in both the codegen and interpreted paths. */
+  def doubleArrayLit(a: Array[Double]): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(a),
+      ArrayType(DoubleType, containsNull = false)))
+
   private[functions] def numericElem(e: Expression): DataType = e.dataType match {
     case ArrayType(et @ (FloatType | DoubleType | LongType | IntegerType | ShortType), _) => et
     case other => throw new IllegalStateException(s"unsupported array type $other")

@@ -39,7 +39,11 @@ object GraftExtensions {
     fn("graft_hash60", classOf[Hash60],
       es => Hash60(es(0))),
     fn("graft_nfc", classOf[NfcNormalize],
-      es => NfcNormalize(es(0))))
+      es => NfcNormalize(es(0))),
+    // aggregate: the analyzer wraps a bare AggregateFunction from a
+    // registry builder in AggregateExpression during resolution
+    fn("graft_sum_long_array", classOf[SumLongArray],
+      es => SumLongArray(es(0))))
 
   private def fn(name: String, cls: Class[_],
       builder: Seq[Expression] => Expression)

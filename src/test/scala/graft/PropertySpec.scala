@@ -172,6 +172,20 @@ object GraftProps extends Properties("graft") {
       got.toSeq == pairs.map { case (a, b) => a.zip(b).map { case (x, y) => x * y }.sum }
     }
 
+  property("SumLongArray == element-wise Scala sums per group") =
+    Prop.forAll(Gen.listOfN(24,
+        Gen.zip(Gen.chooseNum(0, 3),
+                Gen.listOfN(6, Gen.chooseNum(-1000L, 1000L))))) { rows =>
+      val df = rows.map { case (g, a) => (g.toLong, a) }.toDF("g", "a")
+      val got = df.groupBy(col("g"))
+        .agg(graft.functions.ArrayAgg.sumLongArray(col("a")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val expect = rows.groupBy(_._1.toLong).map { case (g, rs) =>
+        g -> (0 until 6).map(i => rs.map(_._2(i)).sum)
+      }
+      got.keySet == expect.keySet && expect.forall { case (g, s) => got(g) == s }
+    }
+
   // includes multi-byte UTF-8, empties, and separators-only strings —
   // the digest-bytes path must agree with the hex-string path everywhere
   private val hashTextGen: Gen[String] =
