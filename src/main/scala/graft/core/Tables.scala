@@ -14,16 +14,23 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's parquet
-      // reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
-      // long and floor-convert to a micros TimestampType column — the same
-      // truncation Spark applies to us-precision data, and consistent with
-      // DuckDB's epoch_ms flooring in the oracles.
+      // events.ts has shipped as INT64 TIMESTAMP(NANOS) (which Spark's
+      // parquet reader rejects outright, [PARQUET_TYPE_ILLEGAL]) and as
+      // plain TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark
+      // reads as TIMESTAMP_NTZ). Normalize BOTH to a micros TimestampType
+      // column — the session zone is pinned to UTC, so the NTZ cast is
+      // wall-clock-identical, and the nanos path floor-converts exactly
+      // like DuckDB's epoch_ms in the oracles.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       import org.apache.spark.sql.functions.{col, expr}
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        .select(raw.columns.toIndexedSeq.map(col): _*)
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val norm = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
+      norm.select(raw.columns.toIndexedSeq.map(col): _*)
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
