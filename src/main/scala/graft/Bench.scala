@@ -62,7 +62,15 @@ object Bench {
         }
       }
       val cold = run()
-      val warm = (1 to 2).flatMap(_ => run())
+      var warm = (1 to 2).flatMap(_ => run())
+      // Occasionally BOTH warm runs of one query land on multi-second
+      // GC/JIT stalls (observed: a 1.5 s-warm query reporting 6 s, both
+      // warm runs ≥6 s, unreproducible in isolation). When the best warm
+      // run barely beats cold on a non-trivial query, buy one extra run
+      // before believing it — the stall, not the plan, is usually what
+      // min-of-2 measured. Cheap: only suspicious queries pay.
+      if (warm.nonEmpty && cold.exists(c => c > 1.0 && warm.min > 0.75 * c))
+        warm = warm ++ run()
       // a failed query reports -1 (visible), never a bogus time-to-exception
       name -> (cold.getOrElse(-1.0),
         if (warm.nonEmpty) warm.min else cold.getOrElse(-1.0))
