@@ -54,6 +54,36 @@ object Sharding {
       .select(col(idCol), col("n_tokens"), col("tokens_before"), col("shard"))
   }
 
+  /** Concat-and-chunk sequence packing — the batch former of LLM
+    * pretraining: lay the corpus out as ONE virtual token stream in
+    * deterministic ascending-`idCol` order, then cut the stream into
+    * fixed-`seqLen` training windows. Each output row is one (chunk, doc)
+    * overlap: chunk `c` owns stream tokens `[c·L, (c+1)·L)`, and a doc
+    * whose interval `[start, start+n)` intersects it contributes its
+    * doc-relative token span `[tok_from, tok_to)` (0-based half-open).
+    * Docs longer than `L` span several chunks; boundary docs split — the
+    * standard "concat and chunk" rule, so every chunk except the last is
+    * exactly `L` tokens with zero padding.
+    *
+    * Built on [[tokenBudgetShards]]'s parallel prefix sum (no global
+    * single-partition window at any corpus size); the chunk fan-out is a
+    * map-side `explode` over the ≤ ceil(n/L)+1 chunks a doc spans —
+    * output volume is |docs| + |stream|/L rows, never a join. */
+  def packSequences(docs: DataFrame, seqLen: Long, bucketSize: Long = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    import graft.queries.intDiv
+    val laid = tokenBudgetShards(docs, seqLen, bucketSize, idCol, textCol)
+    // shard = floor(tokens_before / L) is exactly the FIRST spanned chunk;
+    // the last is floor((start + n − 1) / L). Spanned chunks are contiguous.
+    laid
+      .withColumn("chunk_id", explode(sequence(col("shard"),
+        intDiv(col("tokens_before") + col("n_tokens") - 1, seqLen))))
+      .select(col("chunk_id"), col(idCol),
+        greatest(lit(0L), col("chunk_id") * seqLen - col("tokens_before")).as("tok_from"),
+        least(col("n_tokens"), (col("chunk_id") + 1) * seqLen - col("tokens_before")).as("tok_to"))
+  }
+
   /** Weighted source mixing — the data-mixing step of a training run:
     * interleave documents from several sources into ONE deterministic
     * global order where source `s` appears `weights(s)` times as often as

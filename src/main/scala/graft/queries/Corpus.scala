@@ -206,6 +206,37 @@ object Corpus {
       |FROM c ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q123 — concat-and-chunk sequence packing (the pretraining batch
+  // former): the corpus laid out as one token stream in ascending doc_id
+  // order, cut into 64-token training windows; one row per (chunk, doc)
+  // overlap with the doc-relative token span each window takes. Pure
+  // integer interval arithmetic on q53's parallel prefix sum — the oracle
+  // is the serial cumsum + generate_series over spanned chunks.
+  def q123_pack_sequences(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sharding.packSequences(docs(s, dir), seqLen = 64)
+      .orderBy(col("chunk_id"), col("doc_id"))
+
+  private val q123_sql =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start
+      |  FROM t),
+      |e AS (
+      |  SELECT doc_id, n_tokens, start,
+      |    unnest(generate_series(start // 64, (start + n_tokens - 1) // 64))
+      |      AS chunk_id
+      |  FROM c)
+      |SELECT chunk_id, doc_id,
+      |  greatest(0, chunk_id * 64 - start) AS tok_from,
+      |  least(n_tokens, (chunk_id + 1) * 64 - start) AS tok_to
+      |FROM e ORDER BY chunk_id, doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q54 — boilerplate n-grams: the 16-grams shared by the most documents
   // (document frequency, ties broken lexicographically) — the corpus-
   // cleaning precursor behind the near-dup maxDf caps. Integer-exact.
@@ -1211,6 +1242,7 @@ object Corpus {
     "q36_exact_dedup" -> (q36_exact_dedup _),
     "q52_deterministic_split" -> (q52_deterministic_split _),
     "q53_token_budget_shards" -> (q53_token_budget_shards _),
+    "q123_pack_sequences" -> (q123_pack_sequences _),
     "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
     "q58_repetition_stats" -> (q58_repetition_stats _),
     "q59_contamination" -> (q59_contamination _),
@@ -1257,6 +1289,7 @@ object Corpus {
     "q36_exact_dedup" -> q36_sql,
     "q52_deterministic_split" -> q52_sql,
     "q53_token_budget_shards" -> q53_sql,
+    "q123_pack_sequences" -> q123_sql,
     "q54_boilerplate_ngrams" -> q54_sql,
     "q58_repetition_stats" -> q58_sql,
     "q59_contamination" -> q59_sql,

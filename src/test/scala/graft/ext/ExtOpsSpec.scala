@@ -412,6 +412,41 @@ class ExtOpsSpec extends SparkSpec {
     assert(byDefault.values.map(_._2).max > 0, "fixture should span multiple shards")
   }
 
+  test("packSequences: chunks tile the stream exactly, docs split at boundaries") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val l = 64L
+    val out = Sharding.packSequences(docs, seqLen = l, bucketSize = 16).collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tok_from"), r.getAs[Long]("tok_to")))
+    // per-doc coverage: the spans across chunks are contiguous, start at 0,
+    // and sum to the doc's token count
+    val nTok = docs.select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.groupBy(_._2).foreach { case (id, spans) =>
+      val sorted = spans.sortBy(_._1)
+      assert(sorted.head._3 == 0L, s"doc $id first span starts at 0")
+      assert(sorted.last._4 == nTok(id), s"doc $id last span ends at n_tokens")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"doc $id spans contiguous")
+          assert(a._1 + 1 == b._1, s"doc $id chunks contiguous")
+        case _ => ()
+      }
+    }
+    // per-chunk budget: every chunk except the last holds exactly L tokens
+    val perChunk = out.groupBy(_._1).view.mapValues(_.map(s => s._4 - s._3).sum)
+    val lastChunk = perChunk.keys.max
+    perChunk.foreach { case (c, tot) =>
+      if (c != lastChunk) assert(tot == l, s"chunk $c holds $tot tokens")
+      else assert(tot > 0 && tot <= l, s"last chunk $c holds $tot")
+    }
+    assert(lastChunk > 2, "fixture should span several chunks")
+    // bucket-size invariance (the parallel prefix sum is exact)
+    val byBig = Sharding.packSequences(docs, seqLen = l, bucketSize = 1 << 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == byBig.toSet)
+  }
+
   test("langId predicts deterministically with full coverage") {
     val docs = Tables.load(spark, sf001, "documents")
     val out = TextAnalysis.langId(docs).collect()
