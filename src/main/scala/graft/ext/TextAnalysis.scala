@@ -348,6 +348,45 @@ object TextAnalysis {
           .as("contamination_frac"))
   }
 
+  /** [[ngramContamination]] for the train-vs-test shape over ONE corpus
+    * split by [[deterministicSplit]] — the decontamination check as run
+    * inside a curation session, built from the shared [[wordGramPostings]]
+    * hub instead of re-shingling the train slice: per-doc gram counts are
+    * split-independent, so they aggregate once over the WHOLE corpus from
+    * the hub (count + benchmark-hit count in one pass), and the train
+    * restriction is a per-DOC join against the slim (id, split) projection
+    * at the end — doc-sized, never gram-sized. Output is identical to
+    * `ngramContamination(train, test)` (only train docs with ≥1
+    * contaminated gram survive the final filter).
+    *
+    * Tradeoff vs [[ngramContamination]]: the generic two-corpus form never
+    * shuffles the corpus on the gram key (map-only broadcast probe) — the
+    * cheaper ONE-SHOT plan; this form pays the hub's gram rollup once and
+    * then shares it with every other hub consumer in the session. The
+    * test-split gram set is persisted too (it is |test grams| — small) and
+    * broadcast under the same `broadcastBench` contract. */
+  def splitContamination(docs: DataFrame, n: Int,
+      trainPct: Int = 80, valPct: Int = 10,
+      broadcastBench: Boolean = true,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val split = deterministicSplit(docs, trainPct, valPct, textCol)
+    val postings = wordGramPostings(docs, n, idCol, textCol)
+    val bench0 = graft.core.Caches.persist(
+      Dedup.wordShingles(split.filter(col("split") === "test"), n, idCol, textCol)
+        .select(col("sh")).distinct())
+      .withColumn("hit", lit(1))
+    val bench = if (broadcastBench) broadcast(bench0) else bench0.hint("shuffle_hash")
+    postings.join(bench, Seq("sh"), "left")
+      .select(col("hit"), explode(col("ids")).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+      .join(split.select(col(idCol).as("id"), col("split")), Seq("id"))
+      .filter(col("split") === "train" && col("n_contaminated") > 0)
+      .select(col("id").as(idCol), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("contamination_frac"))
+  }
+
   /** Deterministic stratified sampling: per-stratum keep rates in basis
     * points of 10000, keyed on the CONTENT hash (same bucketing family as
     * [[deterministicSplit]]) — reproducible across runs/engines/cluster
@@ -376,6 +415,37 @@ object TextAnalysis {
       .filter(bucket < thr)
   }
 
+  /** Persisted word n-gram POSTING HUB over a corpus: one row per distinct
+    * gram — (sh, ids = posting list of doc ids, df = posting size). This is
+    * the shared corpus-gram subtree of the word-gram family
+    * ([[noveltyScore]], [[splitContamination]]): each member needs the
+    * shingle explode plus the gram-key rollup — the two corpus-sized costs
+    * — and a session running several members over one corpus would
+    * otherwise pay them once per member. The hub goes through
+    * [[graft.core.Caches]] (MEMORY_AND_DISK; Spark's CacheManager matches
+    * by canonical plan, so every member that builds the hub from the same
+    * (corpus, n) shares one materialization; released by unpersistAll).
+    *
+    * Posting-list order within `ids` is engine-nondeterministic — consumers
+    * may only aggregate over it (counts, df tests), never index into it.
+    * Hot boilerplate grams make single fat rows (inherent to posting
+    * lists); members needing a df cap apply it ON the hub (a filter over
+    * cached rows), keeping the hub universal.
+    *
+    * [[Dedup.nearDupJaccardTokens]] deliberately does NOT consume this
+    * hub: its gram layer sits below an exact-copy collapse (only distinct
+    * texts are shingled, df is copy-weighted) and a rarest-first prefix
+    * ordering — forcing it through the raw-corpus posting hub would undo
+    * the collapse and re-derive df per pair. The family boundary is:
+    * per-document gram STATISTICS share this hub; pairwise similarity
+    * shares the collapsed prefix hub inside Dedup. */
+  def wordGramPostings(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.core.Caches.persist(
+      Dedup.wordShingles(docs, n, idCol, textCol)
+        .groupBy(col("sh"))
+        .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("df")))
+
   /** Per-document novelty score: the fraction of a document's distinct word
     * n-grams that occur in NO other document (corpus df = 1) — the inverse
     * signal of [[boilerplateNgrams]]: high novelty marks original content,
@@ -383,16 +453,16 @@ object TextAnalysis {
     * division.
     *
     * Plan shape: the posting-list pattern — one groupBy(gram) computes the
-    * document frequency AND keeps the posting list, which explodes back to
-    * (doc, gram, df) without re-joining the exploded gram table against a
-    * df table (a join whose build side the estimator cannot size — the
-    * recorded AQE mis-broadcast pitfall). Two shuffles total (gram rollup,
-    * per-doc count), both partial-aggregated. */
+    * document frequency AND keeps the posting list (the shared
+    * [[wordGramPostings]] hub), which explodes back to (doc, gram, df)
+    * without re-joining the exploded gram table against a df table (a join
+    * whose build side the estimator cannot size — the recorded AQE
+    * mis-broadcast pitfall). Two shuffles total (gram rollup — paid once
+    * per session via the hub — and the per-doc count), both
+    * partial-aggregated. */
   def noveltyScore(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    Dedup.wordShingles(docs, n, idCol, textCol)
-      .groupBy(col("sh"))
-      .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("df"))
+    wordGramPostings(docs, n, idCol, textCol)
       .select(col("df"), explode(col("ids")).as("id"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),

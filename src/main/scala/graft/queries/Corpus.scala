@@ -296,13 +296,9 @@ object Corpus {
   // training; the splits are q52's deterministic content-keyed buckets, so
   // the whole check is reproducible end-to-end). Integer-exact counts, one
   // exact division.
-  def q59_contamination(s: SparkSession, dir: String): DataFrame = {
-    val split = TextAnalysis.deterministicSplit(docs(s, dir))
-    TextAnalysis.ngramContamination(
-        split.filter(col("split") === "train"),
-        split.filter(col("split") === "test"), n = 3)
+  def q59_contamination(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.splitContamination(docs(s, dir), n = 3)
       .orderBy(col("doc_id"))
-  }
 
   private val q59_sql =
     """WITH w AS (
