@@ -100,9 +100,17 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate (i, j) pairs: join the i-side
     * to `arrsI` and the j-side to `arrsJ` (the SAME hub twice for
-    * self-joins — Spark's ReuseExchange shares the one exchange; two
-    * different hubs for the across/R-S variant), intersect in the map
-    * stage. Emits pairs with jaccard ≥ `minJaccard`. */
+    * self-joins; two different hubs for the across/R-S variant), intersect
+    * in the map stage. Emits pairs with jaccard ≥ `minJaccard`.
+    *
+    * NOT hinted: at bench scale the planner broadcasts whichever side the
+    * cache's accurate stats say is cheaper, and past the broadcast
+    * threshold (a corpus-sized hub at real scale) it degrades to a
+    * partitioned join on its own. A measured shuffle_hash pin on the hub
+    * sides made every family query SLOWER (q37 1.17→1.86 s warm): under
+    * AQE a cached plan scan reports unknown partitioning, so the pin
+    * re-shuffles the fat array table instead of reusing its cached
+    * layout. */
   private def verifyJaccard(cand: DataFrame, arrsI: DataFrame, arrsJ: DataFrame,
       minJaccard: Double): DataFrame =
     cand
@@ -181,6 +189,23 @@ object Dedup {
   }
 
   private def prefixCandidates(hub: DataFrame, minJaccard: Double): DataFrame = {
+    // Size the candidate stages' shuffle parallelism from the ACTUAL gram
+    // volume (the clusterPairs pattern — the hub is persisted, so the
+    // one-job aggregate is a cheap cached scan and doubles as explicit
+    // hub materialization). The sizing axis is Σ per-doc gram counts —
+    // the prefix explode emits ≈ half of it — NOT the hub's row count:
+    // doc count under-sizes operators with long gram arrays (a doc-based
+    // 1-partition run serialized q37's 1.5M-row char-16-gram rollup,
+    // 1.2→2.4 s). ~100k prefix rows per partition keeps the object-agg
+    // rollup CPU-parallel; at corpus scale the formula exceeds any
+    // session default and the repartition returns the default unchanged.
+    val sumN = hub.agg(sum(col("n"))).head.get(0) match {
+      case null => 0L
+      case v: Long => v
+    }
+    val parts = math.min(
+      hub.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      math.max(1L, sumN / 200_000L)).toInt
     // candidate generation needs only EQUALITY of the prefix key, so the
     // fat (df||gram) string is hashed to 64 bits before the posting
     // shuffle: a collision can only MERGE two posting lists, adding
@@ -189,11 +214,13 @@ object Dedup {
     // gram-sized strings.
     prefixExplode(hub, minJaccard)
       .select(xxhash64(col("sh")).as("shh"), col("id"))
+      .repartition(parts, col("shh"))
       .groupBy(col("shh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explodePairs(col("ids")).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
+      .repartition(parts, col("i"), col("j"))
       .distinct()
   }
 

@@ -80,6 +80,31 @@ object Similarity {
     * to the `aggregate(zip_with(...))` fold it replaces. */
   def foldCosine(a: Column, b: Column): Column = ArrayMath.cosine(a, b)
 
+  /** Aggregate recall band of an approximate top-k against its exact dual
+    * — the DRIVER-VISIBLE gate shape for ANN operators (the q115 `est_ok`
+    * pattern): the per-(qid, vid) ANN rows themselves have no SQL-exact
+    * dual, but the EXACT side's cardinalities and a recall-threshold flag
+    * do, so an oracle can hash-check the whole row. One row:
+    * (n_queries, n_exact, recall_ok) where recall_ok = 1 iff
+    * |ann ∩ exact| ≥ minRecall·|exact| — both operators are deterministic
+    * (hash-seeded, fixed-point), so at a given (corpus, parameters) the
+    * band either always holds or always fails: a red row means the
+    * operator's recall regressed, exactly what the gate is for.
+    * Per-query bands are deliberately NOT emitted: individual queries
+    * legitimately see 0 hits at realistic settings (measured at sf0.01 and
+    * sf0.1); recall is an aggregate contract. */
+  def topKRecallBand(ann: DataFrame, exact: DataFrame,
+      minRecall: Double): DataFrame =
+    exact.select(col("qid"), col("vid"))
+      .join(ann.select(col("qid"), col("vid")).withColumn("hit", lit(1)),
+        Seq("qid", "vid"), "left")
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("n_queries"), col("n_exact"),
+        (col("n_hit").cast(DoubleType) >=
+          lit(minRecall) * col("n_exact").cast(DoubleType))
+          .cast(IntegerType).as("recall_ok"))
+
   /** LSH-bucketed approximate top-k: queries and base are bucketed by
     * sign-random-projection codes over `bands` independent codes of
     * `planesPerBand` bits; candidates share any (band, code); exact

@@ -612,31 +612,107 @@ object Corpus {
   // q41's corpus-level embedding dedup): SRP band candidates, exact
   // fixed-point verify — every emitted pair is a true q41 pair with a
   // bit-identical cosine (precision 1); banding controls recall only.
-  // Approximate → rows-only check; subset + recall vs q41 in ScalaTest.
-  def q50_embedding_neardup_lsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.annLshPairs(emb(s, dir), minCosine = 0.4)
-      .orderBy(col("i"), col("j"))
+  // Driver-visible gate (round 7): the query emits the band summary
+  // against the exact q41 dual computed in-plan — (n_exact_pairs,
+  // precision_ok, recall_ok) with recall tolerance 0.8 (the ScalaTest
+  // gate; measured 0.88 at sf0.01 / 0.94 at sf0.1, deterministic) and
+  // precision matched on (i, j, cosine) — bit-identical scores, so a
+  // single stray or off-by-one-ulp pair flips the flag. The oracle
+  // recomputes the exact side and asserts both flags = 1. Fine-grained
+  // recall/precision values stay in ScalaTest.
+  def q50_embedding_neardup_lsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val lsh = Similarity.annLshPairs(e, minCosine = 0.4)
+      .select(col("i"), col("j"), col("cosine")).withColumn("ls", lit(1))
+    val exact = Similarity.exactCosinePairs(e, e)
+      .filter(col("qid") < col("vid") && col("cosine") >= 0.4)
+      .select(col("qid").as("i"), col("vid").as("j"), col("cosine"))
+      .withColumn("ex", lit(1))
+    exact.join(lsh, Seq("i", "j", "cosine"), "full_outer")
+      .agg(count(col("ex")).as("n_exact_pairs"),
+        count(when(col("ex").isNotNull && col("ls").isNotNull, lit(1))).as("n_both"),
+        count(when(col("ex").isNull, lit(1))).as("n_lsh_only"))
+      .select(col("n_exact_pairs"),
+        (col("n_lsh_only") === 0).cast(IntegerType).as("precision_ok"),
+        (col("n_both").cast(DoubleType) >=
+          lit(0.8) * col("n_exact_pairs").cast(DoubleType))
+          .cast(IntegerType).as("recall_ok"))
+  }
+
+  private val q50_sql =
+    """WITH ex AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, (x, i) -> i - 1)) AS idx,
+      |    unnest(list_transform(embedding,
+      |      (x, i) -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT))) AS xi
+      |  FROM embeddings),
+      |n2 AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+      |dots AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS dot
+      |  FROM ex a JOIN ex b ON a.idx = b.idx AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT i, j
+      |  FROM dots JOIN n2 x ON i = x.vec_id JOIN n2 y ON j = y.vec_id
+      |  WHERE CASE WHEN x.n2 = 0 OR y.n2 = 0 THEN 0.0
+      |      ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+      |    END >= 0.4)
+      |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+      |  1 AS precision_ok, 1 AS recall_ok FROM pairs""".stripMargin
+
+  /** Shared q42/q45 oracle: the q40 exact-top-k dual reduced to the band
+    * row (n_queries, n_exact, recall_ok = literal 1 — the Spark side must
+    * compute the flag true for the hash to match). */
+  private val annBandSql =
+    """WITH ex AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, (x, i) -> i - 1)) AS idx,
+      |    unnest(list_transform(embedding,
+      |      (x, i) -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT))) AS xi
+      |  FROM embeddings),
+      |n2 AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+      |dots AS (
+      |  SELECT q.vec_id AS qid, b.vec_id AS vid, CAST(sum(q.xi * b.xi) AS BIGINT) AS dot
+      |  FROM ex q JOIN ex b ON q.idx = b.idx
+      |  WHERE q.vec_id < 32 GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT qid, vid,
+      |    CASE WHEN qn.n2 = 0 OR bn.n2 = 0 THEN 0.0
+      |      ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(bn.n2 AS DOUBLE)))
+      |    END AS cosine
+      |  FROM dots JOIN n2 qn ON qid = qn.vec_id JOIN n2 bn ON vid = bn.vec_id
+      |  WHERE qid <> vid),
+      |topk AS (SELECT qid, vid FROM (
+      |  SELECT cos.*, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+      |  FROM cos) WHERE rk <= 5)
+      |SELECT count(DISTINCT qid) AS n_queries,
+      |  CAST(count(*) AS BIGINT) AS n_exact, 1 AS recall_ok FROM topk""".stripMargin
 
   // --------------------------------------------------------------------------
   // q42 — LSH-bucketed approximate top-k (the 100 TB ANN path): sign-random-
-  // projection buckets, bucket-local exact re-rank. No SQL oracle by design
-  // (approximate); recall vs q40 is asserted in ScalaTest.
+  // projection buckets, bucket-local exact re-rank. Driver-visible gate
+  // (round 7): emits Similarity.topKRecallBand vs the q40 brute-force dual
+  // — tolerance 0.25 (the ScalaTest gate; measured 0.43 at sf0.01 / 0.61
+  // at sf0.1, deterministic). Oracle = exact-side counts + literal 1.
   def q42_ann_lsh_topk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    Similarity.annLshTopK(e.filter(col("vec_id") < 32), e, k = 5)
-      .select(col("qid"), col("vid"), col("cosine"), col("rk"))
-      .orderBy(col("qid"), col("rk"))
+    val q = e.filter(col("vec_id") < 32)
+    Similarity.topKRecallBand(
+      Similarity.annLshTopK(q, e, k = 5),
+      Similarity.bruteForceTopK(q, e, k = 5), minRecall = 0.25)
   }
 
   // --------------------------------------------------------------------------
   // q45 — IVF approximate top-k (the inverted-file ANN scale path; see
-  // Similarity.ivfTopK). Approximate — rows-only check; recall vs the q40
-  // brute force is asserted in ScalaTest.
+  // Similarity.ivfTopK). Driver-visible gate (round 7): topKRecallBand vs
+  // the q40 brute-force dual — tolerance 0.25 (ScalaTest gate; measured
+  // 0.49 at sf0.01 / 0.44 at sf0.1, deterministic).
   def q45_ivf_ann_topk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    Similarity.ivfTopK(e.filter(col("vec_id") < 32), e, k = 5)
-      .select(col("qid"), col("vid"), col("cosine"), col("rk"))
-      .orderBy(col("qid"), col("rk"))
+    val q = e.filter(col("vec_id") < 32)
+    Similarity.topKRecallBand(
+      Similarity.ivfTopK(q, e, k = 5),
+      Similarity.bruteForceTopK(q, e, k = 5), minRecall = 0.25)
   }
 
   // --------------------------------------------------------------------------
@@ -1301,7 +1377,11 @@ object Corpus {
     "q39_simhash_pairs" -> q39_sql,
     "q40_cosine_topk" -> q40_sql,
     "q41_embedding_neardup" -> q41_sql,
-    // q42: approximate — rows-only check by design
+    // q42/q45/q50: approximate operators, oracle-checked via their band
+    // rows (exact-dual counts + threshold flags) — round 7
+    "q42_ann_lsh_topk" -> annBandSql,
+    "q45_ivf_ann_topk" -> annBandSql,
+    "q50_embedding_neardup_lsh" -> q50_sql,
     "q43_multimodal_frames" -> q43_sql,
     "q63_pii_redact" -> q63_sql,
     "q64_collocations" -> q64_sql,
