@@ -62,17 +62,17 @@ object WarehouseStreams {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
 
     if (!exists) {
-      // first batch: the batch IS the log — write the batch build
+      // first batch: the batch IS the log — write the batch build (through
+      // Upsert.createParquet, so an unpartitioned dim is manifest-committed
+      // and crash-safe from its very first version)
       val hist = graft.ext.Diff.scd2History(batch, keys, tsCol, tieCols, attrs)
-      val wr = hist.write.format("parquet")
-      (if (partitionBy.nonEmpty) wr.partitionBy(partitionBy: _*) else wr)
-        .mode("overwrite").save(path)
+      graft.operators.Upsert.createParquet(spark, hist, path, partitionBy)
       return
     }
 
     // open row per affected key: prior attrs/version/valid_from, prefixed
     // so batch columns of the same name survive the join
-    val dim = spark.read.parquet(path)
+    val dim = graft.operators.Upsert.readTable(spark, path)
     val cur = dim.filter(col("is_current") === 1L)
       .join(batch.select(keys.map(col): _*).distinct(), keys, "left_semi")
       .select(keys.map(col) ++ attrs.map(c => col(c).as(s"__s2p_$c")) ++ Seq(

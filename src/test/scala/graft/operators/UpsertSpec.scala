@@ -18,7 +18,7 @@ class UpsertSpec extends SparkSpec {
     Files.createTempDirectory(prefix).resolve("t").toString
 
   private def readTable(path: String): Set[(Long, String, Long)] =
-    spark.read.parquet(path).select("k", "v", "ord")
+    Upsert.readTable(spark, path).select("k", "v", "ord")
       .as[(Long, String, Long)].collect().toSet
 
   test("mergeParquet: insert, update, preserve; latest-wins inside the delta") {
@@ -64,7 +64,7 @@ class UpsertSpec extends SparkSpec {
       Seq((2L, 3L, "c2", 2L), (2L, 4L, "d", 2L)).toDF("p", "k", "v", "ord"),
       path, Seq("p", "k"), Seq("ord"), partitionBy = Seq("p"))
     assert(filesOf("p=1") == p1Before, "untouched partition was rewritten")
-    val out = spark.read.parquet(path).select("p", "k", "v")
+    val out = Upsert.readTable(spark, path).select("p", "k", "v")
       .as[(Long, Long, String)].collect().toSet
     assert(out == Set((1L, 1L, "a"), (1L, 2L, "b"), (2L, 3L, "c2"), (2L, 4L, "d")))
   }
@@ -96,5 +96,41 @@ class UpsertSpec extends SparkSpec {
       q.processAllAvailable()
       assert(readTable(path) == Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 2L)))
     } finally q.stop()
+  }
+
+  test("manifest commit: a merge killed before the commit neither loses nor hides the table") {
+    val path = tmpDir("upsert-crash")
+    Upsert.mergeParquet(spark, Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ord"),
+      path, Seq("k"), Seq("ord"))
+    val before = readTable(path)
+    // simulate a merge that died mid-way: the next version directory is
+    // fully written (even with newer data) but the process died BEFORE the
+    // manifest commit — readers must still see the old table, unchanged
+    Seq((1L, "CRASHED", 9L)).toDF("k", "v", "ord")
+      .write.parquet(s"$path/v_00000099")
+    assert(readTable(path) == before, "uncommitted version became visible")
+    // the same layout must also survive a crash AFTER the version write
+    // with a torn temp manifest lying around
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$path/__manifest.tmp"), "v_000000")
+    assert(readTable(path) == before)
+    // a later merge recovers: burns past the orphan version number,
+    // commits atomically, and GCs the orphan
+    Upsert.mergeParquet(spark, Seq((3L, "c", 2L)).toDF("k", "v", "ord"),
+      path, Seq("k"), Seq("ord"))
+    assert(readTable(path) == before + ((3L, "c", 2L)))
+    assert(!new java.io.File(s"$path/v_00000099").exists, "orphan version not GC'd")
+    // the recovery merge must have committed ABOVE the orphan number
+    val manifest = java.nio.file.Files.readString(java.nio.file.Path.of(s"$path/__manifest")).trim
+    assert(manifest == "v_00000100", s"unexpected committed version: $manifest")
+  }
+
+  test("legacy plain-directory table upgrades to the manifest layout on its next merge") {
+    val path = tmpDir("upsert-legacy")
+    // a table written by the old layout: loose parquet files at the root
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ord").write.parquet(path)
+    Upsert.mergeParquet(spark, Seq((2L, "b2", 2L)).toDF("k", "v", "ord"),
+      path, Seq("k"), Seq("ord"))
+    assert(new java.io.File(s"$path/__manifest").exists, "merge did not upgrade the layout")
+    assert(readTable(path) == Set((1L, "a", 1L), (2L, "b2", 2L)))
   }
 }

@@ -38,7 +38,7 @@ class WarehouseStreamsSpec extends SparkSpec {
     (3L, ts(11), "bronze", "FR"))
 
   private def dimSet(path: String): Set[(Long, Long, String, String, Timestamp, Timestamp, Long)] =
-    spark.read.parquet(path).collect().map { r: Row =>
+    graft.operators.Upsert.readTable(spark, path).collect().map { r: Row =>
       (r.getAs[Long]("cust_id"), r.getAs[Long]("version"),
         r.getAs[String]("segment"), r.getAs[String]("country"),
         r.getAs[Timestamp]("valid_from"), r.getAs[Timestamp]("valid_to"),
