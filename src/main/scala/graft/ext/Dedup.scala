@@ -453,6 +453,80 @@ object Dedup {
     hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** One 64-bit key per band: position-salted hash of the band's minima.
+    * THE shared band-key formula of the ingest near-dup gate — the batch
+    * blocklist ([[minhashBandKeys]]) and the per-row stream gate
+    * ([[flagNearDups]]) must hash identically or the gate silently
+    * never fires. */
+  private def bandKeyExprs(mins: Seq[org.apache.spark.sql.Column],
+      rowsPerBand: Int): Seq[org.apache.spark.sql.Column] = {
+    val bands = mins.size / rowsPerBand
+    (0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(mins): _*)
+    }
+  }
+
+  /** Corpus band-key blocklist — the BATCH half of the ingest-time
+    * near-dup gate (the [[TextAnalysis.hotGramKeys]] pattern lifted from
+    * exact grams to MinHash bands): one distinct 64-bit key per
+    * (band, bucket) occupied by any corpus document's word-n-gram MinHash
+    * signature. A new document sharing ANY key with the corpus is exactly
+    * an LSH candidate pair against it ([[lshCandidates]] semantics), so
+    * collecting this set and applying [[flagNearDups]] in-stream flags at
+    * ingest precisely the documents the batch LSH pass would candidate.
+    * Size is ≤ bands·|docs| keys (64-bit), minus bucket sharing. */
+  def minhashBandKeys(docs: DataFrame, n: Int,
+      numHashes: Int = 128, rowsPerBand: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = minhashSignature(wordShingles(docs, n, idCol, textCol), numHashes)
+    val keys = bandKeyExprs((0 until numHashes).map(k => col(s"m$k")), rowsPerBand)
+    sig.select(explode(array(keys: _*)).as("bk")).distinct()
+  }
+
+  /** Stateless ingest-time NEAR-dup gate — the streaming dual of the
+    * n-gram near-dup family, completing the ingest front door next to
+    * [[graft.streaming.StreamOps.dedupDocsByContent]] (exact content):
+    * the corpus blocklist is computed in batch ([[minhashBandKeys]],
+    * collected — like the [[TextAnalysis.maskWithGramSet]] blocklist) and
+    * applied per row with pure Column expressions: word-shingle the text
+    * with the family's shared gram rule, MinHash with the SAME keyed
+    * xxhash64 family as [[minhashSignature]], band with the same key
+    * formula, and flag when any band key is in the set. Map-only and
+    * stateless — no state store, no watermark, no shuffle — so it runs
+    * identically on a batch frame or inside any streaming micro-batch.
+    *
+    * `near_dup_candidate` is a CANDIDATE flag (LSH semantics: an exact
+    * copy of a corpus doc always flags — identical signatures; a J ≥ 0.7
+    * near-dup flags with the banding probability ≈ 1 − (1−J⁴)³² ≈ 0.9998;
+    * a false flag is a bucket collision a downstream exact verify — the
+    * q78 incremental join — would discard). Null text → null flag (the
+    * total-pass convention of the mask ops). Per-row cost is
+    * numHashes·|grams| constant-size hashes plus bands·|blocklist|
+    * membership comparisons — right for reference sets up to ~10⁴
+    * documents (a rolling window, a benchmark suite, yesterday's hot
+    * partition); past that, run the corpus-side incremental join. */
+  def flagNearDups(docs: DataFrame, bandKeys: Seq[Long], n: Int,
+      numHashes: Int = 128, rowsPerBand: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes=$numHashes must divide into bands of $rowsPerBand")
+    val bkLit = typedLit(bandKeys.sorted)
+    // hash the grams ONCE into a real column: the 128 member expressions
+    // below each scan it — inlining the gram hashing into every member
+    // would re-hash the strings numHashes times (the minhashFamily
+    // rationale, per row instead of per aggregate)
+    val hs = transform(wordShingleArray(col(textCol), n), s => xxhash64(s))
+    val mins = (0 until numHashes).map(k =>
+      array_min(transform(col("__graft_nd_hs"), h => xxhash64(h, lit(k)))))
+    val flag = bandKeyExprs(mins, rowsPerBand)
+      .map(k => array_contains(bkLit, k)).reduce(_ || _)
+    docs.withColumn("__graft_nd_hs", hs)
+      .withColumn("near_dup_candidate",
+        when(col(textCol).isNotNull, flag))
+      .drop("__graft_nd_hs")
+  }
+
   /** LSH banding: signature split into `bands` groups of `rowsPerBand`,
     * each band hashed to one bucket key; docs sharing any (band, bucket)
     * become a candidate pair. */

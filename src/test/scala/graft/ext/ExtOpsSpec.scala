@@ -52,6 +52,49 @@ class ExtOpsSpec extends SparkSpec {
     assert(viaCollapsed.nonEmpty)
   }
 
+  test("flagNearDups == LSH candidacy against the corpus, and catches every exact near-dup") {
+    // corpus of unique-token docs; incoming batch: an exact copy, a
+    // one-token-changed near-dup (J = 9/11 over 3-grams), and a fresh doc
+    def text(i: Long, last: String = "omega") =
+      (1 to 11).map(t => s"w${i}_$t").mkString(" ") + " " + last
+    val corpus = (1L to 20L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, text(1L)),            // exact copy of corpus doc 1
+      (102L, text(2L, "CHANGED")), // near-dup of corpus doc 2
+      (103L, text(900L)),          // fresh — no corpus partner
+      (104L, null.asInstanceOf[String])) // null text → null flag
+      .toDF("doc_id", "text")
+    val bandKeys = Dedup.minhashBandKeys(corpus, n = 3)
+      .collect().map(_.getLong(0)).toSeq
+    val out = Dedup.flagNearDups(incoming, bandKeys, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Boolean]("near_dup_candidate"))).toMap
+    assert(out(101L).contains(true), "exact copy must always flag")
+    assert(out(102L).contains(true), "planted near-dup not flagged")
+    assert(out(103L).contains(false), "fresh doc falsely flagged")
+    assert(out(104L).isEmpty, "null text must flag null")
+    // corpus-equivalence 1 (recall vs the EXACT batch op): every incoming
+    // doc with an exact J >= 0.7 partner in the corpus is flagged
+    val union = corpus.unionByName(incoming.filter(col("text").isNotNull))
+    val exactPartners = Dedup.nearDupJaccardTokens(union, n = 3,
+        maxDf = Int.MaxValue, minJaccard = 0.7)
+      .collect().flatMap(r => Seq(r.getAs[Long]("i"), r.getAs[Long]("j")))
+      .filter(_ >= 100L).toSet
+    assert(exactPartners.nonEmpty)
+    assert(exactPartners.forall(id => out(id).contains(true)),
+      s"exact near-dups not flagged: ${exactPartners.filterNot(id => out(id).contains(true))}")
+    // corpus-equivalence 2 (exact banding semantics): flag <=> the batch
+    // LSH pass would candidate the doc against some corpus doc
+    val cand = Dedup.lshCandidates(
+        Dedup.minhashSignature(Dedup.wordShingles(union, 3), 128), 4, 32)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")))
+      .filter { case (i, j) => (i >= 100L) != (j >= 100L) }
+      .flatMap { case (i, j) => Seq(i, j) }.filter(_ >= 100L).toSet
+    for (id <- Seq(101L, 102L, 103L))
+      assert(out(id).contains(cand.contains(id)),
+        s"doc $id: stream flag ${out(id)} != batch LSH candidacy ${cand.contains(id)}")
+  }
+
   test("simhash near-identical texts collide, distinct texts do not") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

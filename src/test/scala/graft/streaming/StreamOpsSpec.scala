@@ -92,6 +92,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(!spark.table("docdedup").columns.contains("fp_md5"))
   }
 
+  test("near-dup ingest gate drops flagged docs in-stream (batch blocklist + stateless apply)") {
+    // batch half: band-key blocklist over yesterday's corpus; stream half:
+    // flagNearDups is pure Column exprs, so the SAME operator code runs
+    // inside the micro-batch — no state store, no watermark
+    implicit val sqlCtx = spark.sqlContext
+    def text(i: Long, last: String = "omega") =
+      (1 to 11).map(t => s"w${i}_$t").mkString(" ") + " " + last
+    val corpus = (1L to 10L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val bandKeys = graft.ext.Dedup.minhashBandKeys(corpus, n = 3)
+      .collect().map(_.getLong(0)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val gated = graft.ext.Dedup.flagNearDups(docs, bandKeys, n = 3)
+      .filter(!coalesce(col("near_dup_candidate"), lit(false)))
+    assert(gated.isStreaming)
+    val q = gated.writeStream.format("memory").queryName("nd_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    mem.addData(
+      (101L, text(3L)),            // exact copy of corpus doc 3 → dropped
+      (102L, text(7L, "CHANGED")), // near-dup of corpus doc 7 → dropped
+      (103L, text(500L)))          // fresh → survives
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    val out = spark.table("nd_gate").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(out == Seq(103L), s"gate passed: $out")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     val out = runStream(Seq(batch1), "running", "append") { df =>
       StreamOps.runningUserTotals(spark, df).toDF()
