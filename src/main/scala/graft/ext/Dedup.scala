@@ -479,6 +479,11 @@ object Dedup {
   def minhashBandKeys(docs: DataFrame, n: Int,
       numHashes: Int = 128, rowsPerBand: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // same fail-fast as the apply side (flagNearDups): a non-divisible
+    // configuration would silently drop the trailing hashes on the batch
+    // half of the gate and the two halves would band differently
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes=$numHashes must divide into bands of $rowsPerBand")
     val sig = minhashSignature(wordShingles(docs, n, idCol, textCol), numHashes)
     val keys = bandKeyExprs((0 until numHashes).map(k => col(s"m$k")), rowsPerBand)
     sig.select(explode(array(keys: _*)).as("bk")).distinct()
@@ -502,16 +507,19 @@ object Dedup {
     * a false flag is a bucket collision a downstream exact verify — the
     * q78 incremental join — would discard). Null text → null flag (the
     * total-pass convention of the mask ops). Per-row cost is
-    * numHashes·|grams| constant-size hashes plus bands·|blocklist|
-    * membership comparisons — right for reference sets up to ~10⁴
-    * documents (a rolling window, a benchmark suite, yesterday's hot
-    * partition); past that, run the corpus-side incremental join. */
+    * numHashes·|grams| constant-size hashes plus bands·log₂|blocklist|
+    * comparisons ([[graft.functions.ArraySets.sortedLongContains]] —
+    * binary search over a primitive long[], so membership cost is
+    * logarithmic in the blocklist, not linear): right for reference sets
+    * up to ~10⁶ BAND KEYS (≈3·10⁴ docs at 32 bands — a rolling window, a
+    * benchmark suite, yesterday's hot partition), where the bound is the
+    * ~8 MB the collected set adds to every task binary, not compute.
+    * Past that, [[flagNearDupsAgainst]] keeps the keys distributed. */
   def flagNearDups(docs: DataFrame, bandKeys: Seq[Long], n: Int,
       numHashes: Int = 128, rowsPerBand: Int = 4,
       textCol: String = "text"): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes=$numHashes must divide into bands of $rowsPerBand")
-    val bkLit = typedLit(bandKeys.sorted)
     // hash the grams ONCE into a real column: the 128 member expressions
     // below each scan it — inlining the gram hashing into every member
     // would re-hash the strings numHashes times (the minhashFamily
@@ -520,11 +528,55 @@ object Dedup {
     val mins = (0 until numHashes).map(k =>
       array_min(transform(col("__graft_nd_hs"), h => xxhash64(h, lit(k)))))
     val flag = bandKeyExprs(mins, rowsPerBand)
-      .map(k => array_contains(bkLit, k)).reduce(_ || _)
+      .map(k => graft.functions.ArraySets.sortedLongContains(k, bandKeys))
+      .reduce(_ || _)
     docs.withColumn("__graft_nd_hs", hs)
       .withColumn("near_dup_candidate",
         when(col(textCol).isNotNull, flag))
       .drop("__graft_nd_hs")
+  }
+
+  /** The DISTRIBUTED-blocklist form of the ingest near-dup gate — same
+    * contract as [[flagNearDups]] (same shingle rule, same keyed hash
+    * family, same [[bandKeyExprs]] formula, same null-text convention,
+    * equivalence-tested), but the corpus band keys stay a DataFrame
+    * ([[minhashBandKeys]] output, uncollected) and membership is a
+    * BROADCAST SEMI-JOIN: each document's `bands` keys explode to
+    * (id, bk) rows, one hash-probe join against the broadcast key set
+    * marks the hits, and a per-id any() folds the verdict back onto the
+    * row. No driver collect anywhere, so the envelope is the broadcast
+    * ceiling (~10⁸ keys at 8 B/key ≈ 800 MB — raise
+    * `spark.sql.autoBroadcastJoinThreshold`-independent `broadcast()`
+    * hint handles the estimator) instead of the task-binary bound.
+    *
+    * Crossover guidance: below ~10⁶ keys the collected literal
+    * ([[flagNearDups]]) wins — zero joins, zero shuffles, streaming-
+    * stateless, applies inside ANY micro-batch with no plan change. Past
+    * ~10⁶ keys use this form; it is two narrow shuffles of (id, bk) slim
+    * rows in batch, and in streaming it runs inside `foreachBatch`
+    * (micro-batch = batch frame — the SCD2-sink pattern), where the
+    * explode/fold-back is per-batch-local state, not a state store.
+    *
+    * `idCol` must be a unique row id (the fold-back join key). */
+  def flagNearDupsAgainst(docs: DataFrame, bandKeys: DataFrame, n: Int,
+      numHashes: Int = 128, rowsPerBand: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes=$numHashes must divide into bands of $rowsPerBand")
+    val hs = transform(wordShingleArray(col(textCol), n), s => xxhash64(s))
+    val mins = (0 until numHashes).map(k =>
+      array_min(transform(col("__graft_nd_hs"), h => xxhash64(h, lit(k)))))
+    val hits = docs
+      .filter(col(textCol).isNotNull)
+      .withColumn("__graft_nd_hs", hs)
+      .select(col(idCol), explode(array(bandKeyExprs(mins, rowsPerBand): _*)).as("bk"))
+      .join(broadcast(bandKeys.select(col("bk"))), Seq("bk"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__graft_nd_hit", lit(true))
+    docs.join(hits, Seq(idCol), "left")
+      .withColumn("near_dup_candidate",
+        when(col(textCol).isNotNull, coalesce(col("__graft_nd_hit"), lit(false))))
+      .drop("__graft_nd_hit")
   }
 
   /** LSH banding: signature split into `bands` groups of `rowsPerBand`,

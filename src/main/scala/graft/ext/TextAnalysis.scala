@@ -979,17 +979,20 @@ object TextAnalysis {
     *
     * Same output contract as [[maskRepeatedNgrams]] (masked_text /
     * n_tokens / n_masked / n_spans, total on input). Per-row cost is
-    * O(tokens · |hotGrams|) (linear membership scans) — right for
-    * blocklists up to ~10⁴ grams; past that, run the corpus-side op. */
+    * O(tokens · log|hotGrams|)
+    * ([[graft.functions.ArraySets.sortedLongContains]] binary search) —
+    * right for blocklists up to ~10⁶ grams, where the bound becomes the
+    * collected set's task-binary footprint; past that, run the
+    * corpus-side op. */
   def maskWithGramSet(docs: DataFrame, hotGrams: Seq[Long], n: Int = 3,
       mask: String = "<dup>", textCol: String = "text"): DataFrame = {
     require(n >= 2, s"n must be at least 2: $n")
-    val hotLit = typedLit(hotGrams.sorted)
     val ws = split(col(textCol), " ", -1)
     val starts = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
       .otherwise(array().cast(ArrayType(IntegerType)))
     val hotStarts = filter(starts, i =>
-      array_contains(hotLit, hash60(concat_ws(" ", slice(ws, i, lit(n))))))
+      graft.functions.ArraySets.sortedLongContains(
+        hash60(concat_ws(" ", slice(ws, i, lit(n)))), hotGrams))
     val covered = array_distinct(flatten(transform(hotStarts,
       i => sequence(i, i + (n - 1)))))
     val pieces = transform(sequence(lit(1), size(ws)), i =>

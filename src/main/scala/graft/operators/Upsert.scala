@@ -37,7 +37,11 @@ import org.apache.spark.sql.functions._
   *     two-rename directory swap, whose window between "old moved aside"
   *     and "new moved in" had no table at the path at all). Orphan
   *     version directories from crashed merges are skipped by version
-  *     numbering and garbage-collected by the next successful commit.
+  *     numbering and garbage-collected by the next successful commit,
+  *     which RETAINS one complete predecessor version as a concurrent-
+  *     reader grace window (see [[gcVersions]]); a torn or lost manifest
+  *     self-heals by resolving the highest `_SUCCESS`-complete version
+  *     ([[currentVersion]]).
   *     Read the table through [[readTable]] (resolves the manifest;
   *     falls back to a plain parquet directory, so it reads both
   *     layouts). Legacy plain-directory tables are upgraded on their
@@ -65,19 +69,58 @@ object Upsert {
     val mf = new org.apache.hadoop.fs.Path(path, ManifestName)
     if (fs.exists(mf))
       spark.read.parquet(
-        new org.apache.hadoop.fs.Path(path, readManifest(fs, mf)).toString)
+        new org.apache.hadoop.fs.Path(path, currentVersion(fs, path)).toString)
     else spark.read.parquet(path)
   }
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      mf: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(mf)
+  /** Manifest contents when readable AND naming an existing version
+    * directory; None on missing / torn / stale-target manifests (an empty
+    * or garbage file is what ext4 delayed allocation can surface after a
+    * power loss that raced the rename). */
+  private def readManifestOpt(fs: org.apache.hadoop.fs.FileSystem,
+      mf: org.apache.hadoop.fs.Path): Option[String] =
     try {
-      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-      val v = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
-      require(VersionRe.matches(v), s"corrupt manifest $mf: '$v'")
-      v
-    } finally in.close()
+      if (!fs.exists(mf)) return None
+      val in = fs.open(mf)
+      try {
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        val v = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
+        if (VersionRe.matches(v) && fs.exists(new org.apache.hadoop.fs.Path(mf.getParent, v)))
+          Some(v)
+        else None
+      } finally in.close()
+    } catch {
+      // an unreadable manifest (torn write, checksum mismatch on a
+      // checksummed FS) is the torn case, not a caller error — fall back
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Highest version directory whose parquet write COMPLETED (Spark's
+    * `_SUCCESS` marker) — the self-heal target when the manifest is
+    * unreadable. May sit one version AHEAD of the lost manifest (a crash
+    * between the version write and the commit rename): rolling forward to
+    * it is safe because the merge is idempotent — re-merging the same
+    * delta converges to the same table. */
+  private def latestCompleted(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[String] =
+    fs.listStatus(root).iterator.map(_.getPath.getName)
+      .collect { case n @ VersionRe(_) => n }
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, n), "_SUCCESS")))
+      .toSeq.sorted.lastOption
+
+  /** Resolve the live version: the manifest when intact, else the highest
+    * `_SUCCESS`-complete version directory (self-heal — a torn manifest
+    * makes the table readable again and the next merge rewrites the
+    * manifest as part of its normal commit). Errors only when no complete
+    * version exists at all. */
+  private[operators] def currentVersion(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    readManifestOpt(fs, new org.apache.hadoop.fs.Path(root, ManifestName))
+      .orElse(latestCompleted(fs, root))
+      .getOrElse(sys.error(
+        s"unreadable upsert table $path: manifest corrupt/missing and no complete v_* directory"))
   }
 
   /** Highest existing version number under the root — INCLUDING orphan
@@ -104,8 +147,15 @@ object Upsert {
     val root = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(root, ManifestName + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    try {
+      out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // force the bytes to the device BEFORE the rename: without this,
+      // ext4 delayed allocation can persist the rename but not the data,
+      // surfacing an empty manifest after power loss (hsync where the FS
+      // supports it — FSDataOutputStream falls back to flush otherwise,
+      // and the _SUCCESS fallback in currentVersion covers that case)
+      out.hsync()
+    } finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       root.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(fc.makeQualified(tmp),
@@ -113,14 +163,25 @@ object Upsert {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Post-commit GC: drop every version directory except the current one
-    * (crashed-merge orphans included). Failure here is harmless — the
-    * manifest already committed; the next merge retries the cleanup. */
+  /** Post-commit GC with ONE version of retention: keep the committed
+    * version plus `retain` — the version the OUTGOING manifest named —
+    * and drop everything else (crashed-merge orphans included, even
+    * complete ones: they were never committed, so no reader can hold
+    * them). The retained predecessor is the concurrent-reader grace
+    * window: a reader that resolved the manifest an instant before this
+    * commit is still scanning the previous version, and deleting it
+    * mid-scan would be a FileNotFoundException in that reader. One
+    * version of retention covers any reader that started before the
+    * commit; a reader outliving a FULL further merge cycle is outside
+    * the contract (single writer; readers shorter than the merge
+    * cadence). Failure here is harmless — the manifest already
+    * committed; the next merge retries the cleanup. */
   private def gcVersions(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, keep: String): Unit =
+      root: org.apache.hadoop.fs.Path, keep: String,
+      retain: Option[String] = None): Unit =
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (VersionRe.matches(n) && n != keep)
+      if (VersionRe.matches(n) && n != keep && !retain.contains(n))
         try fs.delete(st.getPath, true) catch { case _: Throwable => () }
     }
 
@@ -137,12 +198,28 @@ object Upsert {
     else {
       val fs = hadoopFs(spark, path)
       val target = new org.apache.hadoop.fs.Path(path)
+      // the previously committed version (when replacing an existing
+      // manifest table) survives one GC cycle as the reader grace window
+      val prev =
+        if (fs.exists(new org.apache.hadoop.fs.Path(target, ManifestName)))
+          readManifestOpt(fs, new org.apache.hadoop.fs.Path(target, ManifestName))
+        else None
       val next =
         if (fs.exists(target)) nextVersionName(fs, target) else "v_00000001"
       wr.mode("overwrite")
         .save(new org.apache.hadoop.fs.Path(target, next).toString)
       commitManifest(spark, path, next)
-      gcVersions(fs, target, keep = next)
+      gcVersions(fs, target, keep = next, retain = prev)
+      // legacy-upgrade cleanup: replacing a PLAIN parquet directory leaves
+      // its loose data files at the root (gcVersions only sweeps v_*
+      // dirs) — without this they double storage forever, and a plain
+      // spark.read.parquet(root) would see a conflicting mixed layout.
+      // Root-level FILES other than the manifest can only be legacy data
+      // (the manifest layout keeps nothing else there).
+      fs.listStatus(target).foreach { st =>
+        if (st.isFile && st.getPath.getName != ManifestName)
+          try fs.delete(st.getPath, false) catch { case _: Throwable => () }
+      }
     }
   }
 
@@ -211,14 +288,14 @@ object Upsert {
       // manifest layout: write the next version in full, then the commit
       // is ONE atomic manifest rename — no point of failure loses or
       // hides the table (see class doc)
-      val cur = readManifest(fs, new org.apache.hadoop.fs.Path(target, ManifestName))
+      val cur = currentVersion(fs, path)
       val old = spark.read.parquet(new org.apache.hadoop.fs.Path(target, cur).toString)
       val merged = old.join(latest, keys, "left_anti")
         .unionByName(latest.select(old.columns.map(col).toIndexedSeq: _*))
       val next = nextVersionName(fs, target)
       write(merged, new org.apache.hadoop.fs.Path(target, next).toString)
       commitManifest(spark, path, next)
-      gcVersions(fs, target, keep = next)
+      gcVersions(fs, target, keep = next, retain = Some(cur))
     } else {
       // legacy plain directory: upgrade to the manifest layout. The new
       // root (version dir + manifest) is staged beside the table and

@@ -80,6 +80,54 @@ object StreamOps {
       .drop(key)
   }
 
+  /** The ingest near-dup gate with a PERIODICALLY-REFRESHED blocklist —
+    * the staleness story for [[graft.ext.Dedup.flagNearDups]] (whose
+    * blocklist is otherwise a one-shot batch snapshot): a `foreachBatch`
+    * body that every `refreshEvery` micro-batches re-runs the batch half
+    * ([[graft.ext.Dedup.minhashBandKeys]] over `corpus()` — typically a
+    * fresh read of the growing corpus table, the
+    * [[graft.ext.TextAnalysis.hotGramKeys]] refresh pattern) and applies
+    * the stateless per-row gate to the micro-batch, handing survivors to
+    * `emit`.
+    *
+    * Staleness contract, explicitly: documents ingested BETWEEN refreshes
+    * are checked against the last snapshot — a near-dup of a doc that
+    * entered the corpus after the snapshot passes the gate until the next
+    * refresh picks it up (bounded by `refreshEvery` batches). That is the
+    * design point: the gate is a cheap stateless front door; the
+    * corpus-side incremental join (q78) remains the exact backstop.
+    *
+    * Restart-safe: the refresh schedule keys on `batchId / refreshEvery`,
+    * which Structured Streaming replays deterministically from the
+    * checkpoint, so a recovered query rebuilds the same blocklist cadence
+    * (the corpus read itself sees the CURRENT table — refresh on replay
+    * is fresher, never staler). The rebuilt blocklist lives on the driver
+    * between batches (bands·|corpus| keys — the [[graft.ext.Dedup.flagNearDups]]
+    * envelope); past ~10⁶ keys switch `emit`'s body to
+    * [[graft.ext.Dedup.flagNearDupsAgainst]] with the uncollected key
+    * frame. */
+  def nearDupGateSink(corpus: () => DataFrame, n: Int,
+      refreshEvery: Long = 10, numHashes: Int = 128, rowsPerBand: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text")(
+      emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    var keys: Seq[Long] = null
+    var epoch = -1L
+    (batch: DataFrame, batchId: Long) => {
+      val e = batchId / math.max(1L, refreshEvery)
+      if (keys == null || e != epoch) {
+        keys = graft.ext.Dedup
+          .minhashBandKeys(corpus(), n, numHashes, rowsPerBand, idCol, textCol)
+          .collect().map(_.getLong(0)).toSeq
+        epoch = e
+      }
+      val survivors = graft.ext.Dedup
+        .flagNearDups(batch, keys, n, numHashes, rowsPerBand, textCol)
+        .filter(!coalesce(col("near_dup_candidate"), lit(false)))
+        .drop("near_dup_candidate")
+      emit(survivors, batchId)
+    }
+  }
+
   case class SessionAgg(user_id: Long, n_events: Long, total_value: Double)
   case class SessionState(n: Long, total: Double)
 

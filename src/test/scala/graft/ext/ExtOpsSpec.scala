@@ -95,6 +95,55 @@ class ExtOpsSpec extends SparkSpec {
         s"doc $id: stream flag ${out(id)} != batch LSH candidacy ${cand.contains(id)}")
   }
 
+  test("flagNearDupsAgainst (broadcast semi-join form) == flagNearDups on the same corpus") {
+    def text(i: Long, last: String = "omega") =
+      (1 to 11).map(t => s"w${i}_$t").mkString(" ") + " " + last
+    val corpus = (1L to 20L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, text(1L)), (102L, text(2L, "CHANGED")), (103L, text(900L)),
+      (104L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val keysDf = Dedup.minhashBandKeys(corpus, n = 3)
+    def flags(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Boolean]("near_dup_candidate"))).toMap
+    val viaLit = flags(Dedup.flagNearDups(incoming,
+      keysDf.collect().map(_.getLong(0)).toSeq, n = 3))
+    val viaJoin = flags(Dedup.flagNearDupsAgainst(incoming, keysDf, n = 3))
+    assert(viaJoin == viaLit, s"join form diverged: $viaJoin vs $viaLit")
+    // non-divisible banding config fails fast on BOTH halves of the gate
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBandKeys(corpus, n = 3, numHashes = 128, rowsPerBand = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.flagNearDups(incoming, Seq(1L), n = 3, numHashes = 128, rowsPerBand = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.flagNearDupsAgainst(incoming, keysDf, n = 3, numHashes = 128, rowsPerBand = 5)
+    }
+  }
+
+  test("sortedLongContains: binary-search membership matches a reference set") {
+    import graft.functions.ArraySets
+    val keys = Seq(-9L, -1L, 0L, 7L, 7L, 42L, Long.MaxValue, Long.MinValue)
+    val probes = Seq[java.lang.Long](-9L, -2L, 0L, 7L, 41L, 42L, 43L,
+      Long.MaxValue, Long.MinValue, null)
+    val df = probes.toDF("k")
+    val out = df.select(col("k"),
+        ArraySets.sortedLongContains(col("k"), keys).as("hit"))
+      .collect().map(r => Option(r.getAs[java.lang.Long]("k")) ->
+        Option(r.getAs[java.lang.Boolean]("hit"))).toMap
+    val ref = keys.toSet
+    for (p <- probes) {
+      val exp = Option(p).map(v => ref.contains(v.longValue))
+      assert(out(Option(p)).map(_.booleanValue) == exp, s"probe $p")
+    }
+    // empty set: everything misses, nothing crashes
+    val empty = df.filter(col("k").isNotNull)
+      .select(ArraySets.sortedLongContains(col("k"), Nil).as("hit"))
+      .collect().map(_.getBoolean(0))
+    assert(empty.forall(_ == false))
+  }
+
   test("simhash near-identical texts collide, distinct texts do not") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

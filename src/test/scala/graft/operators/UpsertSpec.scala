@@ -124,6 +124,60 @@ class UpsertSpec extends SparkSpec {
     assert(manifest == "v_00000100", s"unexpected committed version: $manifest")
   }
 
+  test("torn manifest self-heals to the highest complete version") {
+    val path = tmpDir("upsert-torn")
+    Upsert.mergeParquet(spark, Seq((1L, "a", 1L)).toDF("k", "v", "ord"),
+      path, Seq("k"), Seq("ord"))
+    Upsert.mergeParquet(spark, Seq((2L, "b", 2L)).toDF("k", "v", "ord"),
+      path, Seq("k"), Seq("ord"))
+    val before = readTable(path)
+    // power loss surfaced an EMPTY manifest (ext4 delayed-allocation
+    // shape) — the table must stay readable via the _SUCCESS fallback
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$path/__manifest"), "")
+    assert(readTable(path) == before, "torn manifest made the table unreadable")
+    // garbage contents must behave the same as empty
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$path/__manifest"), "vXYZ")
+    assert(readTable(path) == before)
+    // and the next merge recovers fully: resolves the same fallback
+    // version, merges onto it, and commits a fresh manifest
+    Upsert.mergeParquet(spark, Seq((3L, "c", 3L)).toDF("k", "v", "ord"),
+      path, Seq("k"), Seq("ord"))
+    assert(readTable(path) == before + ((3L, "c", 3L)))
+    val mf = java.nio.file.Files.readString(java.nio.file.Path.of(s"$path/__manifest")).trim
+    assert(mf.matches("v_\\d{8}"), s"manifest not rewritten: '$mf'")
+  }
+
+  test("GC retains exactly one committed predecessor (reader grace window)") {
+    val path = tmpDir("upsert-retain")
+    def versions = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("v_")).toSet
+    Upsert.mergeParquet(spark, Seq((1L, "a", 1L)).toDF("k", "v", "ord"),
+      path, Seq("k"), Seq("ord"))
+    Upsert.mergeParquet(spark, Seq((2L, "b", 2L)).toDF("k", "v", "ord"),
+      path, Seq("k"), Seq("ord"))
+    // current + its predecessor survive: a reader that resolved the old
+    // manifest just before the commit can finish its scan
+    assert(versions == Set("v_00000001", "v_00000002"), s"got $versions")
+    Upsert.mergeParquet(spark, Seq((3L, "c", 3L)).toDF("k", "v", "ord"),
+      path, Seq("k"), Seq("ord"))
+    // the grace window slides: v1 is now two commits old and gets dropped
+    assert(versions == Set("v_00000002", "v_00000003"), s"got $versions")
+  }
+
+  test("createParquet over a legacy plain directory removes the loose root files") {
+    val path = tmpDir("upsert-create-legacy")
+    Seq((1L, "old", 1L)).toDF("k", "v", "ord").write.parquet(path)
+    Upsert.createParquet(spark, Seq((2L, "new", 2L)).toDF("k", "v", "ord"), path)
+    assert(readTable(path) == Set((2L, "new", 2L)))
+    // ignore dotfiles: LocalFileSystem checksum sidecars (.…crc) are FS
+    // bookkeeping hidden from fs.listStatus, not table data
+    val loose = new java.io.File(path).listFiles().filter(_.isFile)
+      .map(_.getName).filterNot(n => n == "__manifest" || n.startsWith("."))
+    assert(loose.isEmpty, s"legacy root files left behind: ${loose.mkString(",")}")
+    // a plain reader pointed at the current version dir sees one layout
+    assert(new java.io.File(path).listFiles().count(_.isDirectory) >= 1)
+  }
+
   test("legacy plain-directory table upgrades to the manifest layout on its next merge") {
     val path = tmpDir("upsert-legacy")
     // a table written by the old layout: loose parquet files at the root

@@ -119,6 +119,49 @@ class StreamOpsSpec extends SparkSpec {
     assert(out == Seq(103L), s"gate passed: $out")
   }
 
+  test("nearDupGateSink: doc flagged only after the periodic refresh picks up the new corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    def text(i: Long, last: String = "omega") =
+      (1 to 11).map(t => s"w${i}_$t").mkString(" ") + " " + last
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("nd-refresh").resolve("corpus").toString
+    (1L to 5L).map(i => (i, text(i))).toDF("doc_id", "text")
+      .write.parquet(corpusPath)
+    val passed = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val mem = MemoryStream[(Long, String)]
+    val gate = StreamOps.nearDupGateSink(
+      () => spark.read.parquet(corpusPath), n = 3, refreshEvery = 2)(
+      (survivors, _) => survivors.collect().foreach(r => passed.add(r.getAs[Long]("doc_id"))))
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(gate).start()
+    try {
+      // batch 0 (refresh epoch 0): doc 900 has no corpus partner → passes
+      mem.addData((101L, text(900L)))
+      q.processAllAvailable()
+      assert(passed.toArray.toSeq == Seq(101L))
+      // doc 900 now ENTERS the corpus…
+      (1L to 5L).map(i => (i, text(i))).toDF("doc_id", "text")
+        .unionByName(Seq((6L, text(900L))).toDF("doc_id", "text"))
+        .write.mode("overwrite").parquet(corpusPath)
+      // …but batch 1 is still epoch 0: the STALE blocklist lets a
+      // near-dup of it through (the documented staleness window)
+      mem.addData((102L, text(900L, "CHANGED")))
+      q.processAllAvailable()
+      assert(passed.toArray.toSeq == Seq(101L, 102L),
+        s"stale-window doc should pass: ${passed.toArray.toSeq}")
+      // batch 2 crosses into epoch 1 → refresh reads the grown corpus →
+      // the same near-dup is now flagged and dropped
+      mem.addData((103L, text(900L, "CHANGED2")))
+      q.processAllAvailable()
+      assert(passed.toArray.toSeq == Seq(101L, 102L),
+        s"post-refresh near-dup must be dropped: ${passed.toArray.toSeq}")
+      // and a fresh doc still flows
+      mem.addData((104L, text(901L)))
+      q.processAllAvailable()
+      assert(passed.toArray.toSeq == Seq(101L, 102L, 104L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     val out = runStream(Seq(batch1), "running", "append") { df =>
       StreamOps.runningUserTotals(spark, df).toDF()
