@@ -499,7 +499,13 @@ object Similarity {
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     import graft.functions.ArrayAgg.sumLongArray
     val subdim = dims / m
-    val spreadB = graft.core.Tables.spread(base)
+    // deliberately NOT spread(): the per-row trainer work (one fixed-point
+    // projection + m subvector slices) is far cheaper than the repartition
+    // shuffle spread() inserts on a single-file local source (measured
+    // 0.54 s → 0.21 s on the sf0.1 collect), and at production scale the
+    // source has real partitions and spread() is a no-op anyway — the
+    // partial aggregation parallelizes with the scan either way
+    val spreadB = base
     val lloydRows = spreadB
       .select(lit(-1).as("s"),
         pmod(xxhash64(col(idCol), lit("ivf")), lit(nCells)).cast(IntegerType).as("cell"),
@@ -595,12 +601,14 @@ object Similarity {
     * correctness with a ScalaTest recall gate against [[bruteForceTopK]],
     * like q42/q45. Deterministic end to end: hash-seeded integer-mean
     * codebooks, tie-broken argmins, exact re-rank order (cosine, vid). */
-  def pqTopK(queries: DataFrame, base: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 16, nCells: Int = 16, nProbe: Int = 4,
-      refine: Int = 32, dims: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The ADC stage of [[pqTopK]] — train, encode, probe, shortlist — up
+    * to and including the `refine` cut, WITHOUT the exact re-rank.
+    * Shared by [[pqTopK]] (which re-ranks against raw vectors) and
+    * [[pqRecallBand]] (which re-ranks from the gate's exact-pair hub). */
+  private def pqShortlist(queries: DataFrame, base: DataFrame,
+      m: Int, ksub: Int, nCells: Int, nProbe: Int,
+      refine: Int, dims: Int, idCol: String, vecCol: String): DataFrame = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
-    require(refine >= k, s"refine=$refine must be at least k=$k")
     val (centroids, cb) = trainIvfPq(base, nCells, m, ksub, dims, idCol, vecCol)
     val subdim = dims / m
     def topCells(vec: Column, n: Int): Column =
@@ -609,6 +617,10 @@ object Similarity {
     // base side: cell + PQ codes ONLY (the slim candidate representation);
     // the unit vector is a materialized column (see [[unitVec]]) so the
     // 128 codebook dots read a plain array, not a re-normalizing lambda
+    // spread() is KEPT on the encode side (unlike the trainer): pqCodeCols
+    // is m·ksub codebook dots plus m struct sorts per row — heavy enough
+    // that parallelizing a single-file local source beats the repartition
+    // it costs (measured 0.78 → 0.97 s without it)
     val b = withUnit(graft.core.Tables.spread(base)
         .filter(col(vecCol).isNotNull), vecCol, "__u")
       .select(col(idCol).as("vid"),
@@ -640,28 +652,81 @@ object Similarity {
         (lit(s * ksub) + element_at(col("code"), s + 1) + 1).cast(IntegerType)))
       .reduce(_ + _)
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
-    val shortlist = q.join(b.hint("shuffle_hash"), Seq("cell"))
+    // BROADCAST the query side (|Q|·nProbe rows of m·ksub doubles — the
+    // query set is small by this operator's contract, see class doc): the
+    // corpus side then STREAMS through the probe join with no shuffle at
+    // all — the canonical ANN serving plan. (The shuffle_hash pin of the
+    // LSH SELF-joins does not apply here: this is small-queries × corpus,
+    // not corpus × corpus, so the broadcast side is bounded by |Q|.)
+    // no pair dedup needed: a base vector lands in exactly ONE cell and a
+    // query's probed cells are distinct, so a (qid, vid) pair can meet in
+    // at most one joined row — the window's exchange is the only shuffle
+    broadcast(q).join(b, Seq("cell"))
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"), adc.as("adc"))
-      // one exchange serves both the dedup and the window: hash(qid)
-      // satisfies the dedup's ClusteredDistribution(qid, vid) — same
-      // (qid, vid) lands in the same partition — and IS the window's
-      // required distribution, so EnsureRequirements inserts nothing more.
-      // (a pair can meet in several probed cells, hence the dedup)
-      .repartition(col("qid"))
-      .dropDuplicates("qid", "vid")
       .withColumn("ra", row_number().over(wAdc))
       .filter(col("ra") <= refine)
-    // exact re-rank of the shortlist against raw vectors
+      .select(col("qid"), col("vid"))
+  }
+
+  def pqTopK(queries: DataFrame, base: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, nCells: Int = 16, nProbe: Int = 4,
+      refine: Int = 32, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(refine >= k, s"refine=$refine must be at least k=$k")
+    val shortlist =
+      pqShortlist(queries, base, m, ksub, nCells, nProbe, refine, dims, idCol, vecCol)
+    // exact re-rank of the shortlist against raw vectors: the SHORTLIST
+    // (≤ |Q|·refine rows) broadcasts and the corpus streams past it — the
+    // corpus-sized side never shuffles (the previous shuffle_hash form
+    // shuffled the full base table to deliver 10³ lookups)
     val wCos = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
-    shortlist
-      .join(base.select(col(idCol).as("vid"), col(vecCol).as("bv"))
-        .hint("shuffle_hash"), Seq("vid"))
-      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-        .hint("shuffle_hash"), Seq("qid"))
+    base.select(col(idCol).as("vid"), col(vecCol).as("bv"))
+      .join(broadcast(shortlist), Seq("vid"))
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))),
+        Seq("qid"))
       .select(col("qid"), col("vid"), foldCosine(col("qv"), col("bv")).as("cosine"))
       .withColumn("rk", row_number().over(wCos))
       .filter(col("rk") <= k)
+  }
+
+  /** [[topKRecallBand]] over [[pqTopK]] with the exact dual SHARED — the
+    * driver-visible gate for IVF-PQ (q122) priced as one |Q|·|B| exact
+    * pass instead of two: the [[exactCosinePairs]] hub persists once and
+    * serves BOTH the exact-top-k side of the band and the ANN side's
+    * final re-rank (the shortlist joins the hub for its scores instead
+    * of re-scoring raw vectors — identical deterministic ordering, since
+    * the hub's fixed-point cosine IS the dual's scoring). Gate machinery
+    * only: the standalone operator ([[pqTopK]]) never computes an exact
+    * pass; the dual is inherently |Q|·|B| and exists because the gate
+    * demands an oracle-checkable row (released via
+    * [[graft.core.Caches.unpersistAll]]). */
+  def pqRecallBand(queries: DataFrame, base: DataFrame, k: Int,
+      minRecall: Double,
+      m: Int = 8, ksub: Int = 16, nCells: Int = 16, nProbe: Int = 4,
+      refine: Int = 32, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(refine >= k, s"refine=$refine must be at least k=$k")
+    // the hub persists PRE-PARTITIONED on qid: InMemoryRelation keeps the
+    // cached plan's outputPartitioning, so BOTH window consumers (exact
+    // top-k, ANN re-rank) read it with no further exchange
+    val pairs = graft.core.Caches.persist(
+      exactCosinePairs(queries, base, idCol, vecCol)
+        .filter(col("qid") =!= col("vid"))
+        .repartition(col("qid")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    val exact = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    // materialize the hub CONCURRENTLY with the trainer collect inside
+    // pqShortlist: two independent jobs (Spark's scheduler is built for
+    // multi-threaded submission), so the gate pays max(hub, trainer)
+    // wall-clock instead of the sum. Failure surfaces on join() below.
+    val hubWarm = java.util.concurrent.CompletableFuture.runAsync(() => { pairs.count(); () })
+    val shortlist =
+      try pqShortlist(queries, base, m, ksub, nCells, nProbe, refine, dims, idCol, vecCol)
+      finally hubWarm.join()
+    val ann = pairs.join(broadcast(shortlist), Seq("qid", "vid"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topKRecallBand(ann, exact, minRecall)
   }
 
   /** L2 normalization to fixed point — the preprocessing step that turns

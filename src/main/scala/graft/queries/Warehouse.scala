@@ -293,9 +293,9 @@ object Warehouse {
   def q122_pq_ann(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 32)
-    Similarity.topKRecallBand(
-      Similarity.pqTopK(q, e, k = 5),
-      Similarity.bruteForceTopK(q, e, k = 5), minRecall = 0.2)
+    // shared-dual band: ONE exact |Q|·|B| pass serves both the oracle
+    // side and the ANN re-rank (Similarity.pqRecallBand)
+    Similarity.pqRecallBand(q, e, k = 5, minRecall = 0.2)
   }
 
   /** q122 oracle: the exact-top-k dual reduced to the band row (the
