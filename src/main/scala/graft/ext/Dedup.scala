@@ -196,8 +196,11 @@ object Dedup {
     // the prefix explode emits ≈ half of it — NOT the hub's row count:
     // doc count under-sizes operators with long gram arrays (a doc-based
     // 1-partition run serialized q37's 1.5M-row char-16-gram rollup,
-    // 1.2→2.4 s). ~100k prefix rows per partition keeps the object-agg
-    // rollup CPU-parallel; at corpus scale the formula exceeds any
+    // 1.2→2.4 s). ~12k prefix rows per partition keeps the object-agg
+    // rollup CPU-parallel (the round-7 200k divisor left q48's whole
+    // candidate phase a single 341 ms task at sf0.1 — the dominant stage
+    // of its warm plan; tasks this small cost ~ms each, so oversplitting
+    // is the safe direction); at corpus scale the formula exceeds any
     // session default and the repartition returns the default unchanged.
     val sumN = hub.agg(sum(col("n"))).head.get(0) match {
       case null => 0L
@@ -205,7 +208,7 @@ object Dedup {
     }
     val parts = math.min(
       hub.sparkSession.sessionState.conf.numShufflePartitions.toLong,
-      math.max(1L, sumN / 200_000L)).toInt
+      math.max(1L, sumN / 25_000L)).toInt
     // candidate generation needs only EQUALITY of the prefix key, so the
     // fat (df||gram) string is hashed to 64 bits before the posting
     // shuffle: a collision can only MERGE two posting lists, adding
@@ -355,7 +358,11 @@ object Dedup {
     * Grouping key is the FULL text (no hash collisions). NOT persisted:
     * only the single shingling/signature consumer reads gtext. */
   private def textGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.core.Tables.spread(docs)
+    // no spread(): the only pre-shuffle work is a projection — the
+    // groupBy's own exchange distributes, and every heavy consumer
+    // (shingle explode, signatures) runs AFTER it. A repartition here is
+    // one wasted stage per family query on a single-file local source.
+    docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("docid"), col(textCol).as("gtext"))
       .groupBy(col("gtext"))
