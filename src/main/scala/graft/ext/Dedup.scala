@@ -98,29 +98,48 @@ object Dedup {
   def capDocFreq(sh: DataFrame, maxDf: Int): DataFrame =
     cappedWithDf(sh, maxDf).select(col("id"), col("sh"))
 
-  /** Exact-Jaccard verification of candidate (i, j) pairs: join the i-side
-    * to `arrsI` and the j-side to `arrsJ` (the SAME hub twice for
-    * self-joins; two different hubs for the across/R-S variant), intersect
-    * in the map stage. Emits pairs with jaccard ≥ `minJaccard`.
+  /** Exact-Jaccard verification of candidate (i, j) pairs against the
+    * shingle-array hub(s) (the SAME hub twice for self-joins; two hubs
+    * for the across/R-S variant), intersect in the map stage. Emits
+    * pairs with jaccard ≥ `minJaccard`.
     *
-    * NOT hinted: at bench scale the planner broadcasts whichever side the
-    * cache's accurate stats say is cheaper, and past the broadcast
-    * threshold (a corpus-sized hub at real scale) it degrades to a
-    * partitioned join on its own. A measured shuffle_hash pin on the hub
-    * sides made every family query SLOWER (q37 1.17→1.86 s warm): under
-    * AQE a cached plan scan reports unknown partitioning, so the pin
-    * re-shuffles the fat array table instead of reusing its cached
-    * layout. */
-  private def verifyJaccard(cand: DataFrame, arrsI: DataFrame, arrsJ: DataFrame,
-      minJaccard: Double): DataFrame =
+    * THE CORPUS-SIZED HUB NEVER MOVES. The round-7 unhinted form let the
+    * planner broadcast the hub at bench scale — which the round-8 sf1
+    * smoke caught as a driver OOM: InMemoryRelation stats are COMPRESSED
+    * columnar bytes (repetitive gram strings compress 10-30×), so a hub
+    * that stats under the broadcast threshold explodes past driver
+    * memory when built into a hash relation. And pinning shuffle_hash on
+    * the hub sides re-shuffles the fat array table (measured q37
+    * 1.17→1.86 s warm — cached scans report unknown partitioning under
+    * AQE). Instead, only SLIM things move:
+    *   1. each side's distinct candidate ids broadcast (8 B/row, ≤ 2·|cand|),
+    *   2. the hub STREAMS once past that id hash — no shuffle, no fat
+    *      broadcast — fetching arrays for candidate-involved docs only,
+    *   3. the fetched sets (dup-involved docs only — the family's premise
+    *      is cost ∝ dup density, so this is |cand|-sized, not
+    *      corpus-sized) broadcast to the candidate stream for the
+    *      per-pair merge-scan intersect.
+    * `cand` is persisted: the id projections and the final join would
+    * otherwise each recompute the whole candidate-generation subtree.
+    * Envelope: dup-involved arrays must fit the broadcast ceiling; a
+    * corpus where MOST docs sit in some candidate pair has quadratic
+    * output and is outside every plan this family can run. */
+  private def verifyJaccard(cand0: DataFrame, arrsI: DataFrame, arrsJ: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val cand = graft.core.Caches.persist(cand0)
+    def touched(arrs: DataFrame, side: String) =
+      arrs.join(broadcast(cand.select(col(side).as("id")).distinct()), Seq("id"))
+        .select(col("id").as(side), col("shs").as(s"shs_$side"),
+          col("n").as(s"n$side"))
     cand
-      .join(arrsI.select(col("id").as("i"), col("shs").as("shs_i"), col("n").as("ni")), Seq("i"))
-      .join(arrsJ.select(col("id").as("j"), col("shs").as("shs_j"), col("n").as("nj")), Seq("j"))
+      .join(broadcast(touched(arrsI, "i")), Seq("i"))
+      .join(broadcast(touched(arrsJ, "j")), Seq("j"))
       .withColumn("c", graft.functions.ArrayMath.sortedIntersectCount(col("shs_i"), col("shs_j")))
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("ni") + col("nj") - col("c")).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)
       .select(col("i"), col("j"), col("jaccard"))
+  }
 
   /** Pair expansion inside a sorted posting list: every (ids[a], ids[b]),
     * a < b, as one struct row. */
