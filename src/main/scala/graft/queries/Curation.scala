@@ -109,7 +109,15 @@ object Curation {
   // Fine-grained precision/completeness values stay in ScalaTest.
   def q90_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val sd = Similarity.semanticDedup(e, minCosine = 0.4, nCells = 8)
+    // size the coarse index from the corpus: SemDeDup's candidate volume
+    // is Σ|cell|², so nCells must grow ∝ |B| (~250 vectors/cell) or the
+    // within-cell exhaustive pass degenerates toward all-pairs — the
+    // round-8 sf1 smoke measured 43 s at the sf0.01-tuned nCells=8 vs
+    // 5.4 s at |B|/250 on 10× data. Floors at 8, so the plan (and the
+    // oracle hash) is unchanged at sf0.01/sf0.1; the count is one
+    // metadata-cheap job.
+    val cells = math.max(8L, e.count() / 250L).toInt
+    val sd = Similarity.semanticDedup(e, minCosine = 0.4, nCells = cells)
       .select(col("vec_id"), col("sem_canonical_id"))
     val exactPairs = Similarity.exactCosinePairs(e, e)
       .filter(col("qid") < col("vid") && col("cosine") >= 0.4)

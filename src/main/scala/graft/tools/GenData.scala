@@ -184,18 +184,24 @@ object GenData {
         concat(lit("src"), pmod(col("id"), lit(20L))).as("source"),
         length(col("text")).as("n_chars")), "documents")
 
-    // embeddings — 10 hash-centered clusters on the unit sphere, ~1%
-    // near-identical copies (cos ≳ 0.999) so SemDeDup/near-dup ANN have
-    // real work. All doubles until the final float cast.
+    // embeddings — 10 WEAKLY-clustered hash-centered groups on the unit
+    // sphere (center/noise scales chosen so typical within-cluster cosine
+    // sits ≈0.1, far under the family's 0.4 thresholds — the driver data's
+    // shape: q41 finds ~0.003% of pairs, not percent-level), plus ~1%
+    // planted near-copies in two tiers (cos ≈ 0.999 and ≈ 0.93) so
+    // SemDeDup/near-dup ANN have dup-density-scaled work. All doubles
+    // until the final float cast.
     val vSel = pmod(h(col("id"), lit("edup")), lit(1000L))
     val isCopy = vSel < 10 && col("id") >= 777
     val vBase = when(isCopy, col("id") - 777).otherwise(col("id"))
     val vLabel = pmod(h(vBase, lit("lab")), lit(10L))
+    val jitScale = when(pmod(h(col("id"), lit("jt")), lit(2L)) === 0, lit(0.005))
+      .otherwise(lit(0.1))
     def comp(seed: Column, j: Column, salt: String, scale: Double) =
       (pmod(h(seed, lit(salt), j), lit(2001L)).cast(DoubleType) - 1000.0) / 1000.0 * scale
     val raw = transform(sequence(lit(0), lit(63)), j =>
-      comp(vLabel, j, "c", 0.25) + comp(vBase, j, "n", 0.35) +
-        when(isCopy, comp(col("id"), j, "jit", 0.005)).otherwise(lit(0.0)))
+      comp(vLabel, j, "c", 0.10) + comp(vBase, j, "n", 0.35) +
+        when(isCopy, comp(col("id"), j, "jit", 1.0) * jitScale).otherwise(lit(0.0)))
     save(range(nVecs)
       .withColumn("raw", raw)
       .withColumn("nrm", sqrt(graft.functions.ArrayMath.dotDouble(col("raw"), col("raw"))))
