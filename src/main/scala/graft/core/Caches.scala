@@ -37,6 +37,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
   private val live = new ConcurrentLinkedQueue[DataFrame]
+  private val memoMap =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, AnyRef]
+
+  /** Memoize a driver-side value derived from a (typically persisted)
+    * DataFrame, keyed by its CANONICALIZED analyzed plan — the same key
+    * Spark's own CacheManager matches on, so re-building the identical
+    * operator plan (a warm re-run, or a later query over the same hub)
+    * reuses the computed stats instead of re-running their job. Lifetime
+    * is tied to the hub caches: [[unpersistAll]] clears the memo, so a
+    * re-read of CHANGED underlying data (new corpus, same plan) cannot
+    * serve stale stats past the release point. Serial-session contract
+    * as above. */
+  def memo[T <: AnyRef](df: DataFrame)(compute: => T): T =
+    memoMap.computeIfAbsent(df.queryExecution.analyzed.canonicalized,
+      _ => compute).asInstanceOf[T]
 
   /** Persist a hub (MEMORY_AND_DISK — spills instead of recomputing) and
     * register it for [[unpersistAll]]. */
@@ -46,9 +61,11 @@ object Caches {
     df
   }
 
-  /** Unpersist every registered hub. Non-blocking: block eviction runs
-    * async, so this never stalls the caller's next job. */
+  /** Unpersist every registered hub (and drop the stats memo — its
+    * entries describe exactly these hubs). Non-blocking: block eviction
+    * runs async, so this never stalls the caller's next job. */
   def unpersistAll(): Unit = {
+    memoMap.clear()
     var df = live.poll()
     while (df != null) {
       try df.unpersist(blocking = false)

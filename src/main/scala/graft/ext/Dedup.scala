@@ -103,37 +103,128 @@ object Dedup {
     * for the across/R-S variant), intersect in the map stage. Emits
     * pairs with jaccard ≥ `minJaccard`.
     *
-    * THE CORPUS-SIZED HUB NEVER MOVES. The round-7 unhinted form let the
+    * THE CORPUS-SIZED HUB NEVER MOVES — and nothing broadcasts unless a
+    * MEASURED size says it fits. The round-7 unhinted form let the
     * planner broadcast the hub at bench scale — which the round-8 sf1
     * smoke caught as a driver OOM: InMemoryRelation stats are COMPRESSED
     * columnar bytes (repetitive gram strings compress 10-30×), so a hub
     * that stats under the broadcast threshold explodes past driver
-    * memory when built into a hash relation. And pinning shuffle_hash on
-    * the hub sides re-shuffles the fat array table (measured q37
-    * 1.17→1.86 s warm — cached scans report unknown partitioning under
-    * AQE). Instead, only SLIM things move:
-    *   1. each side's distinct candidate ids broadcast (8 B/row, ≤ 2·|cand|),
-    *   2. the hub STREAMS once past that id hash — no shuffle, no fat
-    *      broadcast — fetching arrays for candidate-involved docs only,
-    *   3. the fetched sets (dup-involved docs only — the family's premise
-    *      is cost ∝ dup density, so this is |cand|-sized, not
-    *      corpus-sized) broadcast to the candidate stream for the
-    *      per-pair merge-scan intersect.
-    * `cand` is persisted: the id projections and the final join would
-    * otherwise each recompute the whole candidate-generation subtree.
-    * Envelope: dup-involved arrays must fit the broadcast ceiling; a
-    * corpus where MOST docs sit in some candidate pair has quadratic
-    * output and is outside every plan this family can run. */
+    * memory when built into a hash relation. The round-8 fix broadcast
+    * the dup-involved array set unconditionally, which dies at the 8 GB
+    * relation ceiling on dup-DENSE corpora (web crawls run 20-50%
+    * near-dup-involved). This form picks the plan from the data:
+    *
+    *   FAST PATH (|cand| ≤ verifyIdBroadcastRows): each side's distinct
+    *   candidate ids broadcast (8 B/row, ≤ 2·|cand|); the hub STREAMS
+    *   once past that id hash — no shuffle, no fat broadcast — fetching
+    *   arrays for candidate-involved docs only (ONE fused pass over the
+    *   i∪j id set for self-joins). The fetched set is persisted and its
+    *   EXACT gram bytes measured (a dup-density-sized cached scan); only
+    *   if it fits verifyBroadcastBytes does it broadcast into the
+    *   per-pair merge-scan intersect — otherwise that join runs as a
+    *   partitioned sort-merge join on i/j (`merge` hint: never a
+    *   broadcast, never a per-partition hash build of fat arrays, and
+    *   immune to compressed-stats guessing).
+    *
+    *   DENSE PATH (|cand| above the id-broadcast envelope — the 30%-dup
+    *   web-crawl shape): no broadcasts at all. The candidate pairs join
+    *   the hubs directly as partitioned sort-merge joins on i then j —
+    *   the hub shuffles once per side, which at that dup density is the
+    *   same order as the touched set anyway.
+    *
+    * The sizing is FREE on small corpora: every caller already runs (or
+    * can fold stats into) one eager agg over its persisted hub, so when
+    * the WHOLE hub's rows/octets fit the ceilings — touched ⊆ hub, so
+    * any fetched set fits too — the fast path proceeds with zero extra
+    * jobs and stays lazy. Only when the hub alone is too big to
+    * pre-clear does the operator pay the measured chain: count `cand`
+    * (also its explicit materialization), fetch + exactly measure the
+    * touched set (its materializing action — no extra pass), then
+    * decide. `cand` is persisted either way: the id projections and the
+    * final join would otherwise recompute the candidate subtree.
+    * Tunables (both deliberately far under the 8 GB relation ceiling):
+    * `spark.graft.dedup.verifyBroadcastBytes` (default 256 MB raw gram
+    * octets ≈ ≤1 GB as a hashed relation) and
+    * `spark.graft.dedup.verifyIdBroadcastRows` (default 16M distinct
+    * ids per side). Any path yields the identical pair set — plan
+    * choice only (tested by forcing both fallbacks to 0). */
+  private[ext] case class HubStats(rows: Long, grams: Long, octets: Long)
+
+  /** One-job exact stats of a shingle-array hub: row count, Σ gram
+    * counts (the parallelism-sizing axis), Σ raw gram octets (the
+    * broadcast-decision axis). Runs as the hub's materializing action —
+    * the octet sum rides the cache-building scan, not an extra pass —
+    * and is memoized per canonical plan ([[graft.core.Caches.memo]]):
+    * warm re-runs and sibling queries over the same hub pay zero jobs. */
+  private[ext] def hubStatsOf(hub: DataFrame): HubStats =
+    graft.core.Caches.memo(hub) {
+      val r = hub.agg(count(lit(1)), sum(col("n")),
+        sum(aggregate(col("shs"), lit(0L), (a, x) => a + octet_length(x)))).head
+      HubStats(r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
   private def verifyJaccard(cand0: DataFrame, arrsI: DataFrame, arrsJ: DataFrame,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, statsI: HubStats, statsJ: HubStats): DataFrame = {
     val cand = graft.core.Caches.persist(cand0)
-    def touched(arrs: DataFrame, side: String) =
-      arrs.join(broadcast(cand.select(col(side).as("id")).distinct()), Seq("id"))
-        .select(col("id").as(side), col("shs").as(s"shs_$side"),
-          col("n").as(s"n$side"))
-    cand
-      .join(broadcast(touched(arrsI, "i")), Seq("i"))
-      .join(broadcast(touched(arrsJ, "j")), Seq("j"))
+    val conf = cand.sparkSession.conf
+    val maxBcastBytes = conf.get("spark.graft.dedup.verifyBroadcastBytes",
+      (256L << 20).toString).toLong
+    val maxIdRows = conf.get("spark.graft.dedup.verifyIdBroadcastRows",
+      "16000000").toLong
+    val selfJoin = arrsI eq arrsJ
+    def renamed(arrs: DataFrame, side: String) =
+      arrs.select(col("id").as(side), col("shs").as(s"shs_$side"),
+        col("n").as(s"n$side"))
+    def idsOf(sides: String*) =
+      sides.map(s => cand.select(col(s).as("id"))).reduce(_ union _).distinct()
+    def touchedOf(arrs: DataFrame, ids: DataFrame) =
+      graft.core.Caches.persist(arrs.join(broadcast(ids), Seq("id")))
+    def joinBoth(tI: DataFrame, okI: Boolean, tJ: DataFrame, okJ: Boolean) = {
+      def side(t: DataFrame, ok: Boolean, s: String) = {
+        val r = renamed(t, s)
+        if (ok) broadcast(r) else r.hint("merge")
+      }
+      cand.join(side(tI, okI, "i"), Seq("i")).join(side(tJ, okJ, "j"), Seq("j"))
+    }
+    def fits(st: HubStats) = st.rows <= maxIdRows && st.octets <= maxBcastBytes
+    val joined = if (fits(statsI) && fits(statsJ)) {
+      // whole-hub pre-clearance: touched ⊆ hub on each side, so both the
+      // id set and the fetched arrays fit — no sizing jobs, fully lazy
+      val (tI, tJ) =
+        if (selfJoin) { val t = touchedOf(arrsI, idsOf("i", "j")); (t, t) }
+        else (touchedOf(arrsI, idsOf("i")), touchedOf(arrsJ, idsOf("j")))
+      joinBoth(tI, true, tJ, true)
+    } else {
+      val nCand = cand.count()
+      if (2 * nCand > maxIdRows) {
+        // DENSE path: even the candidate id set is past the broadcast
+        // envelope — no broadcasts at all, partitioned merge joins only
+        cand
+          .join(renamed(arrsI, "i").hint("merge"), Seq("i"))
+          .join(renamed(arrsJ, "j").hint("merge"), Seq("j"))
+      } else {
+        // MEASURED path: ids broadcast (≤ 2·|cand| longs — cleared
+        // above); the fetched set's exact raw gram octets decide its
+        // broadcast — the number compressed stats must not guess (the
+        // r8 OOM). bytesOf is the touched persist's materializing
+        // action, so the measurement adds no extra pass.
+        def bytesOf(t: DataFrame): Long =
+          t.agg(sum(aggregate(col("shs"), lit(0L), (a, x) => a + octet_length(x))))
+            .head.get(0) match { case null => 0L; case v: Long => v }
+        val (tI, bI, tJ, bJ) =
+          if (selfJoin) {
+            val t = touchedOf(arrsI, idsOf("i", "j")); val b = bytesOf(t)
+            (t, b, t, b)
+          } else {
+            val ti = touchedOf(arrsI, idsOf("i")); val tj = touchedOf(arrsJ, idsOf("j"))
+            (ti, bytesOf(ti), tj, bytesOf(tj))
+          }
+        joinBoth(tI, bI <= maxBcastBytes, tJ, bJ <= maxBcastBytes)
+      }
+    }
+    joined
       .withColumn("c", graft.functions.ArrayMath.sortedIntersectCount(col("shs_i"), col("shs_j")))
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("ni") + col("nj") - col("c")).cast(DoubleType))
@@ -161,7 +252,9 @@ object Dedup {
     * sides), and the candidate distinct. */
   private def prefixJaccardPairs(shd: DataFrame, minJaccard: Double): DataFrame = {
     val hub = prefixHub(shd)
-    verifyJaccard(prefixCandidates(hub, minJaccard), hub, hub, minJaccard)
+    val st = hubStatsOf(hub)
+    verifyJaccard(prefixCandidates(hub, minJaccard, st.grams), hub, hub,
+      minJaccard, st, st)
   }
 
   private def prefixHub(shd: DataFrame): DataFrame = {
@@ -207,24 +300,22 @@ object Dedup {
       explode(slice(col("shs"), lit(1), prefixLen)).as("sh"))
   }
 
-  private def prefixCandidates(hub: DataFrame, minJaccard: Double): DataFrame = {
+  private def prefixCandidates(hub: DataFrame, minJaccard: Double,
+      sumN: Long): DataFrame = {
     // Size the candidate stages' shuffle parallelism from the ACTUAL gram
-    // volume (the clusterPairs pattern — the hub is persisted, so the
-    // one-job aggregate is a cheap cached scan and doubles as explicit
-    // hub materialization). The sizing axis is Σ per-doc gram counts —
-    // the prefix explode emits ≈ half of it — NOT the hub's row count:
-    // doc count under-sizes operators with long gram arrays (a doc-based
-    // 1-partition run serialized q37's 1.5M-row char-16-gram rollup,
-    // 1.2→2.4 s). ~12k prefix rows per partition keeps the object-agg
-    // rollup CPU-parallel (the round-7 200k divisor left q48's whole
-    // candidate phase a single 341 ms task at sf0.1 — the dominant stage
-    // of its warm plan; tasks this small cost ~ms each, so oversplitting
-    // is the safe direction); at corpus scale the formula exceeds any
-    // session default and the repartition returns the default unchanged.
-    val sumN = hub.agg(sum(col("n"))).head.get(0) match {
-      case null => 0L
-      case v: Long => v
-    }
+    // volume (the clusterPairs pattern — `sumN` = Σ per-doc gram counts,
+    // precomputed by the caller's [[hubStatsOf]] materializing agg so
+    // this stage adds no job of its own). The sizing axis is gram
+    // volume — the prefix explode emits ≈ half of it — NOT the hub's
+    // row count: doc count under-sizes operators with long gram arrays
+    // (a doc-based 1-partition run serialized q37's 1.5M-row
+    // char-16-gram rollup, 1.2→2.4 s). ~12k prefix rows per partition
+    // keeps the object-agg rollup CPU-parallel (the round-7 200k
+    // divisor left q48's whole candidate phase a single 341 ms task at
+    // sf0.1 — the dominant stage of its warm plan; tasks this small
+    // cost ~ms each, so oversplitting is the safe direction); at corpus
+    // scale the formula exceeds any session default and the repartition
+    // returns the default unchanged.
     val parts = math.min(
       hub.sparkSession.sessionState.conf.numShufflePartitions.toLong,
       math.max(1L, sumN / 25_000L)).toInt
@@ -295,7 +386,9 @@ object Dedup {
     val full = textGroups(docs, idCol, textCol)
     val groups = slimGroups(full)
     val hub = prefixHub(groupShingles(full, n, maxDf, mkShingles))
-    val repPairs = verifyJaccard(prefixCandidates(hub, minJaccard), hub, hub, minJaccard)
+    val st = hubStatsOf(hub)
+    val repPairs = verifyJaccard(prefixCandidates(hub, minJaccard, st.grams),
+      hub, hub, minJaccard, st, st)
     expandRepPairs(repPairs, groups, "jaccard", lit(1.0),
       keptReps = Some(hub.select(col("id").as("rep"))))
   }
@@ -342,8 +435,10 @@ object Dedup {
       .select(col("sh"), coalesce(col("df"), lit(0L)).as("df"), col("id"))
       .filter(col("df") <= maxDf)
     val dHub = prefixHub(dSh)
+    val stD = hubStatsOf(dHub)
+    val stC = hubStatsOf(cHub)
     val cand = prefixCandidatesAcross(dHub, cHub, minJaccard)
-    val repPairs = verifyJaccard(cand, dHub, cHub, minJaccard)
+    val repPairs = verifyJaccard(cand, dHub, cHub, minJaccard, stD, stC)
     // persist the SLIM group projections for the expansion joins: dg/cg
     // also feed the shingle subtrees above, so without a persist each
     // expansion join re-runs the full per-side text groupBy (the only
@@ -648,7 +743,11 @@ object Dedup {
       sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*))
     val cand = lshCandidates(hub, rowsPerBand, numHashes / rowsPerBand)
     val arrs = hub.select(col("id"), col("shs"), col("n"))
-    val repPairs = verifyJaccard(cand, arrs, arrs, minJaccard)
+    // one-job stats over the persisted hub (doubles as its explicit
+    // materialization): clears the verify broadcasts without any
+    // per-query sizing job when the corpus is small
+    val st = hubStatsOf(arrs)
+    val repPairs = verifyJaccard(cand, arrs, arrs, minJaccard, st, st)
     // exact copies share signatures AND sets: within-group pairs are exact
     // J=1.0 matches (provided the capped set is non-empty), never LSH misses
     expandRepPairs(repPairs, groups, "jaccard", lit(1.0),

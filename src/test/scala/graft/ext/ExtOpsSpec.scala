@@ -41,6 +41,41 @@ class ExtOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("verify join: forced merge-join and dense fallback paths match the broadcast path") {
+    // The size-adaptive verify join picks among three physical shapes
+    // (broadcast fetched set / partitioned merge join on the fetched set /
+    // dense direct hub join). Plan choice must never change the answer:
+    // force each fallback via its tunable and compare the full pair sets.
+    val docs = Tables.load(spark, sf001, "documents")
+    def familyPairs(): Set[(Long, Long, Double)] = {
+      def pset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+          math.rint(r.getAs[Double]("jaccard") * 1e9) / 1e9)).toSet
+      val self = pset(Dedup.nearDupJaccard(docs, 16, 500, 0.5))
+      val lsh = pset(Dedup.minhashLshPairs(docs, 16, 500, 128, 4, 0.7))
+      val across = pset(Dedup.nearDupJaccardAcross(
+        docs.filter(col("doc_id") % 7 === 0), docs.filter(col("doc_id") % 7 =!= 0),
+        16, 500, 0.5))
+      graft.core.Caches.unpersistAll()
+      self.map(p => (p._1, p._2, p._3)) ++
+        lsh.map(p => (p._1 + (1L << 40), p._2, p._3)) ++
+        across.map(p => (p._1 + (2L << 40), p._2, p._3))
+    }
+    val bytesKey = "spark.graft.dedup.verifyBroadcastBytes"
+    val rowsKey = "spark.graft.dedup.verifyIdBroadcastRows"
+    val baseline = familyPairs()
+    assert(baseline.nonEmpty)
+    try {
+      spark.conf.set(bytesKey, "0") // fetched set never broadcasts → merge join
+      assert(familyPairs() == baseline, "merge-join fallback diverged")
+      spark.conf.set(rowsKey, "0") // dense path: direct partitioned hub join
+      assert(familyPairs() == baseline, "dense fallback diverged")
+    } finally {
+      spark.conf.unset(bytesKey)
+      spark.conf.unset(rowsKey)
+    }
+  }
+
   test("wordShingles + jaccardPairs == nearDupJaccardTokens at sf0.001") {
     val docs = Tables.load(spark, sf001, "documents")
     val viaApi = Dedup.jaccardPairs(

@@ -24,8 +24,8 @@ object Scratch {
     }
     sys.env.get("SPARK_GRAFT_Q").foreach { q =>
       for (r <- 1 to sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt) {
-        spark.catalog.clearCache()
-        val df = SparkEntry.queries(q)(spark, dir)
+        if (!sys.env.contains("SPARK_GRAFT_KEEPCACHE")) spark.catalog.clearCache()
+        val df = t(s"$q construct run$r")(SparkEntry.queries(q)(spark, dir))
         val t0 = System.nanoTime()
         df.count()
         val dt = (System.nanoTime() - t0) / 1e9
