@@ -105,23 +105,73 @@ object StreamOps {
     * between batches (bands·|corpus| keys — the [[graft.ext.Dedup.flagNearDups]]
     * envelope); past ~10⁶ keys switch `emit`'s body to
     * [[graft.ext.Dedup.flagNearDupsAgainst]] with the uncollected key
-    * frame. */
+    * frame.
+    *
+    * REBUILDS RUN OFF THE MICRO-BATCH PATH: the epoch rebuild (a full
+    * corpus MinHash scan + collect — seconds at bench scale, minutes at
+    * corpus scale) executes on a background daemon thread and swaps the
+    * blocklist atomically on completion; the only synchronous build is
+    * the very first (there is no list to serve yet). `refreshWaitMs`
+    * bounds how long an epoch-crossing batch waits for the fresh list:
+    * the default `Long.MaxValue` keeps the pre-round-9 synchronous
+    * semantics (the boundary batch always gates with the fresh list —
+    * the deterministic-replay shape the staleness e2e pins), while `0`
+    * is the production flow-through shape: batches keep flowing on the
+    * stale list during a rebuild, which merely widens the documented
+    * staleness window by the rebuild duration. A rebuild failure is
+    * logged and the stale list keeps serving — the gate is a cheap
+    * front door, never a stream-killer; the next epoch retries. */
   def nearDupGateSink(corpus: () => DataFrame, n: Int,
       refreshEvery: Long = 10, numHashes: Int = 128, rowsPerBand: Int = 4,
-      idCol: String = "doc_id", textCol: String = "text")(
+      idCol: String = "doc_id", textCol: String = "text",
+      refreshWaitMs: Long = Long.MaxValue)(
       emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    // all fields guarded by `lock`; `done` signals swap completion
+    val lock = new Object
     var keys: Seq[Long] = null
-    var epoch = -1L
+    var builtEpoch = -1L
+    var building = false
+    def rebuild(e: Long): Unit = {
+      val k = graft.ext.Dedup
+        .minhashBandKeys(corpus(), n, numHashes, rowsPerBand, idCol, textCol)
+        .collect().map(_.getLong(0)).toSeq
+      lock.synchronized { keys = k; builtEpoch = e; building = false; lock.notifyAll() }
+    }
     (batch: DataFrame, batchId: Long) => {
       val e = batchId / math.max(1L, refreshEvery)
-      if (keys == null || e != epoch) {
-        keys = graft.ext.Dedup
-          .minhashBandKeys(corpus(), n, numHashes, rowsPerBand, idCol, textCol)
-          .collect().map(_.getLong(0)).toSeq
-        epoch = e
+      val current: Seq[Long] = lock.synchronized {
+        if (keys == null && !building) {
+          // first batch: nothing to serve — build synchronously
+          rebuild(e)
+        } else if (e != builtEpoch && !building) {
+          building = true
+          val t = new Thread(() => {
+            try rebuild(e)
+            catch { case ex: Throwable =>
+              System.err.println(s"[graft] nearDupGateSink: blocklist rebuild " +
+                s"for epoch $e failed (${ex.getMessage}); stale list keeps serving")
+              lock.synchronized { building = false; lock.notifyAll() }
+            }
+          }, s"graft-ndgate-rebuild-$e")
+          t.setDaemon(true)
+          t.start()
+        }
+        // overflow-free bounded wait (an absolute nano deadline would
+        // overflow at the Long.MaxValue default): count slept millis
+        var waitedMs = 0L
+        while ((keys == null || (builtEpoch != e && building)) &&
+            waitedMs < refreshWaitMs) {
+          val step = math.max(1L, math.min(refreshWaitMs - waitedMs, 1000L))
+          lock.wait(step)
+          waitedMs += step
+        }
+        if (keys == null)
+          throw new IllegalStateException(
+            "nearDupGateSink: initial blocklist build did not complete")
+        keys
       }
       val survivors = graft.ext.Dedup
-        .flagNearDups(batch, keys, n, numHashes, rowsPerBand, textCol)
+        .flagNearDups(batch, current, n, numHashes, rowsPerBand, textCol)
         .filter(!coalesce(col("near_dup_candidate"), lit(false)))
         .drop("near_dup_candidate")
       emit(survivors, batchId)

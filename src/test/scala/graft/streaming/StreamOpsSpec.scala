@@ -162,6 +162,78 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupGateSink: batches keep flowing on the stale list while a rebuild runs (refreshWaitMs=0)") {
+    implicit val sqlCtx = spark.sqlContext
+    def text(i: Long, last: String = "omega") =
+      (1 to 11).map(t => s"w${i}_$t").mkString(" ") + " " + last
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("nd-async").resolve("corpus").toString
+    (1L to 5L).map(i => (i, text(i))).toDF("doc_id", "text")
+      .write.parquet(corpusPath)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rebuildDone = new java.util.concurrent.CountDownLatch(1)
+    val holdRebuild = new java.util.concurrent.CountDownLatch(1)
+    val passed = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val gate = StreamOps.nearDupGateSink(
+      () => {
+        if (calls.incrementAndGet() > 1) {
+          // second build = the epoch-1 refresh: park it until the test has
+          // proven a batch flowed past it on the stale list
+          holdRebuild.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          rebuildDone.countDown()
+        }
+        spark.read.parquet(corpusPath)
+      },
+      n = 3, refreshEvery = 2, refreshWaitMs = 0L)(
+      (survivors, _) => survivors.collect().foreach(r => passed.add(r.getAs[Long]("doc_id"))))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(gate).start()
+    try {
+      // batch 0: synchronous first build (fast path); fresh doc passes
+      mem.addData((101L, text(900L)))
+      q.processAllAvailable()
+      assert(passed.toArray.toSeq == Seq(101L))
+      // doc 900 enters the corpus; batch 1 is still epoch 0 (no rebuild)
+      (1L to 5L).map(i => (i, text(i))).toDF("doc_id", "text")
+        .unionByName(Seq((6L, text(900L))).toDF("doc_id", "text"))
+        .write.mode("overwrite").parquet(corpusPath)
+      mem.addData((102L, text(900L, "CHANGED")))
+      q.processAllAvailable()
+      assert(passed.toArray.toSeq == Seq(101L, 102L))
+      // batch 2 crosses into epoch 1 → rebuild starts on the background
+      // thread and is PARKED on holdRebuild; with refreshWaitMs=0 the
+      // batch must flow on the stale list — a near-dup of doc 900 passes
+      mem.addData((103L, text(900L, "CHANGED-B2")))
+      q.processAllAvailable()
+      assert(passed.toArray.toSeq == Seq(101L, 102L, 103L),
+        s"batch must flow on the stale list during the rebuild: ${passed.toArray.toSeq}")
+      val trig = System.nanoTime() + 10_000_000_000L
+      while (calls.get() < 2 && System.nanoTime() < trig) Thread.sleep(10)
+      assert(calls.get() >= 2, "epoch-1 rebuild must have been triggered")
+      assert(rebuildDone.getCount == 1, "rebuild must still be in flight")
+      // release the rebuild; once the swap lands (async — the collect
+      // finishes after corpus() returns, so probe until it does), a
+      // near-dup of doc 900 is dropped: the staleness window has closed
+      holdRebuild.countDown()
+      assert(rebuildDone.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      var dropped = false
+      var tries = 0
+      while (!dropped && tries < 20) {
+        tries += 1
+        val id = 200L + tries
+        mem.addData((id, text(900L, s"CHANGED$tries")))
+        q.processAllAvailable()
+        if (passed.toArray.toSeq.contains(id)) Thread.sleep(250) else dropped = true
+      }
+      assert(dropped, s"staleness window must close after the rebuild: ${passed.toArray.toSeq}")
+      // and a fresh doc still flows
+      mem.addData((999L, text(901L)))
+      q.processAllAvailable()
+      assert(passed.toArray.toSeq.last == 999L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     val out = runStream(Seq(batch1), "running", "append") { df =>
       StreamOps.runningUserTotals(spark, df).toDF()
