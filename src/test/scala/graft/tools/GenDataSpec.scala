@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Pins [[GenData]]'s output schemas to the DRIVER-generated parquet
+  * footers: if the driver's testdata schema drifts, this spec fails at
+  * `sbt test` time instead of a scale smoke failing an hour in. Also
+  * covers the round-9 CLI extensions (fractional scale, table subset,
+  * seed salt). */
+class GenDataSpec extends SparkSpec {
+
+  private def norm(s: StructType): StructType =
+    StructType(s.fields.map(f => StructField(f.name, f.dataType, nullable = true)))
+
+  test("generated schemas match the driver sf0.1 parquet footers for every table") {
+    val out = java.nio.file.Files.createTempDirectory("gendata-schema").toString
+    // ~1% of sf0.1 per table: big enough to exercise every column expr,
+    // small enough for test time
+    GenData.write(spark, out, times = 0.01, cpus = 4)
+    GenData.AllTables.foreach { t =>
+      val driver = spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet").schema
+      val gen = spark.read.parquet(s"$out/$t.parquet").schema
+      assert(norm(gen) == norm(driver),
+        s"schema drift on $t:\n  gen   =$gen\n  driver=$driver")
+    }
+  }
+
+  test("--tables subset writes only the named tables; salt changes content, not schema") {
+    val out = java.nio.file.Files.createTempDirectory("gendata-subset").toString
+    GenData.write(spark, out, times = 0.01, cpus = 4, salt = "s9",
+      tables = Set("documents", "embeddings"))
+    val written = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(written == Set("documents.parquet", "embeddings.parquet"))
+    val out2 = java.nio.file.Files.createTempDirectory("gendata-salt").toString
+    GenData.write(spark, out2, times = 0.01, cpus = 4, salt = "",
+      tables = Set("documents"))
+    val salted = spark.read.parquet(s"$out/documents.parquet")
+    val unsalted = spark.read.parquet(s"$out2/documents.parquet")
+    assert(norm(salted.schema) == norm(unsalted.schema))
+    assert(salted.count() == unsalted.count())
+    // different salt ⇒ different planted corpus (content independence)
+    val a = salted.selectExpr("min(text)").head.getString(0)
+    val b = unsalted.selectExpr("min(text)").head.getString(0)
+    assert(a != b, "salt must produce a statistically independent corpus")
+  }
+}
