@@ -33,23 +33,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-    // Previous round's recorded warm times (BENCH_r{N}.json in the repo
-    // root, or SPARK_GRAFT_PREV_BENCH): the cross-check reference for the
-    // sweep-stall guard below. Parsed leniently — the file wraps the
-    // contract line in driver metadata, so just harvest "qNN":secs pairs
-    // from its parsed queries map (short names, the stdout contract's own
-    // key style). Absent/garbled file → empty map → guard inert.
+    // Recorded warm times from the LAST TWO rounds (BENCH_r{N}.json in the
+    // repo root, or SPARK_GRAFT_PREV_BENCH), merged by per-query MIN: the
+    // cross-check reference for the sweep-stall guard below. Two rounds, not
+    // one, because a prior value can itself be a stall (BENCH_r08 recorded
+    // q48 at 6.9 s when the truth was 0.85): a repeat stall — or a real
+    // regression hiding behind one — still trips the guard against the
+    // older honest record. Parsed leniently — the file wraps the contract
+    // line in driver metadata, so just harvest "qNN":secs pairs from its
+    // parsed queries map (short names, the stdout contract's own key
+    // style). Absent/garbled files → empty map → guard inert (logged).
     val prevWarm: Map[String, Double] = {
-      val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
-      val latest = explicit.orElse {
-        val rx = "BENCH_r(\\d+)\\.json".r
-        Option(new java.io.File(".").listFiles()).flatMap(_.toSeq
-          .flatMap(f => f.getName match {
-            case rx(n) => Some((n.toInt, f))
-            case _ => None
-          }).sortBy(_._1).lastOption.map(_._2))
-      }
-      latest.filter(_.isFile).map { f =>
+      def parse(f: java.io.File): Map[String, Double] = {
         val txt = try new String(java.nio.file.Files.readAllBytes(f.toPath)) catch {
           case _: Throwable => ""
         }
@@ -58,7 +53,25 @@ object Bench {
         val body = qrx.findAllMatchIn(txt).toSeq.lastOption.map(_.group(1)).getOrElse("")
         val kv = "\"(q\\d+)\"\\s*:\\s*([0-9.]+)".r
         kv.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
+      }
+      val files: Seq[java.io.File] =
+        sys.env.get("SPARK_GRAFT_PREV_BENCH").map(p => Seq(new java.io.File(p)))
+          .getOrElse {
+            val rx = "BENCH_r(\\d+)\\.json".r
+            Option(new java.io.File(".").listFiles()).map(_.toSeq
+              .flatMap(f => f.getName match {
+                case rx(n) => Some((n.toInt, f))
+                case _ => None
+              }).sortBy(_._1).takeRight(2).map(_._2)).getOrElse(Nil)
+          }
+      val maps = files.filter(_.isFile).map(parse).filter(_.nonEmpty)
+      if (maps.isEmpty)
+        System.err.println("[bench] stall guard INERT: no parsable prior BENCH_r*.json")
+      maps.foldLeft(Map.empty[String, Double]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, v)) =>
+          a.updated(k, a.get(k).fold(v)(math.min(_, v)))
+        }
+      }
     }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory)
@@ -115,6 +128,10 @@ object Bench {
           run().foreach(r => warm = warm :+ r)
         }
       }
+      // run-count diagnostic: lets cross-round readers see which numbers are
+      // min-of-2 vs min-of-4 (guard-bought) without reconstructing the guard
+      if (warm.size > 2)
+        System.err.println(s"[bench] $name: ${warm.size} warm runs (guard bought ${warm.size - 2})")
       // a failed query reports -1 (visible), never a bogus time-to-exception
       name -> (cold.getOrElse(-1.0),
         if (warm.nonEmpty) warm.min else cold.getOrElse(-1.0))

@@ -48,10 +48,31 @@ object Caches {
     * is tied to the hub caches: [[unpersistAll]] clears the memo, so a
     * re-read of CHANGED underlying data (new corpus, same plan) cannot
     * serve stale stats past the release point. Serial-session contract
-    * as above. */
-  def memo[T <: AnyRef](df: DataFrame)(compute: => T): T =
-    memoMap.computeIfAbsent(df.queryExecution.analyzed.canonicalized,
-      _ => compute).asInstanceOf[T]
+    * as above.
+    *
+    * The compute runs OUTSIDE the map's bin lock (a memoized stat is a
+    * full Spark job — holding a ConcurrentHashMap bin lock across it
+    * would serialize unrelated memo calls that hash to the same bin);
+    * two racing callers may both compute, the first `putIfAbsent`
+    * wins and both observe the same value.
+    *
+    * Known bound: entries accumulate (keyed by retained analyzed plan
+    * trees) until [[unpersistAll]]. Verify/Bench call it between
+    * queries; a long-lived session using the Dedup/Similarity APIs
+    * directly should call [[unpersistAll]] at its own corpus
+    * boundaries, or driver memory grows with the number of DISTINCT
+    * operator plans run (each entry is a plan tree + small stats —
+    * ~KBs, but unbounded in count). */
+  def memo[T <: AnyRef](df: DataFrame)(compute: => T): T = {
+    val key = df.queryExecution.analyzed.canonicalized
+    val hit = memoMap.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val v = compute
+      val prev = memoMap.putIfAbsent(key, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
 
   /** Persist a hub (MEMORY_AND_DISK — spills instead of recomputing) and
     * register it for [[unpersistAll]]. */

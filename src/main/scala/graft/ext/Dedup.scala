@@ -165,6 +165,21 @@ object Dedup {
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
 
+  /** Which physical shape [[verifyJaccard]] chose on its LAST invocation
+    * in this JVM — "precleared" (whole-hub broadcast clearance), "dense"
+    * (no broadcasts, partitioned merge joins), or
+    * "measured:bcastI=?,bcastJ=?" (id-broadcast fetch + measured per-side
+    * decision). Written together with one stderr line per decision:
+    * observability for the dup-dense scale probe and the forced-fallback
+    * specs — the probe must be able to PROVE the dense path engaged on
+    * real volume rather than infer it from wall-time. */
+  private[graft] val lastVerifyPath =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+  private def notePath(p: String): Unit = {
+    lastVerifyPath.set(p)
+    System.err.println(s"[graft] Dedup.verifyJaccard path=$p")
+  }
+
   private def verifyJaccard(cand0: DataFrame, arrsI: DataFrame, arrsJ: DataFrame,
       minJaccard: Double, statsI: HubStats, statsJ: HubStats): DataFrame = {
     val cand = graft.core.Caches.persist(cand0)
@@ -192,6 +207,7 @@ object Dedup {
     val joined = if (fits(statsI) && fits(statsJ)) {
       // whole-hub pre-clearance: touched ⊆ hub on each side, so both the
       // id set and the fetched arrays fit — no sizing jobs, fully lazy
+      notePath("precleared")
       val (tI, tJ) =
         if (selfJoin) { val t = touchedOf(arrsI, idsOf("i", "j")); (t, t) }
         else (touchedOf(arrsI, idsOf("i")), touchedOf(arrsJ, idsOf("j")))
@@ -201,6 +217,7 @@ object Dedup {
       if (2 * nCand > maxIdRows) {
         // DENSE path: even the candidate id set is past the broadcast
         // envelope — no broadcasts at all, partitioned merge joins only
+        notePath("dense")
         cand
           .join(renamed(arrsI, "i").hint("merge"), Seq("i"))
           .join(renamed(arrsJ, "j").hint("merge"), Seq("j"))
@@ -221,7 +238,9 @@ object Dedup {
             val ti = touchedOf(arrsI, idsOf("i")); val tj = touchedOf(arrsJ, idsOf("j"))
             (ti, bytesOf(ti), tj, bytesOf(tj))
           }
-        joinBoth(tI, bI <= maxBcastBytes, tJ, bJ <= maxBcastBytes)
+        val (okI, okJ) = (bI <= maxBcastBytes, bJ <= maxBcastBytes)
+        notePath(s"measured:bcastI=$okI,bcastJ=$okJ")
+        joinBoth(tI, okI, tJ, okJ)
       }
     }
     joined

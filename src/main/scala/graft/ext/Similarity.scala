@@ -299,12 +299,71 @@ object Similarity {
         explode(topCells(col(vecCol), nProbe)).as("probe"))
       .select(col("qid"), col("qv"), col("probe").getField("cell").as("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
-    q.join(b, Seq("cell"))
+    // BROADCAST the query side (|Q|·nProbe rows carrying the query vector —
+    // the query set is small by this operator's contract): the corpus then
+    // STREAMS through the probe join with no shuffle at all — the same
+    // canonical ANN serving shape as [[pqShortlist]]. The filter/score/
+    // project happens IN the streamed join output, so the window's exchange
+    // carries (qid, vid, cosine) only, never the vectors.
+    broadcast(q).join(b, Seq("cell"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cosine", foldCosine(col("qv"), col("bv")))
       .select(col("qid"), col("vid"), col("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+  }
+
+  /** The candidate stage of [[ivfTopK]] — train, assign, probe — emitting
+    * the (qid, vid) pairs that co-locate in a probed cell, WITHOUT any
+    * scoring. Shared machinery for [[ivfRecallBand]], which scores the
+    * candidates from the exact dual's own hub instead of re-folding
+    * cosines. */
+  private def ivfCandidates(queries: DataFrame, base: DataFrame,
+      nCells: Int, nProbe: Int, idCol: String, vecCol: String): DataFrame = {
+    val centroids = lloydCentroids(base, nCells, idCol, vecCol)
+    def topCells(vec: Column, m: Int): Column =
+      slice(reverse(array_sort(cellScores(vec, centroids))), 1, m)
+    val b = graft.core.Tables.spread(base).select(col(idCol).as("vid"),
+      element_at(topCells(col(vecCol), 1), 1).getField("cell").as("cell"))
+    val q = queries.select(col(idCol).as("qid"),
+      explode(transform(topCells(col(vecCol), nProbe), _.getField("cell"))).as("cell"))
+    broadcast(q).join(b, Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"))
+  }
+
+  /** [[topKRecallBand]] over [[ivfTopK]] with the exact dual SHARED — the
+    * driver-visible gate for IVF (q45), priced like [[pqRecallBand]]: the
+    * [[exactCosinePairs]] hub persists once and serves BOTH the exact
+    * top-k side of the band and the IVF side's ranking (the candidate
+    * pairs join the hub for their scores instead of re-folding cosines —
+    * deterministic either way; the hub's fixed-point cosine IS the dual's
+    * scoring). The hub materializes CONCURRENTLY with the Lloyd trainer's
+    * collect — two independent jobs, so the gate pays max(hub, trainer)
+    * wall-clock, not the sum. Gate machinery only: the candidate set
+    * broadcast is the probed fraction of the corpus per query
+    * (|Q|·|B|·nProbe/nCells id pairs) — bounded at the gate's
+    * validation-scale contract, like the hub itself (|Q|·|B|); the
+    * standalone [[ivfTopK]] serving path never builds either. Hub
+    * released via [[graft.core.Caches.unpersistAll]]. */
+  def ivfRecallBand(queries: DataFrame, base: DataFrame, k: Int,
+      minRecall: Double, nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // pre-partitioned on qid: both window consumers read the cached plan's
+    // outputPartitioning with no further exchange (see [[pqRecallBand]])
+    val pairs = graft.core.Caches.persist(
+      exactCosinePairs(queries, base, idCol, vecCol)
+        .filter(col("qid") =!= col("vid"))
+        .repartition(col("qid")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    val exact = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    val hubWarm = java.util.concurrent.CompletableFuture.runAsync(() => { pairs.count(); () })
+    val cand =
+      try ivfCandidates(queries, base, nCells, nProbe, idCol, vecCol)
+      finally hubWarm.join()
+    val ann = pairs.join(broadcast(cand), Seq("qid", "vid"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topKRecallBand(ann, exact, minRecall)
   }
 
   /** Deterministic one-step Lloyd training shared by [[ivfTopK]] and

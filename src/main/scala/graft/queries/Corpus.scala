@@ -704,15 +704,16 @@ object Corpus {
 
   // --------------------------------------------------------------------------
   // q45 — IVF approximate top-k (the inverted-file ANN scale path; see
-  // Similarity.ivfTopK). Driver-visible gate (round 7): topKRecallBand vs
-  // the q40 brute-force dual — tolerance 0.25 (ScalaTest gate; measured
-  // 0.49 at sf0.01 / 0.44 at sf0.1, deterministic).
+  // Similarity.ivfTopK). Driver-visible gate (round 7): recall band vs the
+  // q40 brute-force dual — tolerance 0.25 (ScalaTest gate; measured 0.49
+  // at sf0.01 / 0.44 at sf0.1, deterministic). Round 10: the band uses
+  // Similarity.ivfRecallBand — the q122 shared-exact-dual-hub pattern —
+  // so the gate pays ONE |Q|·|B| exact pass (persisted, serving both
+  // band sides) overlapped with the Lloyd trainer collect.
   def q45_ivf_ann_topk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 32)
-    Similarity.topKRecallBand(
-      Similarity.ivfTopK(q, e, k = 5),
-      Similarity.bruteForceTopK(q, e, k = 5), minRecall = 0.25)
+    Similarity.ivfRecallBand(q, e, k = 5, minRecall = 0.25)
   }
 
   // --------------------------------------------------------------------------

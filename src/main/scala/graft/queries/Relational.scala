@@ -49,8 +49,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
-      | CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(27,8))) AS DOUBLE) AS sum_charge,
+      | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_disc_price,
+      | CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(27,8))), 2) AS DOUBLE) AS sum_charge,
       | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS DOUBLE) AS avg_qty,
       | count(*) AS count_order
       |FROM lineitem
@@ -92,7 +92,7 @@ object Relational {
 
   private val q03_sql =
     """SELECT o_orderkey,
-      | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+      | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue,
       | CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -142,7 +142,7 @@ object Relational {
 
   private val q05_sql =
     """SELECT n_name,
-      | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -163,7 +163,7 @@ object Relational {
         count(lit(1)).as("n_lines"))
 
   private val q06_sql =
-    """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+    """SELECT CAST(round(sum(CAST(l_extendedprice*l_discount AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue,
       | count(*) AS n_lines
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

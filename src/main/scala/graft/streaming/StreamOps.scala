@@ -118,28 +118,43 @@ object StreamOps {
     * the deterministic-replay shape the staleness e2e pins), while `0`
     * is the production flow-through shape: batches keep flowing on the
     * stale list during a rebuild, which merely widens the documented
-    * staleness window by the rebuild duration. A rebuild failure is
-    * logged and the stale list keeps serving — the gate is a cheap
-    * front door, never a stream-killer; the next epoch retries. */
+    * staleness window by the rebuild duration. A rebuild failure
+    * (non-fatal — fatal JVM errors propagate) is logged and the stale
+    * list keeps serving — the gate is a cheap front door, never a
+    * stream-killer; the next epoch retries. `maxRebuildFailures` bounds
+    * the silent degradation: after that many CONSECUTIVE failed rebuild
+    * attempts the next batch throws instead of serving an ever-staler
+    * list, surfacing the broken corpus read to the stream's own
+    * failure/restart policy. */
   def nearDupGateSink(corpus: () => DataFrame, n: Int,
       refreshEvery: Long = 10, numHashes: Int = 128, rowsPerBand: Int = 4,
       idCol: String = "doc_id", textCol: String = "text",
-      refreshWaitMs: Long = Long.MaxValue)(
+      refreshWaitMs: Long = Long.MaxValue,
+      maxRebuildFailures: Int = 3)(
       emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     // all fields guarded by `lock`; `done` signals swap completion
     val lock = new Object
     var keys: Seq[Long] = null
     var builtEpoch = -1L
     var building = false
+    var consecutiveFailures = 0
     def rebuild(e: Long): Unit = {
       val k = graft.ext.Dedup
         .minhashBandKeys(corpus(), n, numHashes, rowsPerBand, idCol, textCol)
         .collect().map(_.getLong(0)).toSeq
-      lock.synchronized { keys = k; builtEpoch = e; building = false; lock.notifyAll() }
+      lock.synchronized {
+        keys = k; builtEpoch = e; building = false
+        consecutiveFailures = 0; lock.notifyAll()
+      }
     }
     (batch: DataFrame, batchId: Long) => {
       val e = batchId / math.max(1L, refreshEvery)
       val current: Seq[Long] = lock.synchronized {
+        if (consecutiveFailures >= maxRebuildFailures)
+          throw new IllegalStateException(
+            s"nearDupGateSink: $consecutiveFailures consecutive blocklist " +
+              s"rebuild failures (max $maxRebuildFailures) — refusing to keep " +
+              "serving the stale list; fix the corpus read and restart")
         if (keys == null && !building) {
           // first batch: nothing to serve — build synchronously
           rebuild(e)
@@ -147,10 +162,12 @@ object StreamOps {
           building = true
           val t = new Thread(() => {
             try rebuild(e)
-            catch { case ex: Throwable =>
+            catch { case scala.util.control.NonFatal(ex) =>
               System.err.println(s"[graft] nearDupGateSink: blocklist rebuild " +
                 s"for epoch $e failed (${ex.getMessage}); stale list keeps serving")
-              lock.synchronized { building = false; lock.notifyAll() }
+              lock.synchronized {
+                building = false; consecutiveFailures += 1; lock.notifyAll()
+              }
             }
           }, s"graft-ndgate-rebuild-$e")
           t.setDaemon(true)

@@ -26,6 +26,14 @@ import org.apache.spark.sql.types._
   *   --tables=documents,embeddings
   *               write only the named tables — the near-dup/ANN heavy
   *               family needs only docs+embeddings, 10× faster smokes
+  *   --dup-permille=N
+  *               near-dup plant rate for `documents` in permille (default
+  *               25 = the driver data's ~1.7% effective rate after the
+  *               exact-dup overlap). 300 approximates the 30%-duplicated
+  *               web-crawl shape — the corpus the adaptive verify join's
+  *               DENSE (no-broadcast) path exists for; use with the scale
+  *               probe to exercise that path on REAL volume instead of
+  *               forced tunables.
   *   e.g. `GenData target/testdata/sf1 10` writes a 10× sf0.1 dataset
   *   (~6M lineitem, 50k docs, 20k embeddings) — the round-8 sf1 smoke.
   */
@@ -43,6 +51,10 @@ object GenData {
     val tables = args.collectFirst { case s if s.startsWith("--tables=") =>
       s.stripPrefix("--tables=").split(",").map(_.trim).filter(_.nonEmpty).toSet }
       .getOrElse(AllTables.toSet)
+    val dupPermille = args.collectFirst { case s if s.startsWith("--dup-permille=") =>
+      s.stripPrefix("--dup-permille=").toInt }.getOrElse(25)
+    require(dupPermille >= 8 && dupPermille <= 1000,
+      s"--dup-permille must be in [8, 1000], got $dupPermille")
     val unknown = tables -- AllTables.toSet
     require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(",")}")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
@@ -54,18 +66,23 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, outDir, times, cpus, salt, tables)
+    write(spark, outDir, times, cpus, salt, tables, dupPermille)
     spark.stop()
   }
 
   def write(spark: SparkSession, outDir: String, times: Double, cpus: Int,
-      salt: String = "", tables: Set[String] = AllTables.toSet): Unit =
-    new Gen(spark, outDir, times, cpus, salt, tables).writeAll()
+      salt: String = "", tables: Set[String] = AllTables.toSet,
+      dupPermille: Int = 25): Unit =
+    new Gen(spark, outDir, times, cpus, salt, tables, dupPermille).writeAll()
 
   /** One generation run; `salt` folds into every hash seed (empty salt
-    * keeps bit-compatibility with the pre-salt generator). */
+    * keeps the hash seeds — and therefore every generated VALUE —
+    * identical to the pre-salt generator; output is NOT byte-identical to
+    * pre-round-9 datasets because the schema fixes in the same round
+    * changed column TYPES: timestamps to timestamp_ntz, n_chars to
+    * int64). */
   private final class Gen(spark: SparkSession, outDir: String, times: Double,
-      cpus: Int, salt: String, tables: Set[String]) {
+      cpus: Int, salt: String, tables: Set[String], dupPermille: Int) {
 
     private def h(cols: Column*): Column =
       if (salt.isEmpty) xxhash64(cols: _*)
@@ -190,14 +207,15 @@ object GenData {
           lit("}")).as("props")))
 
       // documents — planted duplicate structure:
-      //   hash(id) < 8/1000  → EXACT copy of doc id-997
-      //   hash(id) < 25/1000 → NEAR-dup of doc id-991 (~1 in 12 words mutated)
+      //   hash(id) < 8/1000            → EXACT copy of doc id-997
+      //   hash(id) < dupPermille/1000  → NEAR-dup of doc id-991 (~1 in 12
+      //                                  words mutated; default 25)
       // word w(base, p) = Vocab[h(base,"w",p)], so a clone regenerates its
       // base's words from the base id alone — no self-join needed.
       save("documents") {
         val docSel = pmod(h(col("id"), lit("dupsel")), lit(1000L))
         val isExact = docSel < 8 && col("id") >= 997
-        val isNear = !isExact && docSel < 25 && col("id") >= 991
+        val isNear = !isExact && docSel < dupPermille && col("id") >= 991
         val base = when(isExact, col("id") - 997)
           .when(isNear, col("id") - 991).otherwise(col("id"))
         val len = (pmod(h(base, lit("len")), lit(83L)) + 8).cast(IntegerType)

@@ -65,11 +65,18 @@ class ExtOpsSpec extends SparkSpec {
     val rowsKey = "spark.graft.dedup.verifyIdBroadcastRows"
     val baseline = familyPairs()
     assert(baseline.nonEmpty)
+    // path-choice observability: the small-corpus default pre-clears
+    assert(Dedup.lastVerifyPath.get() == "precleared",
+      s"expected precleared, saw ${Dedup.lastVerifyPath.get()}")
     try {
       spark.conf.set(bytesKey, "0") // fetched set never broadcasts → merge join
       assert(familyPairs() == baseline, "merge-join fallback diverged")
+      assert(Dedup.lastVerifyPath.get() == "measured:bcastI=false,bcastJ=false",
+        s"expected measured/merge, saw ${Dedup.lastVerifyPath.get()}")
       spark.conf.set(rowsKey, "0") // dense path: direct partitioned hub join
       assert(familyPairs() == baseline, "dense fallback diverged")
+      assert(Dedup.lastVerifyPath.get() == "dense",
+        s"expected dense, saw ${Dedup.lastVerifyPath.get()}")
     } finally {
       spark.conf.unset(bytesKey)
       spark.conf.unset(rowsKey)
