@@ -728,6 +728,11 @@ object Similarity {
       .select(col("qid"), col("vid"))
   }
 
+  /** Tuning rule (measured on the 10× scale smoke): `refine` must scale
+    * with the probed candidate volume `nProbe·|B|/nCells` (≈2.5% of it,
+    * floored at 32) — a FIXED shortlist depth starves recall as the
+    * corpus grows, because the true neighbors are in the probed cells
+    * but sink below a constant ADC cut. */
   def pqTopK(queries: DataFrame, base: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, nCells: Int = 16, nProbe: Int = 4,
       refine: Int = 32, dims: Int = 64,

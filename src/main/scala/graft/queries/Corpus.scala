@@ -919,12 +919,16 @@ object Corpus {
   // inverted predicate or broken canonical election changes the hash.
   def q75_clean_pipeline(s: SparkSession, dir: String): DataFrame = {
     val d0 = docs(s, dir).select(col("doc_id"), col("text"))
-    val degen = s.range(20000L, 20020L).select(col("id").as("doc_id"),
+    // planted ids live at 10^12 so they can NEVER collide with real
+    // doc_ids at any corpus scale (the previous +10000 offset collided
+    // with real ids on a 50k-doc sf1 corpus and silently changed the
+    // dedup's canonical election)
+    val degen = s.range(2000000000000L, 2000000000020L).select(col("id").as("doc_id"),
       concat(repeat(lit("the stream of "), 33), lit("end"),
         col("id").cast(StringType)).as("text"))
     val d = d0
       .unionByName(d0.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
       .unionByName(degen)
     val q = TextAnalysis.qualityScore(d)
       .select(col("doc_id"), col("text"), col("quality_score"))
@@ -946,10 +950,10 @@ object Corpus {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+      |  SELECT doc_id + 1000000000000 AS doc_id, text FROM documents WHERE doc_id < 50
       |  UNION ALL
-      |  SELECT 20000 + i AS doc_id,
-      |    repeat('the stream of ', 33) || 'end' || CAST(20000 + i AS VARCHAR) AS text
+      |  SELECT 2000000000000 + i AS doc_id,
+      |    repeat('the stream of ', 33) || 'end' || CAST(2000000000000 + i AS VARCHAR) AS text
       |  FROM range(0, 20) t(i)),
       |qs AS (
       |  SELECT doc_id,

@@ -293,9 +293,18 @@ object Warehouse {
   def q122_pq_ann(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 32)
+    // The ADC-shortlist depth must scale with the probed candidate volume
+    // (nProbe·|B|/nCells): a FIXED refine starves recall as the corpus
+    // grows — the true neighbors are IN the probed cells but sink below a
+    // constant ADC cut (measured on the 10x sf1 smoke: recall 0.15 < the
+    // 0.2 gate at refine=32, 0.27 at the scaled 128). ~2.5% of the ranked
+    // candidates reach the exact re-rank, floored at the bench-scale 32;
+    // the shortlist stays |Q|·refine — bounded, broadcastable.
+    val n = e.count()
+    val refine = math.max(32L, (4 * n / 16) / 40).toInt
     // shared-dual band: ONE exact |Q|·|B| pass serves both the oracle
     // side and the ANN re-rank (Similarity.pqRecallBand)
-    Similarity.pqRecallBand(q, e, k = 5, minRecall = 0.2)
+    Similarity.pqRecallBand(q, e, k = 5, minRecall = 0.2, refine = refine)
   }
 
   /** q122 oracle: the exact-top-k dual reduced to the band row (the

@@ -8,7 +8,11 @@ import org.apache.spark.sql.types._
   * driver-provided testdata (TESTDATA.md caps at sf0.1). Mirrors the
   * driver tables' schemas exactly (asserted against the sf0.1 parquet
   * footers by `GenDataSpec`) and their statistical shape loosely:
-  * the same ~30-word document vocabulary, document lengths 8–90 words,
+  * the same ~30-word document vocabulary, INTEGRAL l_quantity and
+  * 2-decimal money/value columns (the driver's value shapes — full-
+  * precision doubles made Spark's truncating long cast and DuckDB's
+  * rounding BIGINT cast disagree on q91 at sf1), document lengths 8–90
+  * words,
   * ~0.8% exact-dup and ~1.7% near-dup planted documents (so the near-dup
   * family has realistic work, not a degenerate zero-pair corpus), and
   * 10-cluster unit-normalized embeddings with ~1% near-identical copies.
@@ -133,7 +137,7 @@ object GenData {
         col("id").as("c_custkey"),
         concat(lit("Customer#"), lpad(col("id").cast(StringType), 9, "0")).as("c_name"),
         pmod(h(col("id"), lit("cn")), lit(25L)).cast(IntegerType).as("c_nationkey"),
-        (u(col("id"), lit("cb")) * 11000.0 - 1000.0).as("c_acctbal"),
+        round(u(col("id"), lit("cb")) * 11000.0 - 1000.0, 2).as("c_acctbal"),
         pick(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
           col("id"), lit("cm")).as("c_mktsegment")))
 
@@ -141,7 +145,7 @@ object GenData {
         col("id").as("s_suppkey"),
         concat(lit("Supplier#"), lpad(col("id").cast(StringType), 9, "0")).as("s_name"),
         pmod(h(col("id"), lit("sn")), lit(25L)).cast(IntegerType).as("s_nationkey"),
-        (u(col("id"), lit("sb")) * 11000.0 - 1000.0).as("s_acctbal")))
+        round(u(col("id"), lit("sb")) * 11000.0 - 1000.0, 2).as("s_acctbal")))
 
       save("part")(range(nPart).select(
         col("id").as("p_partkey"),
@@ -156,13 +160,13 @@ object GenData {
           pick(Seq("TIN", "NICKEL", "BRASS", "STEEL", "COPPER"),
             col("id"), lit("pt3"))).as("p_type"),
         (pmod(h(col("id"), lit("ps")), lit(50L)) + 1).cast(IntegerType).as("p_size"),
-        (u(col("id"), lit("pr")) * 2000.0 + 900.0).as("p_retailprice")))
+        round(u(col("id"), lit("pr")) * 2000.0 + 900.0, 2).as("p_retailprice")))
 
       save("orders")(range(nOrders).select(
         col("id").as("o_orderkey"),
         pmod(h(col("id"), lit("oc")), lit(nCustomer)).as("o_custkey"),
         pick(Seq("O", "F", "P"), col("id"), lit("os")).as("o_orderstatus"),
-        (u(col("id"), lit("op")) * 400000.0 + 1000.0).as("o_totalprice"),
+        round(u(col("id"), lit("op")) * 400000.0 + 1000.0, 2).as("o_totalprice"),
         timestamp_seconds(lit(Epoch92) +
           pmod(h(col("id"), lit("od")), lit(86400L * 2400)))
           .cast("timestamp_ntz").as("o_orderdate"),
@@ -175,8 +179,8 @@ object GenData {
         pmod(h(col("id"), lit("lp")), lit(nPart)).as("l_partkey"),
         pmod(h(col("id"), lit("ls")), lit(nSupplier)).as("l_suppkey"),
         col("id"), // keep for the window below
-        (u(col("id"), lit("lq")) * 49.0 + 1.0).as("l_quantity"),
-        (u(col("id"), lit("le")) * 99000.0 + 900.0).as("l_extendedprice"),
+        (floor(u(col("id"), lit("lq")) * 49.0) + 1.0).as("l_quantity"),
+        round(u(col("id"), lit("le")) * 99000.0 + 900.0, 2).as("l_extendedprice"),
         (pmod(h(col("id"), lit("ld")), lit(11L)).cast(DoubleType) / 100.0).as("l_discount"),
         (pmod(h(col("id"), lit("lt")), lit(9L)).cast(DoubleType) / 100.0).as("l_tax"),
         pick(Seq("R", "A", "N"), col("id"), lit("lr")).as("l_returnflag"),
@@ -200,7 +204,7 @@ object GenData {
         pmod(h(col("id"), lit("eu")), lit(math.max(1L, nEvents / 10))).as("user_id"),
         pick(Seq("click", "view", "purchase", "signup", "error"),
           col("id"), lit("ety")).as("event_type"),
-        (u(col("id"), lit("ev")) * 100.0).as("value"),
+        round(u(col("id"), lit("ev")) * 100.0, 2).as("value"),
         concat(lit("{\"device\":\""),
           pick(Seq("mobile", "desktop", "tablet"), col("id"), lit("ed")),
           lit("\",\"v\":"), pmod(h(col("id"), lit("epv")), lit(10L)),

@@ -39,18 +39,64 @@ object Scratch {
       }
       spark.stop(); return
     }
-    if (sys.env.contains("SPARK_GRAFT_SCALE_PROBE")) {
-      val mult = sys.env("SPARK_GRAFT_SCALE_PROBE").toInt
-      val d0 = Tables.load(spark, dir, "documents")
-      val big = (0 until mult).map(k => d0.select((col("doc_id") * mult + k).as("doc_id"),
-        col("text"))).reduce(_ union _)
-      println(s"[scratch] scale probe: ${mult}x docs = " + big.count())
-      for (r <- 1 to 2) {
+    if (sys.env.contains("SPARK_GRAFT_PQ_SWEEP")) {
+      // q122 PQ-recall parameter sweep at a given corpus (SPARK_GRAFT_SF_DIR)
+      import graft.ext.Similarity
+      val e = Tables.load(spark, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceTopK(q, e, 5)
+        .select(col("qid"), col("vid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((nc, np, rf) <- Seq((16, 4, 32), (16, 4, 128), (45, 4, 32), (45, 8, 64),
+          (141, 8, 64), (141, 16, 64), (64, 8, 64), (141, 12, 96))) {
         val t0 = System.nanoTime()
-        val n = Dedup.nearDupJaccard(big, 16, 500 * mult, 0.5).count()
-        println(f"[scratch] nearDupJaccard ${mult}x run$r: ${(System.nanoTime()-t0)/1e9}%.1f s pairs=$n")
-        spark.catalog.clearCache()
+        val ann = Similarity.pqTopK(q, e, 5, nCells = nc, nProbe = np, refine = rf)
+          .select(col("qid"), col("vid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rec = exact.intersect(ann).size.toDouble / exact.size
+        println(f"[pq] nCells=$nc nProbe=$np refine=$rf recall=$rec%.3f ${(System.nanoTime()-t0)/1e9}%.1f s")
+        spark.catalog.clearCache(); graft.core.Caches.unpersistAll()
       }
+      spark.stop(); return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_PROBE")) {
+      // Dup-dense DENSE-path probe (round-10): over a GenData
+      // --dup-permille corpus (SPARK_GRAFT_SF_DIR), run the q37/q38
+      // operators twice per ceiling setting — default ceilings first (the
+      // ground truth; pre-cleared broadcast shape at these corpus sizes),
+      // then with the id/byte ceilings LOWERED so the corpus's own
+      // candidate volume trips the DENSE no-broadcast path — and require
+      // identical pair counts plus the expected path choice. Prints
+      // wall-times so a 10x corpus can be checked for cliffs.
+      val docs = Tables.load(spark, dir, "documents")
+      val nDocs = docs.count()
+      val cap = 500 * math.max(1L, nDocs / 5000).toInt
+      println(s"[probe] corpus=$dir docs=$nDocs dfCap=$cap")
+      def run(tag: String): (Long, Long, String, String) = {
+        spark.catalog.clearCache(); graft.core.Caches.unpersistAll()
+        val t0 = System.nanoTime()
+        val n37 = Dedup.nearDupJaccard(docs, 16, cap, 0.5).count()
+        val p37 = Dedup.lastVerifyPath.get()
+        val t1 = System.nanoTime()
+        graft.core.Caches.unpersistAll()
+        val n38 = Dedup.minhashLshPairs(docs, 16, cap, 128, 4, 0.7).count()
+        val p38 = Dedup.lastVerifyPath.get()
+        val t2 = System.nanoTime()
+        println(f"[probe] $tag: q37 pairs=$n37 path=$p37 ${(t1 - t0) / 1e9}%.1f s; " +
+          f"q38 pairs=$n38 path=$p38 ${(t2 - t1) / 1e9}%.1f s")
+        (n37, n38, p37, p38)
+      }
+      val truth = run("default-ceilings cold")
+      run("default-ceilings warm")
+      spark.conf.set("spark.graft.dedup.verifyIdBroadcastRows",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_IDROWS", "1000"))
+      spark.conf.set("spark.graft.dedup.verifyBroadcastBytes",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_BYTES", "1048576"))
+      val dense = run("lowered-ceilings cold")
+      run("lowered-ceilings warm")
+      require(dense._3 == "dense" && dense._4 == "dense",
+        s"expected dense path, saw q37=${dense._3} q38=${dense._4}")
+      require((dense._1, dense._2) == ((truth._1, truth._2)),
+        s"pair counts diverged: dense=(${dense._1},${dense._2}) truth=(${truth._1},${truth._2})")
+      println("[probe] OK: dense path engaged; pair counts match ground truth")
       spark.stop(); return
     }
     val docs = Tables.load(spark, dir, "documents")

@@ -44,4 +44,28 @@ class GenDataSpec extends SparkSpec {
     val b = unsalted.selectExpr("min(text)").head.getString(0)
     assert(a != b, "salt must produce a statistically independent corpus")
   }
+
+  test("--dup-permille raises near-dup density without changing schema or count") {
+    // times = 1 (5000 docs): the plant gates on doc_id >= 991, so a
+    // smaller corpus has almost no eligible rows
+    def gen(permille: Int): org.apache.spark.sql.DataFrame = {
+      val out = java.nio.file.Files.createTempDirectory(s"gendata-dup$permille").toString
+      GenData.write(spark, out, times = 1, cpus = 4,
+        tables = Set("documents"), dupPermille = permille)
+      spark.read.parquet(s"$out/documents.parquet")
+    }
+    val base = gen(25)
+    val dense = gen(300)
+    assert(norm(base.schema) == norm(dense.schema))
+    assert(base.count() == dense.count())
+    // same seeds, only the near-dup gate widens: the docs whose text
+    // changed are exactly the newly-near-dup rows — expect ≈ 27.5% of
+    // the eligible (doc_id ≥ 991) ids ≈ 22% of 5000
+    val changed = base.select("doc_id", "text")
+      .join(dense.withColumnRenamed("text", "t2").select("doc_id", "t2"), "doc_id")
+      .filter("text <> t2").count()
+    val frac = changed.toDouble / base.count()
+    assert(frac > 0.15 && frac < 0.33,
+      f"expected ~22%% newly-planted near-dups, got $frac%.3f")
+  }
 }

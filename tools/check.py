@@ -54,9 +54,17 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
+    # big-SF runs: the quadratic oracles (q41/q55/q84/q90) spill to disk at
+    # the default memory limit and can fill the volume — let the env raise it
+    if os.environ.get("CHECK_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['CHECK_DUCKDB_MEM']}'")
+    if os.environ.get("CHECK_DUCKDB_TMP"):
+        con.execute(f"SET temp_directory='{os.environ['CHECK_DUCKDB_TMP']}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written dataset dir (e.g. GenData output)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
