@@ -142,9 +142,13 @@ object Dedup {
     * touched set (its materializing action — no extra pass), then
     * decide. `cand` is persisted either way: the id projections and the
     * final join would otherwise recompute the candidate subtree.
-    * Tunables (both deliberately far under the 8 GB relation ceiling):
-    * `spark.graft.dedup.verifyBroadcastBytes` (default 256 MB raw gram
-    * octets ≈ ≤1 GB as a hashed relation) and
+    * Tunables (both deliberately under the 8 GB relation ceiling):
+    * `spark.graft.dedup.verifyBroadcastBytes` (default 1 GB raw gram
+    * octets ≈ 3-4 GB as a hashed relation — the round-10 sf1 smoke
+    * showed the earlier 256 MB default pushing a 300 MB-octet hub onto
+    * the merge path at 7× the wall time (q37: 128 s vs ~17 s) for zero
+    * memory benefit on any realistic executor; tune DOWN for executors
+    * whose heap cannot take a few GB of hashed relation) and
     * `spark.graft.dedup.verifyIdBroadcastRows` (default 16M distinct
     * ids per side). Any path yields the identical pair set — plan
     * choice only (tested by forcing both fallbacks to 0). */
@@ -185,7 +189,7 @@ object Dedup {
     val cand = graft.core.Caches.persist(cand0)
     val conf = cand.sparkSession.conf
     val maxBcastBytes = conf.get("spark.graft.dedup.verifyBroadcastBytes",
-      (256L << 20).toString).toLong
+      (1L << 30).toString).toLong
     val maxIdRows = conf.get("spark.graft.dedup.verifyIdBroadcastRows",
       "16000000").toLong
     val selfJoin = arrsI eq arrsJ

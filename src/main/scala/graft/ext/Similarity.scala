@@ -208,7 +208,15 @@ object Similarity {
     *
     * One shuffle builds the rep hub (shared by the band join and both
     * verify sides via ReuseExchange + persist); the band join shuffles
-    * |reps|·bands code rows, never vectors. */
+    * |reps|·bands code rows, never vectors.
+    *
+    * Corpus-scaling rule (measured on the 10× scale smoke): per-bucket
+    * occupancy is |B|/2^planesPerBand, so bucket-local candidate volume
+    * grows ∝ |B|²/2^planesPerBand at FIXED geometry (26× wall at 10×
+    * data). Scale `planesPerBand` ∝ log₂|B| to hold occupancy, and raise
+    * `bands` to hold recall (recall ≈ 1-(1-r^p)^b for per-plane
+    * agreement r) — precision is unaffected either way (verify is
+    * exact). */
   def annLshPairs(base: DataFrame, minCosine: Double,
       planesPerBand: Int = 4, bands: Int = 16, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
