@@ -300,7 +300,7 @@ object Warehouse {
     // 0.2 gate at refine=32, 0.27 at the scaled 128). ~2.5% of the ranked
     // candidates reach the exact re-rank, floored at the bench-scale 32;
     // the shortlist stays |Q|·refine — bounded, broadcastable.
-    val n = e.count()
+    val n = graft.core.Caches.memo(e)(java.lang.Long.valueOf(e.count())).longValue
     val refine = math.max(32L, (4 * n / 16) / 40).toInt
     // shared-dual band: ONE exact |Q|·|B| pass serves both the oracle
     // side and the ANN re-rank (Similarity.pqRecallBand)
