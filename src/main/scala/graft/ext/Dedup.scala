@@ -143,12 +143,15 @@ object Dedup {
     * decide. `cand` is persisted either way: the id projections and the
     * final join would otherwise recompute the candidate subtree.
     * Tunables (both deliberately under the 8 GB relation ceiling):
-    * `spark.graft.dedup.verifyBroadcastBytes` (default 1 GB raw gram
-    * octets ≈ 3-4 GB as a hashed relation — the round-10 sf1 smoke
-    * showed the earlier 256 MB default pushing a 300 MB-octet hub onto
-    * the merge path at 7× the wall time (q37: 128 s vs ~17 s) for zero
-    * memory benefit on any realistic executor; tune DOWN for executors
-    * whose heap cannot take a few GB of hashed relation) and
+    * `spark.graft.dedup.verifyBroadcastBytes` (default
+    * min(1 GB, maxHeap/8) raw gram octets ≈ 3-4 GB as a hashed relation
+    * at the 1 GB ceiling — the round-10 sf1 smoke showed a 256 MB
+    * ceiling pushing a 300 MB-octet hub onto the merge path at 7× the
+    * wall time (q37: 128 s vs ~17 s) for zero memory benefit on any
+    * realistic executor. The heap-derived term keeps small-heap JVMs
+    * safe WITHOUT tuning: an 8 GB heap clears the full 1 GB, a 2 GB
+    * heap caps at 256 MB — two near-ceiling sides plus the candidate
+    * hub then stay well inside the heap instead of OOMing it) and
     * `spark.graft.dedup.verifyIdBroadcastRows` (default 16M distinct
     * ids per side). Any path yields the identical pair set — plan
     * choice only (tested by forcing both fallbacks to 0). */
@@ -188,8 +191,11 @@ object Dedup {
       minJaccard: Double, statsI: HubStats, statsJ: HubStats): DataFrame = {
     val cand = graft.core.Caches.persist(cand0)
     val conf = cand.sparkSession.conf
+    // default min(1 GB, maxHeap/8): the octets-to-hashed-relation blowup
+    // is ~3-4×, so this keeps two near-ceiling broadcast sides (plus the
+    // candidate hub) under the heap on ANY JVM size — see the class doc
     val maxBcastBytes = conf.get("spark.graft.dedup.verifyBroadcastBytes",
-      (1L << 30).toString).toLong
+      math.min(1L << 30, Runtime.getRuntime.maxMemory / 8).toString).toLong
     val maxIdRows = conf.get("spark.graft.dedup.verifyIdBroadcastRows",
       "16000000").toLong
     val selfJoin = arrsI eq arrsJ

@@ -313,7 +313,15 @@ object Similarity {
     // canonical ANN serving shape as [[pqShortlist]]. The filter/score/
     // project happens IN the streamed join output, so the window's exchange
     // carries (qid, vid, cosine) only, never the vectors.
-    broadcast(q).join(b, Seq("cell"))
+    // The hint is GATED on the optimizer's size estimate of the query set
+    // (free — no job): an oversized query set would otherwise collect to
+    // the driver and OOM where the planner would have picked a shuffle
+    // join. Past the bound the hint is dropped — the serving shape
+    // degrades to a planned join instead of a driver OOM.
+    val probeBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes *
+      BigInt(math.max(1, nProbe))
+    val qSide = if (probeBytes <= BigInt(256L << 20)) broadcast(q) else q
+    qSide.join(b, Seq("cell"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cosine", foldCosine(col("qv"), col("bv")))
       .select(col("qid"), col("vid"), col("cosine"))

@@ -301,10 +301,16 @@ object Warehouse {
     // candidates reach the exact re-rank, floored at the bench-scale 32;
     // the shortlist stays |Q|·refine — bounded, broadcastable.
     val n = graft.core.Caches.memo(e)(java.lang.Long.valueOf(e.count())).longValue
-    val refine = math.max(32L, (4 * n / 16) / 40).toInt
+    // nCells/nProbe feed BOTH the refine formula and the operator call:
+    // one binding, so the probed-volume scaling can never drift from the
+    // actual probe geometry if either value changes
+    val nCells = 16
+    val nProbe = 4
+    val refine = math.max(32L, (nProbe * n / nCells) / 40).toInt
     // shared-dual band: ONE exact |Q|·|B| pass serves both the oracle
     // side and the ANN re-rank (Similarity.pqRecallBand)
-    Similarity.pqRecallBand(q, e, k = 5, minRecall = 0.2, refine = refine)
+    Similarity.pqRecallBand(q, e, k = 5, minRecall = 0.2,
+      nCells = nCells, nProbe = nProbe, refine = refine)
   }
 
   /** q122 oracle: the exact-top-k dual reduced to the band row (the

@@ -161,13 +161,20 @@ object StreamOps {
         } else if (e != builtEpoch && !building) {
           building = true
           val t = new Thread(() => {
+            // catch Throwable, not just NonFatal: a fatal error (OOM in the
+            // blocklist collect) would otherwise kill this daemon thread
+            // with building=true stuck, and every later batch would wait on
+            // the lock forever (refreshWaitMs defaults to Long.MaxValue) —
+            // a silent stream hang instead of fail-after-3. State resets
+            // under the lock for EVERY failure; fatal errors rethrow after.
             try rebuild(e)
-            catch { case scala.util.control.NonFatal(ex) =>
+            catch { case ex: Throwable =>
               System.err.println(s"[graft] nearDupGateSink: blocklist rebuild " +
                 s"for epoch $e failed (${ex.getMessage}); stale list keeps serving")
               lock.synchronized {
                 building = false; consecutiveFailures += 1; lock.notifyAll()
               }
+              if (!scala.util.control.NonFatal(ex)) throw ex
             }
           }, s"graft-ndgate-rebuild-$e")
           t.setDaemon(true)

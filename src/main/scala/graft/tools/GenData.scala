@@ -25,8 +25,11 @@ import org.apache.spark.sql.types._
   * Usage: graft.tools.GenData <outDir> [sfTimes10xOf0.1] [opts]
   *   sfTimes10xOf0.1 accepts fractions ("0.1" = an sf0.01-sized set)
   *   --salt=S    fold S into every hash seed: statistically independent
-  *               datasets of the same shape (S="" reproduces the
-  *               historical bytes exactly)
+  *               datasets of the same shape (S="" keeps the hash seeds
+  *               identical run-to-run; it does NOT reproduce pre-round-9
+  *               bytes — the round-9 schema pins (timestamp_ntz, int64
+  *               n_chars) and the round-10 value-shape fix (integral
+  *               quantities, cent-rounded money) both changed the output)
   *   --tables=documents,embeddings
   *               write only the named tables — the near-dup/ANN heavy
   *               family needs only docs+embeddings, 10× faster smokes

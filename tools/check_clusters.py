@@ -29,11 +29,18 @@ import duckdb
 import pyarrow.parquet as pq
 
 
-def read(out_dir, name):
-    files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+def read(out_dir, name, sort_by=None):
+    # read EVERY part file: a multi-part dump (Verify without coalesce(1),
+    # or a re-partitioned rerun) must not silently drop rows and report a
+    # spurious FAIL. Ordered comparisons re-sort explicitly (sort_by)
+    # instead of trusting file layout to match the query's ORDER BY.
+    files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
     if not files:
         sys.exit(f"missing spark dump {name}")
-    return pq.read_table(files[0]).to_pandas()
+    df = pq.read_table(files).to_pandas()
+    if sort_by is not None:
+        df = df.sort_values(sort_by, ignore_index=True)
+    return df
 
 
 def components(pairs, all_ids):
@@ -76,7 +83,7 @@ def main():
     all_ids = [r[0] for r in doc_rows]
     bucket = dict(doc_rows)
     comp = components(zip(q37.i, q37.j), all_ids)
-    q55 = read(out_dir, "q55_dedup_clusters")
+    q55 = read(out_dir, "q55_dedup_clusters", sort_by="doc_id")
     exp55 = [(d, comp[d], 1 if d == comp[d] else 0) for d in all_ids]
     got55 = list(zip(q55.doc_id, q55.cluster_id, q55.keep))
     if got55 == exp55:
@@ -87,7 +94,7 @@ def main():
         print(f"FAIL q55: first diff at {bad}: got={got55[bad]} exp={exp55[bad]}")
 
     # ---- q84 ----
-    q84 = read(out_dir, "q84_cluster_safe_split")
+    q84 = read(out_dir, "q84_cluster_safe_split", sort_by="doc_id")
     def split_of(b):
         return "train" if b < 80 else ("val" if b < 90 else "test")
     exp84 = [(d, comp[d], 1 if d == comp[d] else 0, bucket[comp[d]],
@@ -106,6 +113,8 @@ def main():
         f"SELECT count(*) FROM read_parquet('{emb_glob}') "
         f"WHERE embedding IS NOT NULL").fetchone()[0]
     q90 = read(out_dir, "q90_semantic_dedup")
+    if len(q90) != 1:
+        sys.exit(f"q90 dump has {len(q90)} rows; expected exactly 1 band row")
     got90 = list(q90.iloc[0])
     exp90 = [n_vecs, len(q41), 1, 1]
     if got90 == exp90:
