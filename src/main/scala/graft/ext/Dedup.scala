@@ -74,7 +74,7 @@ object Dedup {
 
   /** Distinct word n-gram SET of one text value ([[wordNgramArray]]
     * deduplicated — the set-semantics form the Jaccard operators need). */
-  private def wordShingleArray(text: org.apache.spark.sql.Column, n: Int) =
+  private[ext] def wordShingleArray(text: org.apache.spark.sql.Column, n: Int) =
     array_distinct(wordNgramArray(text, n))
 
   /** Character n-gram shingle set, one row per distinct (id, shingle).
@@ -97,6 +97,27 @@ object Dedup {
     * cap for the inverted-index candidates; see class doc). */
   def capDocFreq(sh: DataFrame, maxDf: Int): DataFrame =
     cappedWithDf(sh, maxDf).select(col("id"), col("sh"))
+
+  /** The near-dup family's DEFAULT df cap, sized from the corpus:
+    * `max(floorDf, ⌊|docs|·permille/1000⌋)` — boilerplate is a FRACTION
+    * of a corpus, not an absolute count, so a cap that does not scale
+    * silently changes which shingles count as boilerplate as the corpus
+    * grows (the round-10 sf1 finding: the historical fixed 500 was 10%
+    * of the sf0.1 bench corpus but 1% at sf1, reclassifying mid-frequency
+    * CONTENT shingles as boilerplate). The floor pins every corpus
+    * ≤ floorDf·1000/permille docs to exactly `floorDf` — the bench-scale
+    * plans and pair sets stay bit-identical. One memoized count job
+    * (the q122 corpus-count precedent); passing an explicit `maxDf > 0`
+    * to any family operator skips it entirely. */
+  def fractionalDfCap(docs: DataFrame, floorDf: Int = 500,
+      permille: Int = 100): Int = {
+    require(floorDf > 0 && permille > 0 && permille <= 1000,
+      s"invalid df cap rule: floorDf=$floorDf permille=$permille")
+    val n = graft.core.Caches.memo(docs)(
+      java.lang.Long.valueOf(docs.count())).longValue
+    math.max(floorDf.toLong, n * permille / 1000L)
+      .min(Int.MaxValue.toLong).toInt
+  }
 
   /** Exact-Jaccard verification of candidate (i, j) pairs against the
     * shingle-array hub(s) (the SAME hub twice for self-joins; two hubs
@@ -396,15 +417,15 @@ object Dedup {
     * Doc frequency for the cap and the rarest-first prefix order counts
     * ALL copies (group-size-weighted), so the output is exactly the
     * pair set of the naive all-docs computation. */
-  def nearDupJaccard(docs: DataFrame, n: Int, maxDf: Int,
-      minJaccard: Double,
+  def nearDupJaccard(docs: DataFrame, n: Int, maxDf: Int = 0,
+      minJaccard: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     nearDupJaccardImpl(docs, n, maxDf, minJaccard, idCol, textCol, shingleArray)
 
   /** [[nearDupJaccard]] over WORD n-grams (the token-level variant most
     * text-dedup pipelines use). Same collapse/prefix-filter machinery. */
-  def nearDupJaccardTokens(docs: DataFrame, n: Int, maxDf: Int,
-      minJaccard: Double,
+  def nearDupJaccardTokens(docs: DataFrame, n: Int, maxDf: Int = 0,
+      minJaccard: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     nearDupJaccardImpl(docs, n, maxDf, minJaccard, idCol, textCol, wordShingleArray)
 
@@ -412,9 +433,10 @@ object Dedup {
       minJaccard: Double, idCol: String, textCol: String,
       mkShingles: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column)
       : DataFrame = {
+    val cap = if (maxDf > 0) maxDf else fractionalDfCap(docs)
     val full = textGroups(docs, idCol, textCol)
     val groups = slimGroups(full)
-    val hub = prefixHub(groupShingles(full, n, maxDf, mkShingles))
+    val hub = prefixHub(groupShingles(full, n, cap, mkShingles))
     val st = hubStatsOf(hub)
     val repPairs = verifyJaccard(prefixCandidates(hub, minJaccard, st.grams),
       hub, hub, minJaccard, st, st)
@@ -443,8 +465,11 @@ object Dedup {
     * shuffle-hash join, candidates come from prefix×prefix only, verify
     * is the same merge-scan intersect as the self-join family. */
   def nearDupJaccardAcross(delta: DataFrame, corpus: DataFrame, n: Int,
-      maxDf: Int, minJaccard: Double,
+      maxDf: Int = 0, minJaccard: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the capped universe is defined by the CORPUS side (the index), so
+    // the fractional default sizes from the corpus count too
+    val cap = if (maxDf > 0) maxDf else fractionalDfCap(corpus)
     val dg = textGroups(delta, idCol, textCol)
     val cg = textGroups(corpus, idCol, textCol)
     val cSh = cg.select(col("rep").as("id"), col("gsize"),
@@ -455,14 +480,14 @@ object Dedup {
       cSh.groupBy(col("sh")).agg(
         collect_list(struct(col("id"), col("gsize"))).as("ids"),
         sum(col("gsize")).as("df")))
-    val cShDf = postAll.filter(col("df") <= maxDf)
+    val cShDf = postAll.filter(col("df") <= cap)
       .select(col("sh"), col("df"), explode(col("ids")).as("m"))
       .select(col("sh"), col("df"), col("m.id").as("id"))
     val cHub = prefixHub(cShDf)
     val dSh = dg.select(col("rep").as("id"), explode(shingleArray(col("gtext"), n)).as("sh"))
       .join(postAll.select(col("sh"), col("df")).hint("shuffle_hash"), Seq("sh"), "left")
       .select(col("sh"), coalesce(col("df"), lit(0L)).as("df"), col("id"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") <= cap)
     val dHub = prefixHub(dSh)
     val stD = hubStatsOf(dHub)
     val stC = hubStatsOf(cHub)
@@ -756,12 +781,13 @@ object Dedup {
     * array come out of ONE groupBy(id) aggregation, so the heavy exploded-
     * shingle subtree is shuffled once and the hub exchange is shared by the
     * band join and both verification sides. */
-  def minhashLshPairs(docs: DataFrame, n: Int, maxDf: Int,
-      numHashes: Int, rowsPerBand: Int, minJaccard: Double,
+  def minhashLshPairs(docs: DataFrame, n: Int, maxDf: Int = 0,
+      numHashes: Int = 128, rowsPerBand: Int = 4, minJaccard: Double = 0.7,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cap = if (maxDf > 0) maxDf else fractionalDfCap(docs)
     val full = textGroups(docs, idCol, textCol)
     val groups = slimGroups(full)
-    val sh = groupShingles(full, n, maxDf)
+    val sh = groupShingles(full, n, cap)
       .select(col("id"), col("sh"), xxhash64(col("sh")).as("h0"))
     val aggs = Seq(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("n")) ++
       minhashFamily(col("h0"), numHashes).zipWithIndex

@@ -182,6 +182,58 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** The candidate stage of [[annLshTopK]] — band, join, dedup — emitting
+    * the (qid, vid) pairs that co-bucket in any (band, code), WITHOUT any
+    * scoring: shared machinery for [[srpRecallBand]], which scores the
+    * candidates from the exact dual's own hub instead of re-folding
+    * cosines (the [[ivfCandidates]] twin for the SRP family). Same
+    * shuffle_hash pin rationale as [[annLshTopK]]: the banded sides sit
+    * behind Generates the estimator cannot size. */
+  private def srpCandidates(queries: DataFrame, base: DataFrame,
+      planesPerBand: Int, bands: Int, dims: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val coefs = srpCoefs(bands * planesPerBand, dims)
+    def banded(df: DataFrame, as: String): DataFrame = {
+      val codes = srpCodes(col(vecCol), coefs, planesPerBand, bands)
+      df.select(col(idCol), posexplode(array(codes: _*)).as(Seq("band", "code")))
+        .select(col("band"), col("code"), col(idCol).as(as))
+    }
+    banded(queries, "qid").hint("shuffle_hash")
+      .join(banded(graft.core.Tables.spread(base), "vid"), Seq("band", "code"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"))
+      .distinct()
+  }
+
+  /** [[topKRecallBand]] over [[annLshTopK]] with the exact dual SHARED —
+    * the driver-visible gate for SRP-LSH (q42), priced like
+    * [[ivfRecallBand]]/[[pqRecallBand]]: the [[exactCosinePairs]] hub
+    * persists once (pre-partitioned on qid — both window consumers read
+    * the cached partitioning with no further exchange) and serves BOTH
+    * the exact top-k side of the band and the ANN side's ranking — the
+    * band-join candidates fetch their scores from the hub instead of
+    * re-folding |cand| cosines through two vector joins (deterministic
+    * either way; the hub's scoring IS the dual's). Gate machinery only:
+    * the candidate broadcast is bounded by the gate's validation-scale
+    * contract like the hub itself; the standalone [[annLshTopK]] serving
+    * path never builds either. Hub released via
+    * [[graft.core.Caches.unpersistAll]]. */
+  def srpRecallBand(queries: DataFrame, base: DataFrame, k: Int,
+      minRecall: Double, planesPerBand: Int = 6, bands: Int = 12,
+      dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = graft.core.Caches.persist(
+      exactCosinePairs(queries, base, idCol, vecCol)
+        .filter(col("qid") =!= col("vid"))
+        .repartition(col("qid")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    val exact = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    val cand = srpCandidates(queries, base, planesPerBand, bands, dims, idCol, vecCol)
+    val ann = pairs.join(broadcast(cand), Seq("qid", "vid"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topKRecallBand(ann, exact, minRecall)
+  }
+
   /** LSH-bucketed embedding near-dup PAIRS — the thresholded-pairs scale
     * path for corpus-level embedding dedup (the all-pairs exact form,
     * [[exactCosinePairs]] over base×base, is its small-scale verification
@@ -213,15 +265,47 @@ object Similarity {
     * Corpus-scaling rule (measured on the 10× scale smoke): per-bucket
     * occupancy is |B|/2^planesPerBand, so bucket-local candidate volume
     * grows ∝ |B|²/2^planesPerBand at FIXED geometry (26× wall at 10×
-    * data). Scale `planesPerBand` ∝ log₂|B| to hold occupancy, and raise
-    * `bands` to hold recall (recall ≈ 1-(1-r^p)^b for per-plane
-    * agreement r) — precision is unaffected either way (verify is
-    * exact). */
+    * data). The default geometry (`planesPerBand = bands = 0`) therefore
+    * AUTO-SIZES from a memoized corpus count: `p = max(4, ⌈log₂(|B|/128)⌉)`
+    * holds per-bucket occupancy ≤ ~128, and `b = ⌈16·(1/r)^(p−4)⌉` with
+    * r = 0.63 (per-plane agreement of a 0.4-cosine pair: 1 − θ/π) holds
+    * the per-pair band-match probability of the bench-proven (4, 16)
+    * geometry at the hardest in-contract similarity. The floor keeps
+    * every corpus ≤ 2¹¹ vectors on the exact (4, 16) plans. Explicit
+    * values override the rule.
+    *
+    * KNOWN ENVELOPE — the rule buys a constant factor, not a complexity
+    * class: holding recall for θ ≈ 66° pairs forces b ∝ r^(−Δp), so
+    * candidate volume scales ∝ |B|²·(2r)^(−Δp) ≈ |B|²·0.79^Δp — each
+    * added plane trims only ~21%. This is the LSH ρ→1 degeneracy: when
+    * near-threshold pairs and in-cluster non-pairs have nearly the same
+    * cosine, no sign-projection family separates them sub-quadratically
+    * (and on such corpora the TRUE ≥0.4 pair set itself grows ∝ |B|², so
+    * any operator emitting it is output-bound quadratic). For clustered
+    * corpora at moderate thresholds prefer [[semanticDedup]]'s
+    * coarse-quantize-then-verify path; this operator's banding is the
+    * right tool when the threshold sits well above the background
+    * similarity (e.g. ≥ 0.8 near-copy mining, r ≥ 0.8: each plane then
+    * trims ~38%). */
   def annLshPairs(base: DataFrame, minCosine: Double,
-      planesPerBand: Int = 4, bands: Int = 16, dims: Int = 64,
+      planesPerBand: Int = 0, bands: Int = 0, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require((planesPerBand == 0) == (bands == 0),
+      "planesPerBand and bands must be auto-sized (0) or explicit together " +
+        s"(got planesPerBand=$planesPerBand bands=$bands): the bands rule " +
+        "compensates recall for the plane count, so fixing one without the " +
+        "other silently breaks the recall contract")
+    val (p, b) =
+      if (planesPerBand > 0) (planesPerBand, bands)
+      else {
+        val n = graft.core.Caches.memo(base)(
+          java.lang.Long.valueOf(base.count())).longValue
+        val pp = math.max(4,
+          math.ceil(math.log(math.max(1.0, n / 128.0)) / math.log(2.0)).toInt)
+        (pp, math.ceil(16.0 * math.pow(1.0 / 0.63, pp - 4)).toInt)
+      }
     val codes = srpCodes(col("v"),
-      srpCoefs(bands * planesPerBand, dims), planesPerBand, bands)
+      srpCoefs(b * p, dims), p, b)
 
     // 1. exact-copy collapse on the raw vector (null vectors excluded: the
     // all-pairs dual never scores them either).
@@ -390,6 +474,23 @@ object Similarity {
     * order). Centroids (nCells × dims, tiny) collect to the driver — a
     * legitimate driver literal, like the SRP hyperplanes. */
   private def lloydCentroids(base: DataFrame, nCells: Int,
+      idCol: String, vecCol: String): Array[Array[Double]] =
+    graft.core.Caches.memo(
+      memoKey(base, "lloydCentroids", nCells, idCol, vecCol))(
+      lloydCentroidsJob(base, nCells, idCol, vecCol))
+
+  /** Plan-keyed memo handle for a driver-side trainer: the key DataFrame
+    * is the trainer's input plan plus one literal column encoding the
+    * trainer name and parameters, so [[graft.core.Caches.memo]] (keyed on
+    * the canonical analyzed plan) caches one result per DISTINCT
+    * (input, trainer, params) — a warm re-run or a sibling operator over
+    * the same corpus reuses the collected centroids/codebooks instead of
+    * re-running the training job. Same lifetime contract as the hub
+    * stats memo: cleared by unpersistAll at corpus boundaries. */
+  private def memoKey(df: DataFrame, tag: String, params: Any*): DataFrame =
+    df.withColumn("__graft_memo", lit((tag +: params).mkString(":")))
+
+  private def lloydCentroidsJob(base: DataFrame, nCells: Int,
       idCol: String, vecCol: String): Array[Array[Double]] = {
     import graft.functions.ArrayAgg.sumLongArray
     // vectors aggregate WHOLE ([[graft.functions.SumLongArray]] — one
@@ -570,6 +671,13 @@ object Similarity {
     * rows it would alone, and the sums are exact integers — but the
     * corpus is read once, not twice, and the driver waits on one job. */
   private def trainIvfPq(base: DataFrame, nCells: Int, m: Int, ksub: Int,
+      dims: Int, idCol: String, vecCol: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    graft.core.Caches.memo(
+      memoKey(base, "trainIvfPq", nCells, m, ksub, dims, idCol, vecCol))(
+      trainIvfPqJob(base, nCells, m, ksub, dims, idCol, vecCol))
+
+  private def trainIvfPqJob(base: DataFrame, nCells: Int, m: Int, ksub: Int,
       dims: Int, idCol: String, vecCol: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     import graft.functions.ArrayAgg.sumLongArray

@@ -412,10 +412,14 @@ object Corpus {
       |FROM fp JOIN g USING (fp_md5) ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
-  // q37 — exact n-gram Jaccard near-dup pairs (char 16-grams, doc-frequency
-  // cap 500, threshold 0.5) via inverted-index join.
+  // q37 — exact n-gram Jaccard near-dup pairs (char 16-grams, fractional
+  // doc-frequency cap — max(500, |docs|/10), threshold 0.5) via
+  // inverted-index join. The cap is Dedup.fractionalDfCap's default:
+  // 500 at the sf0.01/sf0.1 bench scales (bit-identical to the
+  // historical fixed cap), |docs|/10 beyond — boilerplate is a fraction
+  // of a corpus, not an absolute count (round-10 sf1 finding).
   def q37_ngram_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupJaccard(docs(s, dir), n = 16, maxDf = 500, minJaccard = 0.5)
+    Dedup.nearDupJaccard(docs(s, dir), n = 16, minJaccard = 0.5)
       .orderBy(col("i"), col("j"))
 
   // NOTE: range(1, 100000) caps shingle positions — valid for the driver
@@ -429,7 +433,8 @@ object Corpus {
       |  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 16) AS sh
       |  FROM documents, range(1, 100000) t(i)
       |  WHERE i <= greatest(length(text) - 15, 1)),
-      |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 500),
+      |keep AS (SELECT sh FROM sh0 GROUP BY sh
+      |         HAVING count(*) <= greatest(500, (SELECT count(*) // 10 FROM documents))),
       |sh AS (SELECT id, sh0.sh FROM sh0 JOIN keep USING (sh)),
       |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (
@@ -454,7 +459,7 @@ object Corpus {
   // the oracle computes the closure with a recursive CTE.
   def q55_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.nearDupJaccard(d, n = 16, maxDf = 500, minJaccard = 0.5)
+    val pairs = Dedup.nearDupJaccard(d, n = 16, minJaccard = 0.5)
     Dedup.dedupDecision(d, pairs)
       .select(col("doc_id"), col("cluster_id"),
         col("keep").cast(IntegerType).as("keep"))
@@ -476,10 +481,11 @@ object Corpus {
       |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
-  // q48 — WORD n-gram Jaccard near-dup (4-token shingles, df cap 500,
-  // threshold 0.5): the token-level dedup most text pipelines run.
+  // q48 — WORD n-gram Jaccard near-dup (4-token shingles, fractional df
+  // cap as q37, threshold 0.5): the token-level dedup most text
+  // pipelines run.
   def q48_word_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupJaccardTokens(docs(s, dir), n = 4, maxDf = 500, minJaccard = 0.5)
+    Dedup.nearDupJaccardTokens(docs(s, dir), n = 4, minJaccard = 0.5)
       .orderBy(col("i"), col("j"))
 
   private val q48_sql =
@@ -488,7 +494,8 @@ object Corpus {
       |  SELECT DISTINCT id, array_to_string(ws[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS sh
       |  FROM w, range(1, 100000) t(i)
       |  WHERE i <= greatest(len(ws) - 3, 1)),
-      |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 500),
+      |keep AS (SELECT sh FROM sh0 GROUP BY sh
+      |         HAVING count(*) <= greatest(500, (SELECT count(*) // 10 FROM documents))),
       |sh AS (SELECT id, sh0.sh FROM sh0 JOIN keep USING (sh)),
       |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (
@@ -506,7 +513,7 @@ object Corpus {
   // 0.7 threshold the 32-band recall is 1 − (1−0.7⁴)³² ≈ 0.9998 per pair,
   // and verified pairs carry exact scores (precision 1).
   def q38_minhash_lsh_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(docs(s, dir), n = 16, maxDf = 500,
+    Dedup.minhashLshPairs(docs(s, dir), n = 16,
         numHashes = 128, rowsPerBand = 4, minJaccard = 0.7)
       .orderBy(col("i"), col("j"))
 
@@ -694,12 +701,14 @@ object Corpus {
   // (round 7): emits Similarity.topKRecallBand vs the q40 brute-force dual
   // — tolerance 0.25 (the ScalaTest gate; measured 0.43 at sf0.01 / 0.61
   // at sf0.1, deterministic). Oracle = exact-side counts + literal 1.
+  // Round 11: the band uses Similarity.srpRecallBand — the shared-exact-
+  // dual-hub pattern q45/q122 already run — so the gate pays ONE |Q|·|B|
+  // exact pass serving both band sides instead of an independent
+  // brute-force dual plus a re-scored ANN side.
   def q42_ann_lsh_topk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 32)
-    Similarity.topKRecallBand(
-      Similarity.annLshTopK(q, e, k = 5),
-      Similarity.bruteForceTopK(q, e, k = 5), minRecall = 0.25)
+    Similarity.srpRecallBand(q, e, k = 5, minRecall = 0.25)
   }
 
   // --------------------------------------------------------------------------
@@ -1031,7 +1040,7 @@ object Corpus {
     val d = docs(s, dir)
     Dedup.nearDupJaccardAcross(
         d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
-        n = 16, maxDf = 500, minJaccard = 0.5)
+        n = 16, minJaccard = 0.5)
       .orderBy(col("i"), col("j"))
   }
 
@@ -1043,13 +1052,14 @@ object Corpus {
       |  FROM corpus, range(1, 100000) t(i)
       |  WHERE i <= greatest(length(text) - 15, 1)),
       |cdf AS (SELECT sh, count(*) AS df FROM csh GROUP BY sh),
-      |ckeep AS (SELECT id, csh.sh FROM csh JOIN cdf USING (sh) WHERE df <= 500),
+      |ckeep AS (SELECT id, csh.sh FROM csh JOIN cdf USING (sh)
+      |          WHERE df <= greatest(500, (SELECT count(*) // 10 FROM corpus))),
       |dsh AS (
       |  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 16) AS sh
       |  FROM delta, range(1, 100000) t(i)
       |  WHERE i <= greatest(length(text) - 15, 1)),
       |dkeep AS (SELECT id, dsh.sh FROM dsh LEFT JOIN cdf USING (sh)
-      |          WHERE coalesce(df, 0) <= 500),
+      |          WHERE coalesce(df, 0) <= greatest(500, (SELECT count(*) // 10 FROM corpus))),
       |dsz AS (SELECT id, count(*) AS n FROM dkeep GROUP BY 1),
       |csz AS (SELECT id, count(*) AS n FROM ckeep GROUP BY 1),
       |inter AS (
@@ -1173,7 +1183,7 @@ object Corpus {
   // with the md5 bucket rule through the same canonical join.
   def q84_cluster_safe_split(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.nearDupJaccard(d, n = 16, maxDf = 500, minJaccard = 0.5)
+    val pairs = Dedup.nearDupJaccard(d, n = 16, minJaccard = 0.5)
     Dedup.clusterSafeSplit(d, pairs)
       .select(col("doc_id"), col("cluster_id"),
         col("keep").cast(IntegerType).as("keep"),

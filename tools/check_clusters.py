@@ -6,7 +6,7 @@ The expensive part of those oracles is the shared pair CTE — the exact
 n-gram Jaccard pairs (q55/q84) or the exact cosine pairs (q90). At sf1
 DuckDB's RECURSIVE closure over the quadratic pair CTE needs >90 GB and
 fills the volume with spill. But the pair sets themselves ARE
-independently verified: q37's rows (same nearDupJaccard(16, 500, 0.5)
+independently verified: q37's rows (same nearDupJaccard(16, fractional df cap, 0.5)
 call q55/q84 cluster) and q41's rows (the same exact-cosine >= 0.4 set
 q90's band counts) hash-match their own DuckDB oracles at the same SF.
 So this tool re-derives the CHEAP remainder of each oracle from the
