@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's correctness gate.
 
-Usage: tools/check.py <verify_out_dir> <sf_dir>
+Usage: tools/check.py <verify_out_dir> <sf_dir> [--json <out.json>]
+
+--json additionally writes the per-query results in the round-artifact
+format ({name: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}) so a scale run can be recorded as CORRECTNESS_sf*.json
+directly instead of transcribing terminal output.
 
 Reads each <name>/ parquet result written by graft.Verify, runs the
 corresponding oracle SQL from oracle_sql.json in DuckDB against the sf_dir
@@ -52,6 +57,10 @@ def h(df: pd.DataFrame) -> str:
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+    results = {}
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     # big-SF runs: the quadratic oracles (q41/q55/q84/q90) spill to disk at
@@ -69,26 +78,42 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = 0
+    def record(name, rows_match, schema_match, hash_match,
+               spark_rows, oracle_rows, err):
+        results[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                         "hash_match": hash_match, "spark_rows": spark_rows,
+                         "oracle_rows": oracle_rows, "err": err}
     for name in names:
-        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        # every part file (sorted): a multi-part dump must not silently
+        # drop rows; canon() re-sorts rows, so order never matters
+        files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
         if not files:
-            print(f"FAIL {name}: no spark parquet output"); n_fail += 1; continue
-        got = pq.read_table(files[0]).to_pandas()
+            print(f"FAIL {name}: no spark parquet output"); n_fail += 1
+            record(name, False, False, False, 0, None, "no spark parquet output")
+            continue
+        got = pq.read_table(files).to_pandas()
         if name not in oracle:
             print(f"ROWS {name}: rows={len(got)} (no oracle, rows-only check)")
             n_pass += 1
+            record(name, len(got) > 0, True, False, len(got), None, None)
             continue
         try:
             exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1
+            record(name, False, False, False, len(got), None, f"oracle SQL error: {e}")
+            continue
         gc, ec = canon(got), canon(exp)
         if list(gc.columns) != list(ec.columns):
             print(f"FAIL {name}: schema spark={list(gc.columns)} oracle={list(ec.columns)}")
-            n_fail += 1; continue
+            n_fail += 1
+            record(name, len(gc) == len(ec), False, False, len(gc), len(ec), None)
+            continue
         if len(gc) != len(ec):
             print(f"FAIL {name}: rows spark={len(gc)} oracle={len(ec)}")
-            n_fail += 1; continue
+            n_fail += 1
+            record(name, False, True, False, len(gc), len(ec), None)
+            continue
         hg, he = h(gc), h(ec)
         if hg != he:
             print(f"FAIL {name}: hash mismatch")
@@ -99,10 +124,15 @@ def main():
                     print("  oracle:", ec.iloc[i].to_dict())
                     break
             n_fail += 1
+            record(name, True, True, False, len(gc), len(ec), None)
         else:
             print(f"PASS {name} rows={len(gc)} hash={hg}")
             n_pass += 1
+            record(name, True, True, True, len(gc), len(ec), None)
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 
