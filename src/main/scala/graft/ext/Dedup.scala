@@ -211,6 +211,11 @@ object Dedup {
   private def verifyJaccard(cand0: DataFrame, arrsI: DataFrame, arrsJ: DataFrame,
       minJaccard: Double, statsI: HubStats, statsJ: HubStats): DataFrame = {
     val cand = graft.core.Caches.persist(cand0)
+    // scale observability (costs one count job; off by default): the
+    // prefix-candidate volume is the near-dup family's scaling axis —
+    // the df-cap probes compare it across corpus sizes
+    if (sys.env.contains("SPARK_GRAFT_COUNT_CANDIDATES"))
+      System.err.println(s"[graft] Dedup.verifyJaccard candidates=${cand.count()}")
     val conf = cand.sparkSession.conf
     // default min(1 GB, maxHeap/8): the octets-to-hashed-relation blowup
     // is ~3-4×, so this keeps two near-ceiling broadcast sides (plus the
