@@ -53,11 +53,14 @@ object Dedup {
 
   /** Distinct char n-gram set of one text value (the single source of the
     * shingling rule: short texts contribute the whole text as one shingle;
-    * null text yields null, which explode drops). */
+    * null text yields null, which explode drops). Round 11: the
+    * declarative `array_distinct(transform(sequence(...), substr))` form
+    * became the codegen'd [[graft.functions.TextShingles.charNgramSet]] —
+    * identical semantics (full oracle suite re-verified), one static call
+    * per row instead of interpreted per-gram lambdas (the dominant cost
+    * of q54's warm run and every char-gram hub build). */
   private def shingleArray(text: org.apache.spark.sql.Column, n: Int) =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-      i => text.substr(i, lit(n))))
+    graft.functions.TextShingles.charNgramSet(text, n)
 
   /** Word (whitespace-token) n-grams of one text value, in order and with
     * duplicates — the single source of the word-gram rule: texts with fewer
@@ -73,9 +76,13 @@ object Dedup {
   }
 
   /** Distinct word n-gram SET of one text value ([[wordNgramArray]]
-    * deduplicated — the set-semantics form the Jaccard operators need). */
+    * deduplicated — the set-semantics form the Jaccard operators need).
+    * Codegen'd as [[graft.functions.TextShingles.wordNgramSet]] (round 11,
+    * same rationale as [[shingleArray]]); [[wordNgramArray]] keeps the
+    * declarative duplicate-preserving form for the occurrence-counting
+    * consumers. */
   private[ext] def wordShingleArray(text: org.apache.spark.sql.Column, n: Int) =
-    array_distinct(wordNgramArray(text, n))
+    graft.functions.TextShingles.wordNgramSet(text, n)
 
   /** Character n-gram shingle set, one row per distinct (id, shingle).
     * Documents shorter than n contribute their whole text as one shingle.

@@ -40,10 +40,28 @@ object GraftExtensions {
       es => Hash60(es(0))),
     fn("graft_nfc", classOf[NfcNormalize],
       es => NfcNormalize(es(0))),
+    // the n parameter must be a foldable literal in the SQL form (it
+    // shapes the generated call site, like deflate's level)
+    fn("graft_char_ngram_set", classOf[CharNgramSet],
+      es => CharNgramSet(es(0), foldToInt(es(1), "graft_char_ngram_set"))),
+    fn("graft_word_ngram_set", classOf[WordNgramSet],
+      es => WordNgramSet(es(0), foldToInt(es(1), "graft_word_ngram_set"))),
     // aggregate: the analyzer wraps a bare AggregateFunction from a
     // registry builder in AggregateExpression during resolution
     fn("graft_sum_long_array", classOf[SumLongArray],
       es => SumLongArray(es(0))))
+
+  private def foldToInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name: n must be a literal integer, got ${e.sql}")
+    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name: n must be an integer literal, got $other")
+    }
+  }
 
   private def fn(name: String, cls: Class[_],
       builder: Seq[Expression] => Expression)

@@ -217,4 +217,35 @@ object GraftProps extends Properties("graft") {
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       fused == composed
     }
+
+  // unicode + spaces + empties: the codegen shingle sets must equal the
+  // declarative HOF forms they replaced (round 11) byte for byte
+  private val shingleTextGen: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', ' ', ' ', 'é', '語', ',')).map(_.mkString))
+
+  property("CharNgramSet == array_distinct(transform(sequence, substr))") =
+    Prop.forAll(Gen.listOfN(16, shingleTextGen), Gen.chooseNum(1, 6)) { (texts, n) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val neq = df.select(
+          graft.functions.TextShingles.charNgramSet(col("t"), n).as("g"),
+          array_distinct(transform(
+            sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
+            i => col("t").substr(i, lit(n)))).as("o"))
+        .filter(col("g") =!= col("o")).count()
+      neq == 0L
+    }
+
+  property("WordNgramSet == array_distinct(transform(sequence, concat_ws(slice(split))))") =
+    Prop.forAll(Gen.listOfN(16, shingleTextGen), Gen.chooseNum(1, 4)) { (texts, n) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val ws = split(col("t"), " ", -1)
+      val neq = df.select(
+          graft.functions.TextShingles.wordNgramSet(col("t"), n).as("g"),
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+            i => concat_ws(" ", slice(ws, i, lit(n))))).as("o"))
+        .filter(col("g") =!= col("o")).count()
+      neq == 0L
+    }
 }
