@@ -31,6 +31,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(pairs.forall(r => r.getAs[Long]("i") < r.getAs[Long]("j")))
   }
 
+  test("fractionalDfCap: floor below the fraction point, |corpus|/10 above, memoized count") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val n = docs.count()
+    assert(Dedup.fractionalDfCap(docs) == math.max(500L, n / 10))  // floor dominates at this scale
+    assert(Dedup.fractionalDfCap(docs, floorDf = 3) == math.max(3L, n / 10))
+    assert(Dedup.fractionalDfCap(docs, floorDf = 3, permille = 200) == math.max(3L, n / 5))
+    intercept[IllegalArgumentException](Dedup.fractionalDfCap(docs, permille = 0))
+    // default-cap call == explicit-500 call at bench scale (bit-identical sets)
+    val dflt = Dedup.nearDupJaccard(docs, 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expl = Dedup.nearDupJaccard(docs, 16, maxDf = 500, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt == expl)
+    graft.core.Caches.unpersistAll()
+  }
+
+  test("annLshPairs auto-geometry: floor keeps (4,16); one-sided explicit params rejected") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    // <= 2^11 vectors: the auto rule must produce the historical plans —
+    // same pair set as the explicit (4,16) call
+    val auto = Similarity.annLshPairs(e, 0.4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Similarity.annLshPairs(e, 0.4, planesPerBand = 4, bands = 16)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed)
+    intercept[IllegalArgumentException](
+      Similarity.annLshPairs(e, 0.4, planesPerBand = 6))
+    intercept[IllegalArgumentException](
+      Similarity.annLshPairs(e, 0.4, bands = 32))
+    graft.core.Caches.unpersistAll()
+  }
+
   test("minhash LSH pairs == exact jaccard pairs at the 0.7 threshold (sf0.001)") {
     val docs = Tables.load(spark, sf001, "documents")
     val exact = Dedup.jaccardPairs(
