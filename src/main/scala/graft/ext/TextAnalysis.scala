@@ -379,10 +379,12 @@ object TextAnalysis {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
     val testLo = trainPct + valPct
+    // exists+filter as ONE codegen'd call (PostingMembers): empty output
+    // for non-bench grams, train members for bench grams; explode drops
+    // the empties, so no separate row filter is needed
     wordGramPostings(docs, n, idCol, textCol)
-      .filter(exists(col("ids"), m => m.getField("bucket") >= lit(testLo)))
-      .select(explode(filter(col("ids"),
-        m => m.getField("bucket") < lit(trainPct))).as("m"))
+      .select(explode(graft.functions.PostingMembers
+        .trainHitMembers(col("ids"), trainPct, testLo)).as("m"))
       .groupBy(col("m.id").as("id"), col("m.n_grams").cast(LongType).as("n_grams"))
       .agg(count(lit(1)).as("n_contaminated"))
       .select(col("id").as(idCol), col("n_grams"), col("n_contaminated"),
