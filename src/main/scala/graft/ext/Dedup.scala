@@ -3,6 +3,7 @@ package graft.ext
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -124,6 +125,67 @@ object Dedup {
       java.lang.Long.valueOf(docs.count())).longValue
     math.max(floorDf.toLong, n * permille / 1000L)
       .min(Int.MaxValue.toLong).toInt
+  }
+
+  /** Cross-document REPEATED-SPAN extraction — the reporting core of
+    * exact substring deduplication (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": verbatim text repeated across
+    * training documents is the highest-leverage dedup target), at word
+    * `n`-gram granularity instead of a suffix array: for each document,
+    * the MAXIMAL runs of consecutive token positions whose n-grams each
+    * occur in at least one OTHER document. A run of `g` consecutive
+    * shared grams covers `g + n - 1` tokens of verbatim cross-document
+    * text; runs shorter than `minGrams` are noise (common phrases) and
+    * are dropped. Output: one row per (doc, maximal span) —
+    * `(id, span_start (1-based token idx), span_len (tokens), n_grams)`.
+    *
+    * Contract edges, pinned by spec + oracle: documents with fewer than
+    * `n` tokens emit nothing ([[graft.functions.TextShingles.wordGramSeq]]
+    * has NO short-text fallback — a span is never narrower than its gram);
+    * a gram repeated only WITHIN one document is not shared (cross-doc
+    * means ≥2 distinct ids — tested as `min(id) ≠ max(id)`, a codegen'd
+    * two-scalar aggregate instead of a distinct-count); overlapping spans
+    * shared with DIFFERENT partner documents merge into one maximal span
+    * (the output answers "which of MY text is duplicated somewhere", not
+    * "with whom" — [[nearDupJaccard]]/[[containmentPairs]] answer the
+    * pairwise question).
+    *
+    * Plan shape (scale posture): positional grams are one codegen call +
+    * posexplode (volume = total corpus tokens, linear); ONE corpus
+    * shuffle groups by gram carrying `(id, p)` members (the posting-hub
+    * shape — hot boilerplate grams make single fat rows, inherent to
+    * posting lists, never a driver structure); shared grams explode back
+    * to hit positions (≤ linear in corpus tokens); the maximal-run merge
+    * is the islands trick (`p − row_number` per doc) — a per-document
+    * window whose partitions are bounded by document length, never by
+    * corpus size. Nothing is O(n²) and nothing leaves the executors. */
+  def repeatedSpans(docs: DataFrame, n: Int = 8, minGrams: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0 && minGrams > 0,
+      s"gram width and span floor must be positive: n=$n minGrams=$minGrams")
+    val pos = graft.core.Tables.spread(docs).select(
+        col(idCol).as("id"),
+        posexplode(graft.functions.TextShingles.wordGramSeq(col(textCol), n)))
+      .select(col("id"), (col("pos") + 1).cast(LongType).as("p"), col("col").as("sh"))
+    // the SHARED-POSITION hub (id, p) is keyed by (corpus, n) only —
+    // minGrams is applied after the window, so every rerun/variant over
+    // the same corpus reuses the one expensive gram shuffle (the
+    // wordGramPostings persistence precedent; released by unpersistAll)
+    val hits = graft.core.Caches.persist(
+      pos.groupBy(col("sh"))
+        .agg(collect_list(struct(col("id"), col("p"))).as("members"),
+          min(col("id")).as("mn"), max(col("id")).as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select(explode(col("members")).as("m"))
+        .select(col("m.id").as("id"), col("m.p").as("p")))
+    val byPos = Window.partitionBy(col("id")).orderBy(col("p"))
+    hits.withColumn("isl", col("p") - row_number().over(byPos))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("p")).as("span_start"), count(lit(1)).as("n_grams"),
+        (max(col("p")) - min(col("p")) + n).cast(LongType).as("span_len"))
+      .filter(col("n_grams") >= minGrams)
+      .select(col("id").as(idCol), col("span_start"), col("span_len"),
+        col("n_grams"))
   }
 
   /** Exact-Jaccard verification of candidate (i, j) pairs against the

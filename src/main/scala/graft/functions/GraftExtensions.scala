@@ -46,6 +46,8 @@ object GraftExtensions {
       es => CharNgramSet(es(0), foldToInt(es(1), "graft_char_ngram_set"))),
     fn("graft_word_ngram_set", classOf[WordNgramSet],
       es => WordNgramSet(es(0), foldToInt(es(1), "graft_word_ngram_set"))),
+    fn("graft_word_gram_seq", classOf[WordGramSeq],
+      es => WordGramSeq(es(0), foldToInt(es(1), "graft_word_gram_seq"))),
     // aggregate: the analyzer wraps a bare AggregateFunction from a
     // registry builder in AggregateExpression during resolution
     fn("graft_sum_long_array", classOf[SumLongArray],

@@ -48,6 +48,17 @@ object TextShingles {
   def wordNgramSet(text: Column, n: Int): Column =
     Bridge.column(WordNgramSet(Bridge.expression(text), n))
 
+  /** POSITIONAL word n-gram sequence of `text`: element `i` (0-based) is
+    * the gram starting at token `i+1`, in order, duplicates kept — the
+    * builder for position-aware consumers ([[graft.ext.Dedup.repeatedSpans]])
+    * where array index IS the token position. Texts with fewer than `n`
+    * tokens yield an EMPTY array (no short-text fallback: a span operator
+    * must never manufacture a "window" shorter than its gram width — the
+    * deliberate contrast with the set builders' whole-text-as-one-gram
+    * rule, which exists for set-similarity, not positions). */
+  def wordGramSeq(text: Column, n: Int): Column =
+    Bridge.column(WordGramSeq(Bridge.expression(text), n))
+
   // Runtime bodies, shared by interpreted eval and codegen (codegen emits
   // one static call — the loop itself is compiled Scala, not generated
   // Java, so there is exactly one implementation to trust).
@@ -78,6 +89,23 @@ object TextShingles {
     new GenericArrayData(set.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  def wordGramPositional(text: UTF8String, n: Int): GenericArrayData = {
+    val ws = text.toString.split(" ", -1)
+    val count = ws.length - (n - 1)
+    if (count <= 0) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) { if (j > i) sb.append(' '); sb.append(ws(j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private[functions] def checkString(e: Expression, name: String): TypeCheckResult =
     e.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
@@ -98,6 +126,25 @@ case class CharNgramSet(child: Expression, n: Int) extends UnaryExpression {
     TextShingles.charGrams(input.asInstanceOf[UTF8String], n)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextShingles.charGrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `when(#tokens >= n, transform(sequence(1, #tokens-n+1), i =>
+  * concat_ws(' ', slice(split(text, ' ', -1), i, n)))).otherwise(array())`
+  * as one codegen'd call — the POSITIONAL gram sequence (index = token
+  * position, duplicates kept, empty under n tokens); see
+  * [[TextShingles.wordGramSeq]]. */
+case class WordGramSeq(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"n must be positive: $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextShingles.checkString(child, prettyName)
+  override def prettyName: String = "graft_word_gram_seq"
+  override protected def nullSafeEval(input: Any): Any =
+    TextShingles.wordGramPositional(input.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextShingles.wordGramPositional($c, $n)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

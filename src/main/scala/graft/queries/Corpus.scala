@@ -237,6 +237,36 @@ object Corpus {
       |FROM e ORDER BY chunk_id, doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q124 — cross-document repeated spans (exact substring dedup's reporting
+  // core at word 8-gram granularity): per document, the maximal runs of
+  // consecutive token positions whose 8-grams each occur in some OTHER
+  // document; runs under 4 grams (11 tokens) dropped as phrase noise. The
+  // oracle is the same shared-gram + gaps-and-islands computation in SQL.
+  def q124_repeated_spans(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.repeatedSpans(docs(s, dir), n = 8, minGrams = 4)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  private val q124_sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS sh
+      |  FROM w, range(1, 100000) t(i)
+      |  WHERE i <= len(ws) - 7),
+      |shared AS (SELECT sh FROM g GROUP BY sh HAVING min(doc_id) <> max(doc_id)),
+      |hits AS (SELECT doc_id, p FROM g JOIN shared USING (sh)),
+      |isl AS (SELECT doc_id, p,
+      |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      |        FROM hits),
+      |spans AS (
+      |  SELECT doc_id, min(p) AS span_start,
+      |    CAST(max(p) - min(p) + 8 AS BIGINT) AS span_len,
+      |    CAST(count(*) AS BIGINT) AS n_grams
+      |  FROM isl GROUP BY doc_id, grp)
+      |SELECT doc_id, span_start, span_len, n_grams FROM spans
+      |WHERE n_grams >= 4 ORDER BY doc_id, span_start""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q54 — boilerplate n-grams: the 16-grams shared by the most documents
   // (document frequency, ties broken lexicographically) — the corpus-
   // cleaning precursor behind the near-dup maxDf caps. Integer-exact.
@@ -1330,6 +1360,7 @@ object Corpus {
     "q52_deterministic_split" -> (q52_deterministic_split _),
     "q53_token_budget_shards" -> (q53_token_budget_shards _),
     "q123_pack_sequences" -> (q123_pack_sequences _),
+    "q124_repeated_spans" -> (q124_repeated_spans _),
     "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
     "q58_repetition_stats" -> (q58_repetition_stats _),
     "q59_contamination" -> (q59_contamination _),
@@ -1377,6 +1408,7 @@ object Corpus {
     "q52_deterministic_split" -> q52_sql,
     "q53_token_budget_shards" -> q53_sql,
     "q123_pack_sequences" -> q123_sql,
+    "q124_repeated_spans" -> q124_sql,
     "q54_boilerplate_ngrams" -> q54_sql,
     "q58_repetition_stats" -> q58_sql,
     "q59_contamination" -> q59_sql,

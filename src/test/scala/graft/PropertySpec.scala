@@ -248,4 +248,18 @@ object GraftProps extends Properties("graft") {
         .filter(col("g") =!= col("o")).count()
       neq == 0L
     }
+
+  property("WordGramSeq == when(#tokens >= n, transform(sequence, concat_ws(slice(split))))") =
+    Prop.forAll(Gen.listOfN(16, shingleTextGen), Gen.chooseNum(1, 4)) { (texts, n) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val ws = split(col("t"), " ", -1)
+      val neq = df.select(
+          graft.functions.TextShingles.wordGramSeq(col("t"), n).as("g"),
+          when(size(ws) >= n, transform(
+            sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ", slice(ws, i, lit(n)))))
+            .otherwise(array().cast("array<string>")).as("o"))
+        .filter(col("g") =!= col("o")).count()
+      neq == 0L
+    }
 }

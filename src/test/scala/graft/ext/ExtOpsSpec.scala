@@ -31,6 +31,42 @@ class ExtOpsSpec extends SparkSpec {
     assert(pairs.forall(r => r.getAs[Long]("i") < r.getAs[Long]("j")))
   }
 
+  test("repeatedSpans: maximal cross-doc runs, short docs and within-doc repeats excluded") {
+    val S = (1 to 16).map(i => s"S$i").mkString(" ")      // 16 shared tokens
+    val df = Seq(
+      // docs 1/2 share exactly S: spans start where S starts (pos 5 / pos 3),
+      // 16 tokens = 9 consecutive 8-grams
+      (1L, s"w1 w2 w3 w4 $S x1 x2 x3 x4 x5"),
+      (2L, s"v1 v2 $S y1 y2"),
+      // docs 3/4: exact copies but only 5 tokens — under the gram width,
+      // no grams, no spans (no short-text fallback by contract)
+      (3L, "t1 t2 t3 t4 t5"), (4L, "t1 t2 t3 t4 t5"),
+      // doc 5: repeats its own 8-gram twice but shares nothing cross-doc
+      (5L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8 z1 z2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(df, n = 8, minGrams = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_len"), r.getAs[Long]("n_grams"))).toSet
+    assert(out == Set((1L, 5L, 16L, 9L), (2L, 3L, 16L, 9L)))
+    // minGrams filter: a floor above the run length drops both spans
+    assert(Dedup.repeatedSpans(df, n = 8, minGrams = 10).count() == 0L)
+  }
+
+  test("repeatedSpans: runs split by a gap stay separate maximal spans") {
+    val A = (1 to 12).map(i => s"A$i").mkString(" ")
+    val B = (1 to 12).map(i => s"B$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$A g1 g2 g3 $B"),                    // two shared runs, gapped
+      (2L, s"p1 $A q1 q2"), (3L, s"$B u1")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, n = 8, minGrams = 2)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_len"),
+        r.getAs[Long]("n_grams"))).toSet
+    // A covers doc-1 tokens 1-12 (grams 1-5), B covers tokens 16-27 (grams 16-20)
+    assert(spans == Set((1L, 12L, 5L), (16L, 12L, 5L)))
+  }
+
   test("fractionalDfCap: floor below the fraction point, |corpus|/10 above, memoized count") {
     val docs = Tables.load(spark, sf001, "documents")
     val n = docs.count()
