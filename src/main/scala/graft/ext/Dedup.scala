@@ -127,6 +127,33 @@ object Dedup {
       .min(Int.MaxValue.toLong).toInt
   }
 
+  /** Persisted SHARED-GRAM-POSITION hub, keyed by (corpus, n): one row
+    * per occurrence of a cross-document-shared positional word n-gram —
+    * `(id, p (1-based token position), keep)`, where `keep` marks the
+    * gram's canonical holder (the MIN doc id among documents containing
+    * it — the same deterministic min-id election [[exactDedup]] uses).
+    * Shared by [[repeatedSpans]] (reads every occurrence: the report
+    * covers canonical copies too) and [[stripRepeatedSpans]] (removes
+    * non-holder occurrences only), so a report-then-rewrite session pays
+    * the one corpus-sized gram shuffle once (the wordGramPostings
+    * precedent; released by [[graft.core.Caches.unpersistAll]]). Hot
+    * boilerplate grams make single fat posting rows — inherent to the
+    * posting shape, never a driver structure. */
+  private def sharedGramHub(docs: DataFrame, n: Int,
+      idCol: String, textCol: String): DataFrame =
+    graft.core.Caches.persist(
+      graft.core.Tables.spread(docs).select(
+          col(idCol).as("id"),
+          posexplode(graft.functions.TextShingles.wordGramSeq(col(textCol), n)))
+        .select(col("id"), (col("pos") + 1).cast(LongType).as("p"), col("col").as("sh"))
+        .groupBy(col("sh"))
+        .agg(collect_list(struct(col("id"), col("p"))).as("members"),
+          min(col("id")).as("mn"), max(col("id")).as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select(explode(col("members")).as("m"), col("mn"))
+        .select(col("m.id").as("id"), col("m.p").as("p"),
+          (col("m.id") === col("mn")).as("keep")))
+
   /** Cross-document REPEATED-SPAN extraction — the reporting core of
     * exact substring deduplication (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better": verbatim text repeated across
@@ -163,21 +190,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n > 0 && minGrams > 0,
       s"gram width and span floor must be positive: n=$n minGrams=$minGrams")
-    val pos = graft.core.Tables.spread(docs).select(
-        col(idCol).as("id"),
-        posexplode(graft.functions.TextShingles.wordGramSeq(col(textCol), n)))
-      .select(col("id"), (col("pos") + 1).cast(LongType).as("p"), col("col").as("sh"))
-    // the SHARED-POSITION hub (id, p) is keyed by (corpus, n) only —
-    // minGrams is applied after the window, so every rerun/variant over
-    // the same corpus reuses the one expensive gram shuffle (the
-    // wordGramPostings persistence precedent; released by unpersistAll)
-    val hits = graft.core.Caches.persist(
-      pos.groupBy(col("sh"))
-        .agg(collect_list(struct(col("id"), col("p"))).as("members"),
-          min(col("id")).as("mn"), max(col("id")).as("mx"))
-        .filter(col("mn") =!= col("mx"))
-        .select(explode(col("members")).as("m"))
-        .select(col("m.id").as("id"), col("m.p").as("p")))
+    val hits = sharedGramHub(docs, n, idCol, textCol).select(col("id"), col("p"))
     val byPos = Window.partitionBy(col("id")).orderBy(col("p"))
     hits.withColumn("isl", col("p") - row_number().over(byPos))
       .groupBy(col("id"), col("isl"))
@@ -186,6 +199,66 @@ object Dedup {
       .filter(col("n_grams") >= minGrams)
       .select(col("id").as(idCol), col("span_start"), col("span_len"),
         col("n_grams"))
+  }
+
+  /** Keep-one-copy exact substring deduplication — the REWRITE half of
+    * [[repeatedSpans]] and the headline action of Lee et al.'s substring
+    * dedup: text duplicated across documents survives in its canonical
+    * holder (always at least one place — a removed token's covering gram
+    * is by construction kept intact in that gram's holder) and is CUT
+    * everywhere else. Token-level
+    * rule, pinned by spec + oracle: a token of document `d` is removed
+    * iff it is covered by at least one cross-document-shared n-gram whose
+    * canonical holder is NOT `d`, and by NO shared gram whose holder IS
+    * `d` — the keep-override matters when duplicated regions overlap (a
+    * doc that canonically holds text Y keeps Y intact even where Y
+    * overlaps a copy of someone else's X; without the override the
+    * corpus could lose its last copy of the overlap). Within-doc
+    * repetition alone never cuts anything (not cross-document —
+    * [[graft.ext.TextAnalysis.maskRepeatedNgrams]] is the mask-ALL-
+    * occurrences df-threshold cousin; this op is the all-but-one form).
+    *
+    * Output is total on the input: `(id, clean_text, n_tokens,
+    * n_removed, n_spans)`; null text → null outputs; a fully-duplicated
+    * non-canonical doc yields the empty string. Documents under `n`
+    * tokens pass through unchanged (no grams — no short-text fallback).
+    *
+    * Plan: the shared [[sharedGramHub]] (one corpus gram shuffle,
+    * amortized with [[repeatedSpans]]); covered positions explode
+    * map-side from gram starts (≤ n rows per hit, linear) and distinct
+    * on (doc, pos); the keep-override is a set EXCEPT on (doc, pos); the
+    * run-count lag window and the reassembly groupBy share one hash
+    * partitioning on the doc id (the maskRepeatedNgrams plan shape). No
+    * corpus-wide window, no driver-side data. */
+  def stripRepeatedSpans(docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0, s"gram width must be positive: $n")
+    val hub = sharedGramHub(docs, n, idCol, textCol)
+    def cover(hits: DataFrame): DataFrame = hits
+      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
+      .distinct()
+    val rm = cover(hub.filter(!col("keep")))
+      .except(cover(hub.filter(col("keep"))))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), " ", -1).as("ws"))
+    val tokens = base
+      .select(col("id"), posexplode(col("ws")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).cast(LongType).as("pos"), col("tok"))
+    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val emit = tokens
+      .join(rm.withColumn("rm", lit(true)), Seq("id", "pos"), "left")
+      .withColumn("rm", coalesce(col("rm"), lit(false)))
+      .withColumn("prm", coalesce(lag(col("rm"), 1).over(byPos), lit(false)))
+    val rebuilt = emit.groupBy(col("id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("rm"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+      sum(when(col("rm") && !col("prm"), lit(1L)).otherwise(lit(0L))).as("n_spans"),
+      array_sort(collect_list(when(!col("rm"),
+        struct(col("pos"), col("tok"))))).as("ks"))
+    docs.select(col(idCol))
+      .join(rebuilt.select(col("id").as(idCol),
+        concat_ws(" ", transform(col("ks"), x => x.getField("tok"))).as("clean_text"),
+        col("n_tokens"), col("n_removed"), col("n_spans")), Seq(idCol), "left")
   }
 
   /** Exact-Jaccard verification of candidate (i, j) pairs against the

@@ -267,6 +267,51 @@ object Corpus {
       |WHERE n_grams >= 4 ORDER BY doc_id, span_start""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q125 — keep-one-copy substring dedup (the rewrite half of q124): text
+  // duplicated across docs survives only in its canonical (min-id) holder
+  // and is cut everywhere else; a holder's own text is never cut even
+  // where duplicated regions overlap (the keep-override). Token-level
+  // rule; the oracle recomputes it with EXCEPT + a lag window.
+  def q125_strip_repeated_spans(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.stripRepeatedSpans(docs(s, dir), n = 8)
+      .orderBy(col("doc_id"))
+
+  private val q125_sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS sh
+      |  FROM w, range(1, 100000) t(i)
+      |  WHERE i <= len(ws) - 7),
+      |gi AS (SELECT sh, min(doc_id) AS holder FROM g GROUP BY sh
+      |       HAVING min(doc_id) <> max(doc_id)),
+      |hit AS (SELECT g.doc_id, g.p, (g.doc_id = gi.holder) AS keep
+      |        FROM g JOIN gi USING (sh)),
+      |rem0 AS (SELECT DISTINCT doc_id, p + CAST(off AS BIGINT) AS pos
+      |         FROM hit, range(0, 8) o(off) WHERE NOT keep),
+      |keep0 AS (SELECT DISTINCT doc_id, p + CAST(off AS BIGINT) AS pos
+      |          FROM hit, range(0, 8) o(off) WHERE keep),
+      |rm AS (SELECT doc_id, pos FROM rem0
+      |       EXCEPT SELECT doc_id, pos FROM keep0),
+      |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS INT)] AS tok
+      |        FROM w, range(1, 100000) t(i) WHERE i <= len(ws)),
+      |m AS (SELECT t.doc_id, t.pos, t.tok, (r.pos IS NOT NULL) AS rm,
+      |        coalesce(lag(r.pos IS NOT NULL) OVER
+      |          (PARTITION BY t.doc_id ORDER BY t.pos), false) AS prm
+      |      FROM tok t LEFT JOIN rm r ON t.doc_id = r.doc_id AND t.pos = r.pos),
+      |agg AS (SELECT doc_id,
+      |    coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT rm), '')
+      |      AS clean_text,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |    CAST(sum(CASE WHEN rm AND NOT prm THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_spans
+      |  FROM m GROUP BY doc_id)
+      |SELECT d.doc_id, a.clean_text, a.n_tokens, a.n_removed, a.n_spans
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q54 — boilerplate n-grams: the 16-grams shared by the most documents
   // (document frequency, ties broken lexicographically) — the corpus-
   // cleaning precursor behind the near-dup maxDf caps. Integer-exact.
@@ -1361,6 +1406,7 @@ object Corpus {
     "q53_token_budget_shards" -> (q53_token_budget_shards _),
     "q123_pack_sequences" -> (q123_pack_sequences _),
     "q124_repeated_spans" -> (q124_repeated_spans _),
+    "q125_strip_repeated_spans" -> (q125_strip_repeated_spans _),
     "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
     "q58_repetition_stats" -> (q58_repetition_stats _),
     "q59_contamination" -> (q59_contamination _),
@@ -1409,6 +1455,7 @@ object Corpus {
     "q53_token_budget_shards" -> q53_sql,
     "q123_pack_sequences" -> q123_sql,
     "q124_repeated_spans" -> q124_sql,
+    "q125_strip_repeated_spans" -> q125_sql,
     "q54_boilerplate_ngrams" -> q54_sql,
     "q58_repetition_stats" -> q58_sql,
     "q59_contamination" -> q59_sql,

@@ -67,6 +67,49 @@ class ExtOpsSpec extends SparkSpec {
     assert(spans == Set((1L, 12L, 5L), (16L, 12L, 5L)))
   }
 
+  test("stripRepeatedSpans: canonical copy survives, partners are cut, totals stay") {
+    val S = (1 to 16).map(i => s"S$i").mkString(" ")
+    val df = Seq(
+      (1L, s"w1 w2 $S x1"),            // canonical holder of S (min id)
+      (2L, s"v1 $S y1 y2 y3"),         // copy — S removed
+      (3L, "t1 t2 t3"),                 // under gram width, untouched
+      (4L, null.asInstanceOf[String])   // null text, null outputs
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(df, n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Any]("n_tokens"),
+          r.getAs[Any]("n_removed"), r.getAs[Any]("n_spans"))).toMap
+    assert(out(1L) == (s"w1 w2 $S x1", 19L, 0L, 0L))       // holder intact
+    assert(out(2L) == ("v1 y1 y2 y3", 20L, 16L, 1L))       // S cut, one span
+    assert(out(3L) == ("t1 t2 t3", 3L, 0L, 0L))
+    assert(out(4L) == ((null, null, null, null)))
+  }
+
+  test("stripRepeatedSpans keep-override: a holder's text survives inside an overlap") {
+    // doc 2's tokens c1-c12 are doc 1's text (holder 1 → remove-grams
+    // covering 1..12) while c5-c16 is text doc 2 canonically holds for
+    // doc 3 (holder-2 keep-grams covering 6..16; the start-5 gram
+    // c5..c12 lives in all three docs so ITS holder is 1). The overlap
+    // 6..12 is covered by BOTH families — the EXCEPT override must keep
+    // it, or doc 3's canon would lose tokens.
+    val c = (1 to 16).map(i => s"c$i")
+    val df = Seq(
+      (1L, (c.take(12) :+ "d1" :+ "d2").mkString(" ")),
+      (2L, c.mkString(" ")),
+      (3L, ("e1" +: c.drop(4)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(df, n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_spans"))).toMap
+    assert(out(1L) == ((c.take(12) :+ "d1" :+ "d2").mkString(" "), 0L, 0L))
+    // doc 2 loses only c1-c5 (covered by doc-1-held grams alone); the
+    // overlap c6-c12 survives via its own keep-grams
+    assert(out(2L) == (c.drop(5).mkString(" "), 5L, 1L))
+    // doc 3's whole c5-c16 copy is cut (canon split across docs 1 and 2)
+    assert(out(3L) == ("e1", 12L, 1L))
+  }
+
   test("fractionalDfCap: floor below the fraction point, |corpus|/10 above, memoized count") {
     val docs = Tables.load(spark, sf001, "documents")
     val n = docs.count()
