@@ -135,24 +135,32 @@ object Dedup {
     * Shared by [[repeatedSpans]] (reads every occurrence: the report
     * covers canonical copies too) and [[stripRepeatedSpans]] (removes
     * non-holder occurrences only), so a report-then-rewrite session pays
-    * the one corpus-sized gram shuffle once (the wordGramPostings
-    * precedent; released by [[graft.core.Caches.unpersistAll]]). Hot
-    * boilerplate grams make single fat posting rows — inherent to the
-    * posting shape, never a driver structure. */
+    * the gram shuffle once (the wordGramPostings precedent; released by
+    * [[graft.core.Caches.unpersistAll]]).
+    *
+    * Deliberately NOT the collect_list posting shape the set-similarity
+    * hubs use: a span hub cannot df-cap (an ultra-hot gram still marks
+    * every position it covers), so at web scale a boilerplate gram's
+    * posting row would grow with the corpus — the recorded fat-row OOM
+    * hazard with no cap to bound it. Instead: a narrow three-scalar
+    * aggregate per gram (min/max — no lists, row width constant at any
+    * df) joined back to the occurrence stream. Both the aggregate and
+    * the join consume the SAME (sh-shuffled) occurrence subtree, so the
+    * exchange is planned once and reused, not paid twice. */
   private def sharedGramHub(docs: DataFrame, n: Int,
-      idCol: String, textCol: String): DataFrame =
+      idCol: String, textCol: String): DataFrame = {
+    val pos = graft.core.Tables.spread(docs).select(
+        col(idCol).as("id"),
+        posexplode(graft.functions.TextShingles.wordGramSeq(col(textCol), n)))
+      .select(col("id"), (col("pos") + 1).cast(LongType).as("p"), col("col").as("sh"))
+    val stats = pos.groupBy(col("sh"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("sh"), col("mn"))
     graft.core.Caches.persist(
-      graft.core.Tables.spread(docs).select(
-          col(idCol).as("id"),
-          posexplode(graft.functions.TextShingles.wordGramSeq(col(textCol), n)))
-        .select(col("id"), (col("pos") + 1).cast(LongType).as("p"), col("col").as("sh"))
-        .groupBy(col("sh"))
-        .agg(collect_list(struct(col("id"), col("p"))).as("members"),
-          min(col("id")).as("mn"), max(col("id")).as("mx"))
-        .filter(col("mn") =!= col("mx"))
-        .select(explode(col("members")).as("m"), col("mn"))
-        .select(col("m.id").as("id"), col("m.p").as("p"),
-          (col("m.id") === col("mn")).as("keep")))
+      pos.hint("shuffle_hash").join(stats, Seq("sh"))
+        .select(col("id"), col("p"), (col("id") === col("mn")).as("keep")))
+  }
 
   /** Cross-document REPEATED-SPAN extraction — the reporting core of
     * exact substring deduplication (Lee et al., "Deduplicating Training

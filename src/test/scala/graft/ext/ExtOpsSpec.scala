@@ -67,6 +67,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(spans == Set((1L, 12L, 5L), (16L, 12L, 5L)))
   }
 
+  test("sharedGramHub plan: the sh-shuffled occurrence subtree is planned once and reused") {
+    // the span hub deliberately avoids collect_list posting rows (no df
+    // cap is possible for spans, so a hot gram's row would grow with the
+    // corpus); the price must NOT be a second corpus shuffle — the stats
+    // aggregate and the back-join must share one exchange
+    graft.core.Caches.unpersistAll()
+    val docs = Tables.load(spark, sf001, "documents")
+    val out = Dedup.repeatedSpans(docs, 8, 4)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(plan).length >= 1,
+      s"expected the hub's sh-exchange to be reused, got plan:\n$plan")
+    graft.core.Caches.unpersistAll()
+  }
+
   test("stripRepeatedSpans: canonical copy survives, partners are cut, totals stay") {
     val S = (1 to 16).map(i => s"S$i").mkString(" ")
     val df = Seq(
