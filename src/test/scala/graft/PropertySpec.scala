@@ -249,6 +249,69 @@ object GraftProps extends Properties("graft") {
       neq == 0L
     }
 
+  // span-dedup pair vs a from-scratch in-JVM reference: positional grams,
+  // min-id holder election, islands merge, token-level strip rule with the
+  // keep-override — every rule recomputed independently in plain Scala
+  private val spanDocGen: Gen[String] =
+    Gen.chooseNum(0, 14).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+
+  private def refSpanModel(texts: List[String], n: Int) = {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t.split(" ", -1).toVector) }
+    val occ = docs.flatMap { case (id, ws) =>
+      if (ws.length >= n) (0 to ws.length - n).map(i => (id, i + 1L, ws.slice(i, i + n).mkString(" ")))
+      else Nil
+    }
+    val byGram = occ.groupBy(_._3).filter { case (_, os) => os.map(_._1).distinct.size >= 2 }
+    val holder = byGram.map { case (g, os) => g -> os.map(_._1).min }
+    val hits = byGram.values.flatten.map(o => (o._1, o._2, holder(o._3) == o._1)).toList
+    (docs, hits)
+  }
+
+  private def refIslands(ps: List[Long]): List[List[Long]] =
+    ps.sorted.foldLeft(List.empty[List[Long]]) {
+      case ((run @ (last :: _)) :: rest, p) if p == last + 1 => (p :: run) :: rest
+      case (acc, p) => List(p) :: acc
+    }.map(_.reverse).reverse
+
+  property("repeatedSpans == in-JVM reference (positions, islands, min-run)") =
+    Prop.forAll(Gen.listOfN(6, spanDocGen), Gen.chooseNum(1, 3)) { (texts, minG) =>
+      val n = 3
+      val (_, hits) = refSpanModel(texts, n)
+      val expect = hits.groupBy(_._1).flatMap { case (id, hs) =>
+        refIslands(hs.map(_._2).distinct).collect {
+          case run if run.size >= minG =>
+            (id, run.head, run.last - run.head + n, run.size.toLong)
+        }
+      }.toSet
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      graft.core.Caches.unpersistAll()
+      val got = Dedup.repeatedSpans(df, n, minG).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      got == expect
+    }
+
+  property("stripRepeatedSpans == in-JVM reference (keep-override token rule)") =
+    Prop.forAll(Gen.listOfN(6, spanDocGen)) { texts =>
+      val n = 3
+      val (docs, hits) = refSpanModel(texts, n)
+      val expect = docs.map { case (id, ws) =>
+        val cover = (keep: Boolean) => hits.collect {
+          case (d, p, k) if d == id && k == keep => (p until p + n)
+        }.flatten.toSet
+        val rm = cover(false) -- cover(true)
+        val kept = ws.zipWithIndex.collect { case (w, i) if !rm(i + 1L) => w }
+        val spans = refIslands(rm.toList).size.toLong
+        id -> (kept.mkString(" "), ws.length.toLong, rm.size.toLong, spans)
+      }.toMap
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      graft.core.Caches.unpersistAll()
+      val got = Dedup.stripRepeatedSpans(df, n).collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      got == expect
+    }
+
   property("WordGramSeq == when(#tokens >= n, transform(sequence, concat_ws(slice(split))))") =
     Prop.forAll(Gen.listOfN(16, shingleTextGen), Gen.chooseNum(1, 4)) { (texts, n) =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
