@@ -247,6 +247,22 @@ object Dedup {
       .distinct()
     val rm = cover(hub.filter(!col("keep")))
       .except(cover(hub.filter(col("keep"))))
+    cutTokensAt(docs, rm, idCol, textCol)
+  }
+
+  /** The token-cut REBUILD tail shared by the span-rewrite family
+    * ([[stripRepeatedSpans]],
+    * [[graft.ext.TextAnalysis.decontaminateSpans]]): given the documents
+    * to rebuild and a removal set `rm` of `(id, pos)` 1-based token
+    * positions, re-emit each document with those tokens cut. Output is
+    * total on `docs` — `(idCol, clean_text, n_tokens, n_removed,
+    * n_spans)`; null text → null outputs; a fully-cut doc yields the
+    * empty string. Plan: the token explode is map-only; the run-count
+    * lag window and the reassembly groupBy share one hash partitioning
+    * on the doc id (the maskRepeatedNgrams plan shape) — per-document
+    * partitions, bounded by document length, never corpus size. */
+  private[ext] def cutTokensAt(docs: DataFrame, rm: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), split(col(textCol), " ", -1).as("ws"))
     val tokens = base

@@ -33,6 +33,18 @@ object Sharding {
   def tokenBudgetShards(docs: DataFrame, budget: Long, bucketSize: Long = 4096,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(budget > 0, "budget must be positive")
+    import graft.queries.intDiv
+    tokenPrefix(docs, bucketSize, idCol, textCol)
+      .withColumn("shard", intDiv(col("tokens_before"), budget))
+      .select(col(idCol), col("n_tokens"), col("tokens_before"), col("shard"))
+  }
+
+  /** The exact global token prefix sum both [[tokenBudgetShards]] and
+    * [[ppsTokenSample]] lay their stream on: `(idCol, n_tokens,
+    * tokens_before)` over ascending `idCol`, via the three-step parallel
+    * prefix sum documented on [[tokenBudgetShards]]. */
+  private def tokenPrefix(docs: DataFrame, bucketSize: Long,
+      idCol: String, textCol: String): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
     // TRUE integer division throughout (graft.queries.intDiv — Column./
     // on longs is a double divide). Two consumers (offsets aggregate +
@@ -50,8 +62,66 @@ object Sharding {
     toks.join(broadcast(offsets), Seq("bucket"))
       .withColumn("tokens_before",
         col("bucket_offset") + coalesce(sum(col("n_tokens")).over(wdw), lit(0L)))
-      .withColumn("shard", intDiv(col("tokens_before"), budget))
-      .select(col(idCol), col("n_tokens"), col("tokens_before"), col("shard"))
+      .select(col(idCol), col("n_tokens"), col("tokens_before"))
+  }
+
+  /** Probability-proportional-to-size SYSTEMATIC sample without
+    * replacement by token mass — "draw `k` documents, each with
+    * probability proportional to its token count" (Madow's systematic
+    * PPS sampling: the design for subsetting a training corpus where
+    * long documents must be proportionally represented — a uniform doc
+    * sample under-weights token mass; cutting a uniform TOKEN sample
+    * splits documents). Deterministic midpoint rule, no RNG: lay the
+    * corpus out as one token stream in ascending `idCol` order (the
+    * [[tokenBudgetShards]] layout) and take the `k` stream positions
+    * `p_j = floor((2j+1)·total / 2k)`, j = 0..k−1; a document is
+    * selected iff its interval `[tokens_before, tokens_before +
+    * n_tokens)` contains a pick point. A doc longer than `total/k` can
+    * contain several picks — it is emitted ONCE with `n_hits` > 1 (its
+    * sampling multiplicity/weight — the textbook systematic-PPS caveat
+    * for units above the stride). Null-text docs have no token interval
+    * and are never selected.
+    *
+    * Exactness and scale: pick containment is solved per doc in CLOSED
+    * FORM — the contained j-range falls out of two integer ceiling/floor
+    * divisions — in DECIMAL(20,0) (`2k·position` overflows BIGINT once
+    * `k·total` passes 2⁶³: a 10⁶-doc draw over a 10-trillion-token
+    * corpus) with `div` floor-division, bit-identical on any engine.
+    * Plan: the shared parallel prefix sum (no global row window), ONE
+    * memoized scalar job for the corpus total, then a MAP-ONLY
+    * selection — no joins, no broadcasts, nothing driver-sized. */
+  def ppsTokenSample(docs: DataFrame, k: Long, bucketSize: Long = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    import graft.queries.intDiv
+    val laid = graft.core.Caches.persist(
+      tokenPrefix(docs, bucketSize, idCol, textCol))
+    val total = graft.core.Caches.memo(laid)(java.lang.Long.valueOf(
+      laid.agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0))).longValue
+    require(total > 0, "corpus has no tokens to sample from")
+    val dec = DecimalType(20, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast(dec)
+    def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("div", a, b).cast(LongType)
+    val t = d(lit(total))
+    val twoK = d(lit(2L * k))
+    // first pick ≥ start:  p_j ≥ b  ⟺  2j+1 ≥ ceilDiv(2k·b, total)
+    val c1 = fdiv(d(col("tokens_before")) * twoK + t - d(lit(1)), t)
+    // last pick < start+n:  p_j < b+n  ⟺  2j+1 ≤ floor((2k·(b+n) − 1) / total)
+    val m2 = fdiv(d(col("tokens_before") + col("n_tokens")) * twoK - d(lit(1)), t)
+    val j1 = intDiv(c1, 2L)
+    // long `div` truncates toward zero — m2 = 0 must yield j2 = −1
+    // (no pick), not 0; m2 ≥ 1 keeps the operand non-negative
+    val j2 = least(when(col("m2") <= 0, lit(-1L))
+      .otherwise(intDiv(col("m2") - 1, 2L)), lit(k - 1))
+    // n_tokens IS NOT NULL must be explicit: a null-text doc nulls m2/j2,
+    // but least() SKIPS nulls (j2 = k−1) while j1 — built from the
+    // non-null tokens_before — survives, so the null doc would pass the
+    // j-range test and surface with null counts
+    laid.withColumn("m2", m2).withColumn("j1", j1).withColumn("j2", j2)
+      .filter(col("n_tokens").isNotNull && col("j1") <= col("j2"))
+      .select(col(idCol), col("n_tokens"), col("tokens_before"),
+        (col("j2") - col("j1") + 1).as("n_hits"))
   }
 
   /** Concat-and-chunk sequence packing — the batch former of LLM

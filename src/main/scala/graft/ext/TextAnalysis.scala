@@ -392,6 +392,72 @@ object TextAnalysis {
           .as("contamination_frac"))
   }
 
+  /** Benchmark DECONTAMINATION rewrite — the action half of
+    * [[splitContamination]], the way [[Dedup.stripRepeatedSpans]] is the
+    * action half of [[Dedup.repeatedSpans]]: cut from every TRAIN-split
+    * document each token covered by a word `n`-gram that also occurs
+    * anywhere in the TEST split (the GPT-3/Lee-et-al.-style n-gram
+    * decontamination applied at span level — the document keeps its
+    * uncontaminated text instead of being dropped whole; reference
+    * corpora run this before training so eval benchmarks are not
+    * memorized verbatim). Splits are [[deterministicSplit]]'s
+    * content-hash buckets, so the whole rewrite is reproducible across
+    * engines and runs. The VAL split neither cuts nor is cut (it is
+    * held-out training data, not a benchmark); null-text docs bucket to
+    * the test split ([[splitLabel]]'s otherwise-branch) and so never
+    * appear in the output.
+    *
+    * Output is total on the TRAIN split: `(idCol, clean_text, n_tokens,
+    * n_removed, n_spans)`; uncontaminated train docs pass through
+    * unchanged; a fully-contaminated doc yields the empty string;
+    * documents under `n` tokens emit no grams and pass through (no
+    * short-text fallback — [[graft.functions.TextShingles.wordGramSeq]],
+    * the span-family contract).
+    *
+    * Plan shape (scale posture): positional grams with the split bucket
+    * riding each occurrence are one codegen call + posexplode (linear in
+    * corpus tokens); the test-gram side is a NARROW one-scalar aggregate
+    * per gram (`max(bucket)` — a gram is a test gram iff its max bucket
+    * reaches the test range; no posting lists, so no df-cap hazard and
+    * constant row width at any df, the [[Dedup.stripRepeatedSpans]] hub
+    * rationale) over a text-only pruned scan; on the back-join side
+    * Catalyst pushes the train filter BELOW the gram explode into the
+    * scan (asserted by the plan spec), so only the train ~80% of the
+    * corpus is shingled and sh-shuffled there. Two lean pipelines beat
+    * one shared exchange here — deliberately unlike
+    * [[Dedup.stripRepeatedSpans]]'s hub, whose both consumers need ALL
+    * occurrences: gram bytes run ≈ n × text bytes, so trimming the
+    * explode outweighs re-scanning the columnar input. Covered positions
+    * explode map-side (≤ n rows per hit); the rebuild is the shared
+    * [[Dedup.cutTokensAt]] tail — per-document windows only. Nothing
+    * broadcasts, nothing reaches the driver. */
+  def decontaminateSpans(docs: DataFrame, n: Int = 8,
+      trainPct: Int = 80, valPct: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0, s"gram width must be positive: $n")
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val testLo = trainPct + valPct
+    val pos = graft.core.Tables.spread(docs).select(
+        col(idCol).as("id"),
+        pmod(hash60(col(textCol)), lit(100L)).as("bucket"),
+        posexplode(graft.functions.TextShingles.wordGramSeq(col(textCol), n)))
+      .select(col("id"), col("bucket"),
+        (col("pos") + 1).cast(LongType).as("p"), col("col").as("sh"))
+    val testGrams = pos.groupBy(col("sh"))
+      .agg(max(col("bucket")).as("mxb"))
+      .filter(col("mxb") >= testLo)
+      .select(col("sh"))
+    val hits = pos.hint("shuffle_hash").join(testGrams, Seq("sh"))
+      .filter(col("bucket") < trainPct)
+      .select(col("id"), col("p"))
+    val rm = hits
+      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
+      .distinct()
+    val train = docs.filter(pmod(hash60(col(textCol)), lit(100L)) < trainPct)
+    Dedup.cutTokensAt(train, rm, idCol, textCol)
+  }
+
   /** Deterministic stratified sampling: per-stratum keep rates in basis
     * points of 10000, keyed on the CONTENT hash (same bucketing family as
     * [[deterministicSplit]]) — reproducible across runs/engines/cluster

@@ -237,6 +237,38 @@ object Corpus {
       |FROM e ORDER BY chunk_id, doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q127 — systematic PPS token-mass sampling: draw 100 documents with
+  // probability proportional to token count (Madow's method, deterministic
+  // midpoint pick points on q53's token stream — the corpus-subsetting
+  // step where long documents must be proportionally represented). The
+  // Spark side solves pick containment in closed form per doc; the oracle
+  // MATERIALIZES the 100 pick points and range-joins them — two
+  // independent formulations of the same rule.
+  def q127_pps_token_sample(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sharding.ppsTokenSample(docs(s, dir), k = 100)
+      .orderBy(col("doc_id"))
+
+  private val q127_sql =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tokens_before
+      |  FROM t),
+      |tot AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS total FROM t),
+      |picks AS (
+      |  SELECT CAST(((2 * CAST(j AS HUGEINT) + 1) * total) // 200 AS BIGINT) AS p
+      |  FROM range(0, 100) r(j), tot)
+      |SELECT c.doc_id, c.n_tokens, c.tokens_before,
+      |  CAST(count(*) AS BIGINT) AS n_hits
+      |FROM c JOIN picks
+      |  ON picks.p >= c.tokens_before AND picks.p < c.tokens_before + c.n_tokens
+      |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q124 — cross-document repeated spans (exact substring dedup's reporting
   // core at word 8-gram granularity): per document, the maximal runs of
   // consecutive token positions whose 8-grams each occur in some OTHER
@@ -309,6 +341,51 @@ object Corpus {
       |  FROM m GROUP BY doc_id)
       |SELECT d.doc_id, a.clean_text, a.n_tokens, a.n_removed, a.n_spans
       |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q126 — benchmark decontamination rewrite (the action half of q59, as
+  // q125 is to q124): every train-split token covered by a word 8-gram
+  // that also occurs in the test split is cut; splits are q52's
+  // deterministic content-hash buckets, so the rewrite is reproducible
+  // end-to-end. Output is total on the train split. The oracle recomputes
+  // the same rule: test grams by max(bucket), covered positions, lag
+  // window for span counts.
+  def q126_decontaminate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.decontaminateSpans(docs(s, dir), n = 8)
+      .orderBy(col("doc_id"))
+
+  private val q126_sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, bucket, CAST(i AS BIGINT) AS p,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS sh
+      |  FROM w, range(1, 100000) t(i)
+      |  WHERE i <= len(ws) - 7),
+      |tg AS (SELECT sh FROM g GROUP BY sh HAVING max(bucket) >= 90),
+      |hit AS (SELECT doc_id, p FROM g JOIN tg USING (sh) WHERE bucket < 80),
+      |rm AS (SELECT DISTINCT doc_id, p + CAST(off AS BIGINT) AS pos
+      |       FROM hit, range(0, 8) o(off)),
+      |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS INT)] AS tok
+      |        FROM w, range(1, 100000) t(i)
+      |        WHERE bucket < 80 AND i <= len(ws)),
+      |m AS (SELECT t.doc_id, t.pos, t.tok, (r.pos IS NOT NULL) AS rm,
+      |        coalesce(lag(r.pos IS NOT NULL) OVER
+      |          (PARTITION BY t.doc_id ORDER BY t.pos), false) AS prm
+      |      FROM tok t LEFT JOIN rm r ON t.doc_id = r.doc_id AND t.pos = r.pos),
+      |agg AS (SELECT doc_id,
+      |    coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT rm), '')
+      |      AS clean_text,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |    CAST(sum(CASE WHEN rm AND NOT prm THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_spans
+      |  FROM m GROUP BY doc_id)
+      |SELECT d.doc_id, a.clean_text, a.n_tokens, a.n_removed, a.n_spans
+      |FROM (SELECT doc_id FROM w WHERE bucket < 80) d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -1407,6 +1484,8 @@ object Corpus {
     "q123_pack_sequences" -> (q123_pack_sequences _),
     "q124_repeated_spans" -> (q124_repeated_spans _),
     "q125_strip_repeated_spans" -> (q125_strip_repeated_spans _),
+    "q126_decontaminate" -> (q126_decontaminate _),
+    "q127_pps_token_sample" -> (q127_pps_token_sample _),
     "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
     "q58_repetition_stats" -> (q58_repetition_stats _),
     "q59_contamination" -> (q59_contamination _),
@@ -1456,6 +1535,8 @@ object Corpus {
     "q123_pack_sequences" -> q123_sql,
     "q124_repeated_spans" -> q124_sql,
     "q125_strip_repeated_spans" -> q125_sql,
+    "q126_decontaminate" -> q126_sql,
+    "q127_pps_token_sample" -> q127_sql,
     "q54_boilerplate_ngrams" -> q54_sql,
     "q58_repetition_stats" -> q58_sql,
     "q59_contamination" -> q59_sql,

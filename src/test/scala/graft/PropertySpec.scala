@@ -5,6 +5,7 @@ import graft.functions.ArrayMath
 import graft.operators.TextOps
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
 
 /** ScalaCheck parity properties (SURVEY §5.3): the semantics contracts that
   * are easy to get subtly wrong are checked against independent in-JVM
@@ -310,6 +311,33 @@ object GraftProps extends Properties("graft") {
         .map(r => r.getLong(0) ->
           (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       got == expect
+    }
+
+  private val ppsDocGen: Gen[String] = Gen.frequency(
+    (8, Gen.chooseNum(1, 30)),
+    (1, Gen.const(200)),                 // longer than most strides → n_hits > 1
+    (1, Gen.const(-1)))                  // marker → null text
+    .map(m => if (m < 0) null else (1 to m).map(i => s"w$i").mkString(" "))
+
+  property("ppsTokenSample == serial systematic-PPS reference (midpoint picks)") =
+    Prop.forAll(Gen.listOfN(12, ppsDocGen), Gen.chooseNum(1L, 50L)) { (texts, k) =>
+      val toks = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, Option(t).map(_.split(" ", -1).length.toLong)) }
+      var acc = 0L
+      val laid = toks.map { case (id, n) =>
+        val r = (id, n, acc); acc += n.getOrElse(0L); r }
+      val total = acc
+      (total > 0L) ==> {
+        val picks = (0L until k).map(j => (BigInt(2 * j + 1) * total / (2 * k)).toLong)
+        val expect = laid.collect { case (id, Some(n), b)
+            if picks.exists(p => p >= b && p < b + n) =>
+          id -> (n, b, picks.count(p => p >= b && p < b + n).toLong) }.toMap
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        graft.core.Caches.unpersistAll()
+        val got = graft.ext.Sharding.ppsTokenSample(df, k).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        got == expect
+      }
     }
 
   property("WordGramSeq == when(#tokens >= n, transform(sequence, concat_ws(slice(split))))") =

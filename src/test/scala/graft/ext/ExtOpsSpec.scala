@@ -125,6 +125,57 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(3L) == ("e1", 12L, 1L))
   }
 
+  test("decontaminateSpans: test grams cut from train docs; val neither cuts nor is cut") {
+    def bucket(t: String): Long =
+      (BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+        % 100).toLong
+    // content-hash splits can't be assigned — craft them: append a unique
+    // filler token until the text's bucket lands in the wanted split
+    def craft(base: String, tag: String)(pred: Long => Boolean): String =
+      Iterator.from(0).map(i => s"$base $tag$i").find(t => pred(bucket(t))).get
+    val S = (1 to 12).map(i => s"S$i").mkString(" ") // 12 tokens → 5 full 8-grams
+    val T = (1 to 12).map(i => s"T$i").mkString(" ")
+    val trainDirty = craft(s"a1 a2 a3 $S", "a")(_ < 80)   // S also in test → cut
+    val trainValOnly = craft(s"e1 e2 $T", "e")(_ < 80)    // T only in val → kept
+    val trainClean = craft("c1 c2 c3 c4 c5 c6 c7 c8 c9", "c")(_ < 80)
+    val testDoc = craft(s"b1 $S", "b")(_ >= 90)
+    val valDoc = craft(s"d1 $S $T", "d")(b => b >= 80 && b < 90)
+    val df = Seq(
+      (1L, trainDirty), (2L, trainValOnly), (3L, trainClean),
+      (4L, testDoc), (5L, valDoc), (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateSpans(df, n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_spans"))).toMap
+    // only the train split is rewritten or emitted (null text → test bucket)
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // S's 5 shared 8-grams cover exactly the 12 S-tokens: one span cut
+    val expectClean = trainDirty.split(" ").filterNot(_.startsWith("S")).mkString(" ")
+    assert(out(1L) == (expectClean, 12L, 1L))
+    // a gram shared only with the VAL split is not benchmark contamination
+    assert(out(2L) == (trainValOnly, 0L, 0L))
+    assert(out(3L) == (trainClean, 0L, 0L))
+  }
+
+  test("decontaminateSpans plan: train filter pushed below the back-join's gram explode") {
+    graft.core.Caches.unpersistAll()
+    val docs = Tables.load(spark, sf001, "documents")
+    val out = TextAnalysis.decontaminateSpans(docs, n = 8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the back-join side must shingle/shuffle ONLY the train split: the
+    // bucket < 80 filter has to reach a scan as a data filter, not sit
+    // above the join re-filtering an already-exploded full corpus
+    assert(plan.contains("DataFilters: [(pmod(graft_hash60(text"),
+      s"expected the train-split filter pushed into a scan, got plan:\n$plan")
+    // and the test-gram aggregate side reads text only (id pruned)
+    assert(plan.contains("ReadSchema: struct<text:string>"),
+      s"expected a text-only pruned scan on the aggregate side, got plan:\n$plan")
+    graft.core.Caches.unpersistAll()
+  }
+
   test("fractionalDfCap: floor below the fraction point, |corpus|/10 above, memoized count") {
     val docs = Tables.load(spark, sf001, "documents")
     val n = docs.count()
