@@ -458,6 +458,47 @@ object TextAnalysis {
     Dedup.cutTokensAt(train, rm, idCol, textCol)
   }
 
+  /** Two-corpus decontamination rewrite — [[decontaminateSpans]] against
+    * an EXTERNAL benchmark table: cut from every `corpus` document each
+    * token covered by a word `n`-gram occurring anywhere in `bench`.
+    * This is the shape production decontamination actually runs in —
+    * eval suites are megabytes next to a multi-terabyte train corpus —
+    * and the plan exploits it: the bench gram set builds map-side,
+    * dedups, and BROADCASTS, so the corpus-side positional grams are
+    * probed in place and NEVER shuffle (a map-only pass over the corpus;
+    * the same tradeoff [[ngramContamination]] documents against
+    * [[splitContamination]], now for the rewrite half). With
+    * `broadcastBench = false` the probe runs as a pinned shuffle-hash
+    * join instead — for oversized bench sides; both sides sit behind a
+    * Generate whose cardinality the estimator cannot see, and AQE
+    * mis-broadcasting an exploded corpus-sized side is this repo's
+    * recorded OOM pitfall. Identical output either way (tested).
+    *
+    * Output is total on `corpus` (the [[Dedup.cutTokensAt]] contract):
+    * `(idCol, clean_text, n_tokens, n_removed, n_spans)`; null text →
+    * null outputs; docs under `n` tokens pass through (no short-text
+    * fallback — the span-family contract). `decontaminateAgainst(train,
+    * test, n)` over a [[deterministicSplit]] pair equals
+    * `decontaminateSpans(all, n)` row-for-row (spec-pinned). */
+  def decontaminateAgainst(corpus: DataFrame, bench: DataFrame, n: Int = 8,
+      broadcastBench: Boolean = true,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0, s"gram width must be positive: $n")
+    val pos = graft.core.Tables.spread(corpus).select(
+        col(idCol).as("id"),
+        posexplode(graft.functions.TextShingles.wordGramSeq(col(textCol), n)))
+      .select(col("id"), (col("pos") + 1).cast(LongType).as("p"), col("col").as("sh"))
+    val bg0 = graft.core.Tables.spread(bench)
+      .select(explode(graft.functions.TextShingles.wordGramSeq(col(textCol), n)).as("sh"))
+      .distinct()
+    val bg = if (broadcastBench) broadcast(bg0) else bg0.hint("shuffle_hash")
+    val hits = pos.join(bg, Seq("sh")).select(col("id"), col("p"))
+    val rm = hits
+      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
+      .distinct()
+    Dedup.cutTokensAt(corpus, rm, idCol, textCol)
+  }
+
   /** Deterministic stratified sampling: per-stratum keep rates in basis
     * points of 10000, keyed on the CONTENT hash (same bucketing family as
     * [[deterministicSplit]]) — reproducible across runs/engines/cluster

@@ -389,6 +389,58 @@ object Corpus {
       |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q128 — two-corpus decontamination rewrite: strip from the train split
+  // every token covered by a word 13-gram (the GPT-3 decontamination gram
+  // width) occurring anywhere in the HELD-OUT corpus (val + test buckets,
+  // treated as an external benchmark table). Exercises the broadcast-
+  // probe plan — bench grams broadcast, corpus grams never shuffle —
+  // where q126 exercises the one-corpus split form.
+  def q128_decontaminate_against(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bucket = pmod(TextAnalysis.hash60(col("text")), lit(100L))
+    TextAnalysis.decontaminateAgainst(
+        d.filter(bucket < 80), d.filter(bucket >= 80), n = 13)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q128_sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 12 AS INT)], ' ') AS sh
+      |  FROM w, range(1, 100000) t(i)
+      |  WHERE bucket >= 80 AND i <= len(ws) - 12),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 12 AS INT)], ' ') AS sh
+      |  FROM w, range(1, 100000) t(i)
+      |  WHERE bucket < 80 AND i <= len(ws) - 12),
+      |hit AS (SELECT doc_id, p FROM g JOIN bg USING (sh)),
+      |rm AS (SELECT DISTINCT doc_id, p + CAST(off AS BIGINT) AS pos
+      |       FROM hit, range(0, 13) o(off)),
+      |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS INT)] AS tok
+      |        FROM w, range(1, 100000) t(i)
+      |        WHERE bucket < 80 AND i <= len(ws)),
+      |m AS (SELECT t.doc_id, t.pos, t.tok, (r.pos IS NOT NULL) AS rm,
+      |        coalesce(lag(r.pos IS NOT NULL) OVER
+      |          (PARTITION BY t.doc_id ORDER BY t.pos), false) AS prm
+      |      FROM tok t LEFT JOIN rm r ON t.doc_id = r.doc_id AND t.pos = r.pos),
+      |agg AS (SELECT doc_id,
+      |    coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT rm), '')
+      |      AS clean_text,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |    CAST(sum(CASE WHEN rm AND NOT prm THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_spans
+      |  FROM m GROUP BY doc_id)
+      |SELECT d.doc_id, a.clean_text, a.n_tokens, a.n_removed, a.n_spans
+      |FROM (SELECT doc_id FROM w WHERE bucket < 80) d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q54 — boilerplate n-grams: the 16-grams shared by the most documents
   // (document frequency, ties broken lexicographically) — the corpus-
   // cleaning precursor behind the near-dup maxDf caps. Integer-exact.
@@ -1486,6 +1538,7 @@ object Corpus {
     "q125_strip_repeated_spans" -> (q125_strip_repeated_spans _),
     "q126_decontaminate" -> (q126_decontaminate _),
     "q127_pps_token_sample" -> (q127_pps_token_sample _),
+    "q128_decontaminate_against" -> (q128_decontaminate_against _),
     "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
     "q58_repetition_stats" -> (q58_repetition_stats _),
     "q59_contamination" -> (q59_contamination _),
@@ -1537,6 +1590,7 @@ object Corpus {
     "q125_strip_repeated_spans" -> q125_sql,
     "q126_decontaminate" -> q126_sql,
     "q127_pps_token_sample" -> q127_sql,
+    "q128_decontaminate_against" -> q128_sql,
     "q54_boilerplate_ngrams" -> q54_sql,
     "q58_repetition_stats" -> q58_sql,
     "q59_contamination" -> q59_sql,

@@ -176,6 +176,39 @@ class ExtOpsSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("decontaminateAgainst(train, test) == decontaminateSpans(all); both join paths agree") {
+    graft.core.Caches.unpersistAll()
+    val docs = Tables.load(spark, sf001, "documents")
+    val bucket = pmod(graft.functions.TextMetrics.hash60(col("text")), lit(100L))
+    val train = docs.filter(bucket < 80)
+    val test90 = docs.filter(bucket >= 90)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Any]("n_tokens"), r.getAs[Any]("n_removed"),
+        r.getAs[Any]("n_spans"))).toSet
+    val viaSplit = key(TextAnalysis.decontaminateSpans(docs, n = 8))
+    val viaPair = key(TextAnalysis.decontaminateAgainst(train, test90, n = 8))
+    assert(viaPair == viaSplit)
+    // pinned shuffle-hash fallback returns the identical rewrite
+    val viaShuffle = key(TextAnalysis.decontaminateAgainst(
+      train, test90, n = 8, broadcastBench = false))
+    assert(viaShuffle == viaSplit)
+    graft.core.Caches.unpersistAll()
+  }
+
+  test("decontaminateAgainst plan: bench grams broadcast, corpus grams probed in place") {
+    graft.core.Caches.unpersistAll()
+    val docs = Tables.load(spark, sf001, "documents")
+    val bucket = pmod(graft.functions.TextMetrics.hash60(col("text")), lit(100L))
+    val out = TextAnalysis.decontaminateAgainst(
+      docs.filter(bucket < 80), docs.filter(bucket >= 80), n = 13)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the bench gram set to broadcast into the probe, got plan:\n$plan")
+    graft.core.Caches.unpersistAll()
+  }
+
   test("fractionalDfCap: floor below the fraction point, |corpus|/10 above, memoized count") {
     val docs = Tables.load(spark, sf001, "documents")
     val n = docs.count()
