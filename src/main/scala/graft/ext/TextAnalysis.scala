@@ -499,6 +499,42 @@ object TextAnalysis {
     Dedup.cutTokensAt(corpus, rm, idCol, textCol)
   }
 
+  /** Batch-side producer of the contamination gate's blocklist: the
+    * DISTINCT engine-portable 60-bit gram keys ([[hash60]]) of a
+    * benchmark corpus at word gram width `n` — same gram rule as
+    * [[ngramContamination]] (shingle family: short-text fallback keeps
+    * sub-`n`-token bench lines as whole-text grams, so tiny benchmark
+    * entries still gate). One aggregation over the bench side; collect
+    * is the CALLER's choice (the gate takes the collected Seq — bench
+    * suites are small by the family's premise; a bench too big to
+    * collect is decontamination work, not gate work:
+    * [[decontaminateAgainst]]). */
+  def benchGramKeys(bench: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    graft.core.Tables.spread(bench)
+      .select(explode(Dedup.wordShingleArray(col(textCol), n)).as("sh"))
+      .select(hash60(col("sh")).as("gk")).distinct()
+
+  /** Ingest-time CONTAMINATION gate — the streaming-stateless row flag
+    * of the contamination family, as [[Dedup.flagNearDups]] is to the
+    * near-dup family: `contaminated` ⟺ the document shares at least one
+    * word `n`-gram with the benchmark set. Unlike the LSH gate this is
+    * EXACT membership (no banding probability): grams hash to the
+    * engine-portable 60-bit key and membership is one binary search per
+    * gram against the embedded sorted blocklist
+    * ([[graft.functions.ArraySets.sortedLongContains]] — logarithmic,
+    * primitive `long[]`, no boxing). Map-only, stateless, no shuffle —
+    * runs identically on a batch frame or inside any streaming
+    * micro-batch with no plan change. Null text → null flag (the mask
+    * ops' total-pass convention). Envelope: the collected key set rides
+    * every task binary (~8 B/key — ~10⁷ keys ≈ 80 MB is the practical
+    * ceiling; benchmark suites sit orders below it). */
+  def flagContaminated(docs: DataFrame, benchKeys: Seq[Long], n: Int,
+      textCol: String = "text"): DataFrame = {
+    val flag = exists(Dedup.wordShingleArray(col(textCol), n),
+      s => graft.functions.ArraySets.sortedLongContains(hash60(s), benchKeys))
+    docs.withColumn("contaminated", when(col(textCol).isNotNull, flag))
+  }
+
   /** Deterministic stratified sampling: per-stratum keep rates in basis
     * points of 10000, keyed on the CONTENT hash (same bucketing family as
     * [[deterministicSplit]]) — reproducible across runs/engines/cluster

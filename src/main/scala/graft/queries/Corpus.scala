@@ -441,6 +441,48 @@ object Corpus {
       |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q129 — ingest-time contamination gate: flag every document sharing a
+  // word 3-gram (q59's width) with the test split, via the collected
+  // 60-bit gram blocklist and a per-row binary-search flag — the
+  // streaming-stateless row dual of the q59 batch check. The oracle
+  // recomputes membership on the gram STRINGS (the 60-bit key is the
+  // engine-portable md5 prefix, so string-equality and key-equality
+  // agree).
+  def q129_contamination_gate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bucket = pmod(TextAnalysis.hash60(col("text")), lit(100L))
+    // the blocklist collect is the gate's contract (bench sets are small
+    // by premise — flagNearDups' task-binary envelope, documented there)
+    val keys = TextAnalysis.benchGramKeys(d.filter(bucket >= 90), n = 3)
+      .collect().map(_.getLong(0)).toSeq
+    TextAnalysis.flagContaminated(d, keys, n = 3)
+      .select(col("doc_id"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q129_sql =
+    """WITH w AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+      |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS sh
+      |  FROM w, range(1, 100000) t(i)
+      |  WHERE bucket >= 90 AND i <= greatest(len(ws) - 2, 1)),
+      |g AS (
+      |  SELECT doc_id,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS sh
+      |  FROM w, range(1, 100000) t(i)
+      |  WHERE i <= greatest(len(ws) - 2, 1)),
+      |f AS (SELECT DISTINCT g.doc_id, true AS hit FROM g JOIN bg USING (sh))
+      |SELECT w.doc_id,
+      |  CASE WHEN w.text IS NULL THEN NULL
+      |       ELSE coalesce(f.hit, false) END AS contaminated
+      |FROM w LEFT JOIN f USING (doc_id)
+      |ORDER BY w.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q54 — boilerplate n-grams: the 16-grams shared by the most documents
   // (document frequency, ties broken lexicographically) — the corpus-
   // cleaning precursor behind the near-dup maxDf caps. Integer-exact.
@@ -1539,6 +1581,7 @@ object Corpus {
     "q126_decontaminate" -> (q126_decontaminate _),
     "q127_pps_token_sample" -> (q127_pps_token_sample _),
     "q128_decontaminate_against" -> (q128_decontaminate_against _),
+    "q129_contamination_gate" -> (q129_contamination_gate _),
     "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
     "q58_repetition_stats" -> (q58_repetition_stats _),
     "q59_contamination" -> (q59_contamination _),
@@ -1591,6 +1634,7 @@ object Corpus {
     "q126_decontaminate" -> q126_sql,
     "q127_pps_token_sample" -> q127_sql,
     "q128_decontaminate_against" -> q128_sql,
+    "q129_contamination_gate" -> q129_sql,
     "q54_boilerplate_ngrams" -> q54_sql,
     "q58_repetition_stats" -> q58_sql,
     "q59_contamination" -> q59_sql,

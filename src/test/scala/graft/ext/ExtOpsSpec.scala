@@ -209,6 +209,22 @@ class ExtOpsSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("flagContaminated membership == ngramContamination output set (same gram rule)") {
+    graft.core.Caches.unpersistAll()
+    val docs = Tables.load(spark, sf001, "documents")
+    val bucket = pmod(graft.functions.TextMetrics.hash60(col("text")), lit(100L))
+    val bench = docs.filter(bucket >= 90)
+    val keys = TextAnalysis.benchGramKeys(bench, n = 3)
+      .collect().map(_.getLong(0)).toSeq
+    val flagged = TextAnalysis.flagContaminated(docs, keys, n = 3)
+      .filter(coalesce(col("contaminated"), lit(false)))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val viaJoin = TextAnalysis.ngramContamination(docs, bench, n = 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(flagged == viaJoin && flagged.nonEmpty)
+    graft.core.Caches.unpersistAll()
+  }
+
   test("fractionalDfCap: floor below the fraction point, |corpus|/10 above, memoized count") {
     val docs = Tables.load(spark, sf001, "documents")
     val n = docs.count()

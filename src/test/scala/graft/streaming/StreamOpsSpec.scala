@@ -119,6 +119,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(out == Seq(103L), s"gate passed: $out")
   }
 
+  test("contamination ingest gate drops bench-overlapping docs in-stream") {
+    // batch half: 60-bit gram blocklist over the benchmark suite; stream
+    // half: flagContaminated is pure Column exprs (binary-search
+    // membership), so the SAME operator code runs inside the micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    val s5 = (1 to 5).map(i => s"s$i").mkString(" ")
+    val bench = Seq((1L, s"intro $s5 outro")).toDF("doc_id", "text")
+    val keys = graft.ext.TextAnalysis.benchGramKeys(bench, n = 3)
+      .collect().map(_.getLong(0)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val gated = graft.ext.TextAnalysis.flagContaminated(docs, keys, n = 3)
+      .filter(!coalesce(col("contaminated"), lit(false)))
+    assert(gated.isStreaming)
+    val q = gated.writeStream.format("memory").queryName("ct_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    mem.addData(
+      (201L, s"a b c $s5 x y"),          // shares bench 3-grams → dropped
+      (202L, "fresh tokens only here"))  // no shared gram → survives
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    val out = spark.table("ct_gate").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(out == Seq(202L), s"gate passed: $out")
+  }
+
   test("nearDupGateSink: doc flagged only after the periodic refresh picks up the new corpus") {
     implicit val sqlCtx = spark.sqlContext
     def text(i: Long, last: String = "omega") =
