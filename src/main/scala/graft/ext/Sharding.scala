@@ -203,6 +203,42 @@ object Sharding {
       .select(col(idCol), col(srcCol), col("pos"), col("seq"))
   }
 
+  /** Deterministic global corpus SHUFFLE — the training-order
+    * permutation step run before sharding/packing: every epoch pipeline
+    * wants documents in a pseudo-random order that is reproducible
+    * across runs, engines, and cluster layouts (and re-derivable per
+    * `salt` for distinct epochs), which rules out both `rand()` and a
+    * global ORDER BY. Each doc gets a 60-bit shuffle key
+    * `hash60(salt | id)` (the engine-portable md5-prefix family) and
+    * `seq` — its contiguous 1-based position in ascending (skey, id)
+    * order, the tie-break making the permutation total.
+    *
+    * No single-partition sort at any corpus size: the shuffle key's
+    * HIGH BITS are a value-range bucket (2¹⁶ buckets — constant, so the
+    * only global window runs over a ≤65536-row bucket-count table at
+    * ANY corpus size; a uniform hash fills them evenly), and `seq` is
+    * bucket offset + within-bucket row_number, the [[mixSources]]
+    * parallel-prefix shape. Consumers wanting physically shuffled
+    * output `repartitionByRange`/sort WITHIN partitions on (skey, id) —
+    * embarrassingly parallel once `seq` exists. */
+  def shuffleOrder(docs: DataFrame, salt: String = "",
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.queries.intDiv
+    val skey = graft.functions.TextMetrics.hash60(
+      concat_ws("|", lit(salt), col(idCol).cast(StringType)))
+    // two consumers (bucket counts + final join) → persist: the hash and
+    // bucketing run once
+    val hub = graft.core.Caches.persist(
+      docs.select(col(idCol), skey.as("skey"))
+        .withColumn("bucket", intDiv(col("skey"), 1L << 44)))
+    val offsets = bucketOffsets(hub, count(lit(1)))
+    val within = Window.partitionBy(col("bucket")).orderBy(col("skey"), col(idCol))
+    hub.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("seq",
+        col("bucket_offset") + row_number().over(within).cast(LongType))
+      .select(col(idCol), col("skey"), col("seq"))
+  }
+
   /** The exclusive-prefix-sum step both operators share: per-`bucket`
     * totals of `perRow` get a running offset via the ONLY global window —
     * over the tiny bucket table, |rows|/grain smaller than the input. */

@@ -269,6 +269,27 @@ object Corpus {
       |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q130 — deterministic corpus shuffle (training-order permutation):
+  // every doc gets a salt-keyed 60-bit shuffle key and its contiguous
+  // global position in (skey, id) order — reproducible across engines and
+  // epochs, computed with the parallel bucket-offset prefix shape (the
+  // only global window runs over a ≤2^16-row bucket table at any corpus
+  // size). The oracle is the serial single-window rule.
+  def q130_shuffle_order(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sharding.shuffleOrder(docs(s, dir), salt = "epoch0")
+      .orderBy(col("doc_id"))
+
+  private val q130_sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS skey
+      |  FROM documents)
+      |SELECT doc_id, skey,
+      |  CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS seq
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q124 — cross-document repeated spans (exact substring dedup's reporting
   // core at word 8-gram granularity): per document, the maximal runs of
   // consecutive token positions whose 8-grams each occur in some OTHER
@@ -1582,6 +1603,7 @@ object Corpus {
     "q127_pps_token_sample" -> (q127_pps_token_sample _),
     "q128_decontaminate_against" -> (q128_decontaminate_against _),
     "q129_contamination_gate" -> (q129_contamination_gate _),
+    "q130_shuffle_order" -> (q130_shuffle_order _),
     "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
     "q58_repetition_stats" -> (q58_repetition_stats _),
     "q59_contamination" -> (q59_contamination _),
@@ -1635,6 +1657,7 @@ object Corpus {
     "q127_pps_token_sample" -> q127_sql,
     "q128_decontaminate_against" -> q128_sql,
     "q129_contamination_gate" -> q129_sql,
+    "q130_shuffle_order" -> q130_sql,
     "q54_boilerplate_ngrams" -> q54_sql,
     "q58_repetition_stats" -> q58_sql,
     "q59_contamination" -> q59_sql,

@@ -225,6 +225,25 @@ class ExtOpsSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("shuffleOrder: contiguous total permutation, (skey,id)-consistent, salt re-keys") {
+    graft.core.Caches.unpersistAll()
+    val docs = Tables.load(spark, sf001, "documents")
+    val n = docs.count()
+    val a = graft.ext.Sharding.shuffleOrder(docs, "s1").collect()
+    assert(a.length == n)
+    // seq is a bijection onto 1..N…
+    assert(a.map(_.getAs[Long]("seq")).sorted.toSeq == (1L to n))
+    // …and IS the rank in ascending (skey, doc_id) order
+    val ranked = a.sortBy(r => (r.getAs[Long]("skey"), r.getAs[Long]("doc_id")))
+    assert(ranked.map(_.getAs[Long]("seq")).toSeq == (1L to n))
+    graft.core.Caches.unpersistAll()
+    val b = graft.ext.Sharding.shuffleOrder(docs, "s2").collect()
+    val ma = a.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq")).toMap
+    val mb = b.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq")).toMap
+    assert(ma != mb, "a different salt must yield a different permutation")
+    graft.core.Caches.unpersistAll()
+  }
+
   test("fractionalDfCap: floor below the fraction point, |corpus|/10 above, memoized count") {
     val docs = Tables.load(spark, sf001, "documents")
     val n = docs.count()
