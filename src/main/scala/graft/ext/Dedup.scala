@@ -199,6 +199,17 @@ object Dedup {
     require(n > 0 && minGrams > 0,
       s"gram width and span floor must be positive: n=$n minGrams=$minGrams")
     val hits = sharedGramHub(docs, n, idCol, textCol).select(col("id"), col("p"))
+    maximalRuns(hits, n, minGrams, idCol)
+  }
+
+  /** The gaps-and-islands MAXIMAL-RUN merge shared by the span-report
+    * family ([[repeatedSpans]], [[repeatedSpansAgainst]]): hit positions
+    * `(id, p)` → one row per (doc, maximal run of consecutive p) with
+    * `span_start`/`span_len`/`n_grams`, runs under `minGrams` dropped.
+    * One per-document window — partitions bounded by document length,
+    * never corpus size. */
+  private def maximalRuns(hits: DataFrame, n: Int, minGrams: Int,
+      idCol: String): DataFrame = {
     val byPos = Window.partitionBy(col("id")).orderBy(col("p"))
     hits.withColumn("isl", col("p") - row_number().over(byPos))
       .groupBy(col("id"), col("isl"))
@@ -207,6 +218,55 @@ object Dedup {
       .filter(col("n_grams") >= minGrams)
       .select(col("id").as(idCol), col("span_start"), col("span_len"),
         col("n_grams"))
+  }
+
+  /** Incremental (R-S) REPEATED-SPAN report — [[repeatedSpans]] for the
+    * ingest shape: for each DELTA document, the maximal runs of token
+    * positions whose word `n`-grams occur anywhere in the EXISTING
+    * corpus ("which spans of today's batch duplicate what we already
+    * hold"). Delta-internal repetition does NOT count (only
+    * corpus-shared grams hit — the R-S contract
+    * [[nearDupJaccardAcross]] set for the pairwise family); output rows
+    * carry delta ids only.
+    *
+    * Plan (the |delta| ≪ |corpus| ingest premise): the delta's DISTINCT
+    * gram set broadcasts; the corpus positional grams probe it IN PLACE
+    * (map-side semi-join — the corpus is scanned and shingled but NEVER
+    * shuffled); the surviving matched-gram set (≤ the delta set) then
+    * broadcasts back onto the delta's positional grams, also map-side.
+    * Two delta-sized broadcasts, zero corpus-sized shuffles; the only
+    * shuffles are the matched-set distinct (matched occurrences,
+    * map-side-combined) and the per-document islands window over delta
+    * hits. `broadcastDelta = false` degrades to pinned shuffle-hash
+    * joins for a delta too big to broadcast (shuffles the corpus gram
+    * set once — the heavy path, documented; identical output, tested).
+    * Spans report against the corpus only, so a span at the delta-batch
+    * boundary is exactly what a daily ingest wants to see. */
+  def repeatedSpansAgainst(delta: DataFrame, corpus: DataFrame, n: Int = 8,
+      minGrams: Int = 2, broadcastDelta: Boolean = true,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0 && minGrams > 0,
+      s"gram width and span floor must be positive: n=$n minGrams=$minGrams")
+    val dpos = graft.core.Caches.persist(
+      graft.core.Tables.spread(delta).select(
+          col(idCol).as("id"),
+          posexplode(graft.functions.TextShingles.wordGramSeq(col(textCol), n)))
+        .select(col("id"), (col("pos") + 1).cast(LongType).as("p"),
+          col("col").as("sh")))
+    val dset = dpos.select(col("sh")).distinct()
+    val cgrams = graft.core.Tables.spread(corpus)
+      .select(explode(graft.functions.TextShingles.wordGramSeq(col(textCol), n))
+        .as("sh"))
+    val hits =
+      if (broadcastDelta) {
+        val matched = cgrams.join(broadcast(dset), Seq("sh"), "left_semi").distinct()
+        dpos.join(broadcast(matched), Seq("sh"), "left_semi")
+      } else {
+        val matched = dset.hint("shuffle_hash")
+          .join(cgrams.distinct(), Seq("sh"), "left_semi")
+        dpos.hint("shuffle_hash").join(matched, Seq("sh"), "left_semi")
+      }
+    maximalRuns(hits.select(col("id"), col("p")), n, minGrams, idCol)
   }
 
   /** Keep-one-copy exact substring deduplication — the REWRITE half of

@@ -290,6 +290,49 @@ object Corpus {
       |FROM h ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q131 — incremental repeated-span report (R-S form of q124): for each
+  // doc of the delta batch (top 10% of ids, fractional boundary — one SQL
+  // text at every scale), the maximal spans whose 8-grams occur anywhere
+  // in the existing corpus. Delta gram set broadcasts; the corpus is
+  // scanned but never shuffled — the daily-ingest shape.
+  def q131_spans_against(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val total = graft.core.Caches.memo(d)(
+      java.lang.Long.valueOf(d.count())).longValue
+    val lo = total * 9 / 10
+    graft.ext.Dedup.repeatedSpansAgainst(
+        d.filter(col("doc_id") >= lo), d.filter(col("doc_id") < lo),
+        n = 8, minGrams = 4)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  private val q131_sql =
+    """WITH nn AS (SELECT (count(*) * 9) // 10 AS lo FROM documents),
+      |delta AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |          FROM documents, nn WHERE doc_id >= lo),
+      |corpus AS (SELECT string_split(text, ' ') AS ws
+      |           FROM documents, nn WHERE doc_id < lo),
+      |cg AS (
+      |  SELECT DISTINCT
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS sh
+      |  FROM corpus, range(1, 100000) t(i) WHERE i <= len(ws) - 7),
+      |dg AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS sh
+      |  FROM delta, range(1, 100000) t(i) WHERE i <= len(ws) - 7),
+      |hits AS (SELECT doc_id, p FROM dg JOIN cg USING (sh)),
+      |isl AS (SELECT doc_id, p,
+      |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      |        FROM hits),
+      |spans AS (
+      |  SELECT doc_id, min(p) AS span_start,
+      |    CAST(max(p) - min(p) + 8 AS BIGINT) AS span_len,
+      |    CAST(count(*) AS BIGINT) AS n_grams
+      |  FROM isl GROUP BY doc_id, grp)
+      |SELECT doc_id, span_start, span_len, n_grams FROM spans
+      |WHERE n_grams >= 4 ORDER BY doc_id, span_start""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q124 — cross-document repeated spans (exact substring dedup's reporting
   // core at word 8-gram granularity): per document, the maximal runs of
   // consecutive token positions whose 8-grams each occur in some OTHER
@@ -1604,6 +1647,7 @@ object Corpus {
     "q128_decontaminate_against" -> (q128_decontaminate_against _),
     "q129_contamination_gate" -> (q129_contamination_gate _),
     "q130_shuffle_order" -> (q130_shuffle_order _),
+    "q131_spans_against" -> (q131_spans_against _),
     "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
     "q58_repetition_stats" -> (q58_repetition_stats _),
     "q59_contamination" -> (q59_contamination _),
@@ -1658,6 +1702,7 @@ object Corpus {
     "q128_decontaminate_against" -> q128_sql,
     "q129_contamination_gate" -> q129_sql,
     "q130_shuffle_order" -> q130_sql,
+    "q131_spans_against" -> q131_sql,
     "q54_boilerplate_ngrams" -> q54_sql,
     "q58_repetition_stats" -> q58_sql,
     "q59_contamination" -> q59_sql,

@@ -82,6 +82,29 @@ class ExtOpsSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("repeatedSpansAgainst: corpus-shared spans only; delta-internal repeats excluded; both paths agree") {
+    val S = (1 to 16).map(i => s"S$i").mkString(" ")   // in corpus
+    val D = (1 to 16).map(i => s"D$i").mkString(" ")   // delta-internal only
+    val corpus = Seq(
+      (1L, s"c1 c2 $S c3"),
+      (2L, "c4 c5 c6 c7 c8 c9 c10 c11")).toDF("doc_id", "text")
+    val delta = Seq(
+      // shares S with the corpus → one 16-token span at position 3
+      (101L, s"x1 x2 $S y1"),
+      // shares D only with ANOTHER DELTA doc → no span (R-S contract)
+      (102L, s"z1 $D"), (103L, s"w1 w2 $D"),
+      // shares the corpus doc-2 text → span, proving any corpus doc counts
+      (104L, "q1 c4 c5 c6 c7 c8 c9 c10 c11 q2")).toDF("doc_id", "text")
+    def run(bcast: Boolean) = Dedup.repeatedSpansAgainst(
+        delta, corpus, n = 8, minGrams = 1, broadcastDelta = bcast)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_len"), r.getAs[Long]("n_grams"))).toSet
+    val got = run(bcast = true)
+    assert(got == Set((101L, 3L, 16L, 9L), (104L, 2L, 8L, 1L)), s"got $got")
+    assert(run(bcast = false) == got)
+    graft.core.Caches.unpersistAll()
+  }
+
   test("stripRepeatedSpans: canonical copy survives, partners are cut, totals stay") {
     val S = (1 to 16).map(i => s"S$i").mkString(" ")
     val df = Seq(
