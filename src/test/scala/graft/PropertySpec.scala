@@ -313,6 +313,65 @@ object GraftProps extends Properties("graft") {
       got == expect
     }
 
+  private def md5bucket(t: String): Long =
+    (BigInt(java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+      % 100).toLong
+
+  private def refDecontaminate(texts: List[String], n: Int) = {
+    // the operator's rule, restated serially: a TRAIN doc loses every
+    // token covered by a gram occurring in any TEST-bucket doc
+    val docs = texts.zipWithIndex.collect { case (t, i) if t != null =>
+      (i.toLong, t.split(" ", -1).toVector, md5bucket(t)) }
+    def grams(ws: Vector[String]) =
+      if (ws.length >= n) (0 to ws.length - n).map(i => (i + 1L, ws.slice(i, i + n).mkString(" ")))
+      else Nil
+    val testGrams = docs.filter(_._3 >= 90).flatMap(d => grams(d._2).map(_._2)).toSet
+    docs.filter(_._3 < 80).map { case (id, ws, _) =>
+      val rm = grams(ws).collect { case (p, g) if testGrams(g) =>
+        p until p + n }.flatten.toSet
+      val kept = ws.zipWithIndex.collect { case (w, i) if !rm(i + 1L) => w }
+      id -> (kept.mkString(" "), ws.length.toLong, rm.size.toLong,
+        refIslands(rm.toList).size.toLong)
+    }.toMap
+  }
+
+  property("decontaminateSpans == in-JVM reference (split rule, cover cut)") =
+    Prop.forAll(Gen.listOfN(10, spanDocGen)) { texts =>
+      val expect = refDecontaminate(texts, 3)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      graft.core.Caches.unpersistAll()
+      val got = graft.ext.TextAnalysis.decontaminateSpans(df, 3).collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      got == expect
+    }
+
+  property("repeatedSpansAgainst == in-JVM reference (corpus grams only)") =
+    Prop.forAll(Gen.listOfN(4, spanDocGen), Gen.listOfN(4, spanDocGen),
+        Gen.chooseNum(1, 3)) { (dTexts, cTexts, minG) =>
+      val n = 3
+      def grams(t: String) = {
+        val ws = t.split(" ", -1).toVector
+        if (ws.length >= n) (0 to ws.length - n).map(i => (i + 1L, ws.slice(i, i + n).mkString(" ")))
+        else Nil
+      }
+      val cset = cTexts.flatMap(grams(_).map(_._2)).toSet
+      val expect = dTexts.zipWithIndex.flatMap { case (t, i) =>
+        val hitPs = grams(t).collect { case (p, g) if cset(g) => p }
+        refIslands(hitPs.toList).collect {
+          case run if run.size >= minG =>
+            (i.toLong, run.head, run.last - run.head + n, run.size.toLong)
+        }
+      }.toSet
+      val delta = dTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val corpus = cTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      graft.core.Caches.unpersistAll()
+      val got = graft.ext.Dedup.repeatedSpansAgainst(delta, corpus, n, minG).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      got == expect
+    }
+
   private val ppsDocGen: Gen[String] = Gen.frequency(
     (8, Gen.chooseNum(1, 30)),
     (1, Gen.const(200)),                 // longer than most strides → n_hits > 1
