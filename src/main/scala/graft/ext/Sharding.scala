@@ -239,6 +239,45 @@ object Sharding {
       .select(col(idCol), col("skey"), col("seq"))
   }
 
+  /** Token-budget PREFIX of the shuffled corpus — "take a simple random
+    * ~B-token subset": documents are laid out in [[shuffleOrder]]'s
+    * salt-keyed pseudo-random order and kept while the running token
+    * total is under `budget` (greedy boundary rule — the doc whose
+    * interval starts under the budget is kept whole, the
+    * [[tokenBudgetShards]] convention). Complements [[ppsTokenSample]]:
+    * PPS picks k docs spread over the stream with probability ∝ size;
+    * this takes a budget-sized SIMPLE RANDOM subset — every doc equally
+    * likely (per salt), total mass ≈ budget. Null-text docs carry no
+    * tokens and pass through if their position is under the budget
+    * (they consume nothing).
+    *
+    * Plan: the [[shuffleOrder]] key + value-range bucketing (constant
+    * 2¹⁶ buckets — the only global window is the bucket-total table at
+    * any corpus size) and the bucket-offset prefix sum over TOKENS in
+    * (skey, id) order; selection is the map-only budget filter. No
+    * global sort, no joins beyond the tiny broadcast offsets. */
+  def shuffledTokenBudget(docs: DataFrame, budget: Long, salt: String = "",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import graft.queries.intDiv
+    val skey = graft.functions.TextMetrics.hash60(
+      concat_ws("|", lit(salt), col(idCol).cast(StringType)))
+    val hub = graft.core.Caches.persist(
+      docs.select(col(idCol),
+          size(split(col(textCol), " ", -1)).cast(LongType).as("n_tokens"),
+          skey.as("skey"))
+        .withColumn("bucket", intDiv(col("skey"), 1L << 44)))
+    val offsets = bucketOffsets(hub, sum(col("n_tokens")))
+    val within = Window.partitionBy(col("bucket"))
+      .orderBy(col("skey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hub.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("tokens_before",
+        col("bucket_offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+      .filter(col("tokens_before") < budget)
+      .select(col(idCol), col("skey"), col("n_tokens"), col("tokens_before"))
+  }
+
   /** The exclusive-prefix-sum step both operators share: per-`bucket`
     * totals of `perRow` get a running offset via the ONLY global window —
     * over the tiny bucket table, |rows|/grain smaller than the input. */

@@ -290,6 +290,38 @@ object Corpus {
       |FROM h ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q132 — shuffled token-budget subset: the docs filling the first ~20%
+  // of the corpus's token mass in q130's salt-keyed pseudo-random order —
+  // the "draw a random B-token training subset" step (simple random by
+  // doc, budget-bounded by mass; q127 is the PPS-by-size dual). The
+  // budget is a fraction via scalar subquery, so one SQL text is correct
+  // at every scale; the oracle is the serial single-window cumsum.
+  def q132_shuffled_budget(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val total = graft.core.Caches.memo(d)(java.lang.Long.valueOf(
+      d.agg(coalesce(sum(size(split(col("text"), " ", -1)).cast(LongType)),
+        lit(0L))).head.getLong(0))).longValue
+    graft.ext.Sharding.shuffledTokenBudget(d, budget = total / 5, salt = "epoch0")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q132_sql =
+    """WITH h AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS skey
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, skey, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tokens_before
+      |  FROM h)
+      |SELECT doc_id, skey, n_tokens, tokens_before FROM c
+      |WHERE tokens_before < (SELECT sum(n_tokens) // 5 FROM h)
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q131 — incremental repeated-span report (R-S form of q124): for each
   // doc of the delta batch (top 10% of ids, fractional boundary — one SQL
   // text at every scale), the maximal spans whose 8-grams occur anywhere
@@ -1648,6 +1680,7 @@ object Corpus {
     "q129_contamination_gate" -> (q129_contamination_gate _),
     "q130_shuffle_order" -> (q130_shuffle_order _),
     "q131_spans_against" -> (q131_spans_against _),
+    "q132_shuffled_budget" -> (q132_shuffled_budget _),
     "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
     "q58_repetition_stats" -> (q58_repetition_stats _),
     "q59_contamination" -> (q59_contamination _),
@@ -1703,6 +1736,7 @@ object Corpus {
     "q129_contamination_gate" -> q129_sql,
     "q130_shuffle_order" -> q130_sql,
     "q131_spans_against" -> q131_sql,
+    "q132_shuffled_budget" -> q132_sql,
     "q54_boilerplate_ngrams" -> q54_sql,
     "q58_repetition_stats" -> q58_sql,
     "q59_contamination" -> q59_sql,

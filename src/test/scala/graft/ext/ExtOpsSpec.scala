@@ -267,6 +267,25 @@ class ExtOpsSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("shuffledTokenBudget: a same-salt shuffleOrder prefix whose mass covers the budget") {
+    graft.core.Caches.unpersistAll()
+    val docs = Tables.load(spark, sf001, "documents")
+    val budget = 5000L
+    val out = graft.ext.Sharding.shuffledTokenBudget(docs, budget, "s1").collect()
+    val kept = out.map(_.getAs[Long]("doc_id")).toSet
+    // greedy boundary rule: kept mass reaches the budget (crossing doc whole)
+    val mass = out.map(r =>
+      if (r.isNullAt(r.fieldIndex("n_tokens"))) 0L
+      else r.getAs[Long]("n_tokens")).sum
+    assert(mass >= budget && kept.nonEmpty)
+    // the kept set IS the |kept|-prefix of the same-salt global shuffle order
+    graft.core.Caches.unpersistAll()
+    val order = graft.ext.Sharding.shuffleOrder(docs, "s1").collect()
+      .sortBy(_.getAs[Long]("seq"))
+    assert(order.take(kept.size).map(_.getAs[Long]("doc_id")).toSet == kept)
+    graft.core.Caches.unpersistAll()
+  }
+
   test("fractionalDfCap: floor below the fraction point, |corpus|/10 above, memoized count") {
     val docs = Tables.load(spark, sf001, "documents")
     val n = docs.count()
