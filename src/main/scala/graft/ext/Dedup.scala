@@ -257,13 +257,18 @@ object Dedup {
     val cgrams = graft.core.Tables.spread(corpus)
       .select(explode(graft.functions.TextShingles.wordGramSeq(col(textCol), n))
         .as("sh"))
+    // the matched set is the pass's HUB: delta-bounded, and the one
+    // subtree whose rebuild would re-scan and re-shingle the corpus —
+    // persisting it means a report-then-act session (or a warm re-run)
+    // pays the corpus pass once
     val hits =
       if (broadcastDelta) {
-        val matched = cgrams.join(broadcast(dset), Seq("sh"), "left_semi").distinct()
+        val matched = graft.core.Caches.persist(
+          cgrams.join(broadcast(dset), Seq("sh"), "left_semi").distinct())
         dpos.join(broadcast(matched), Seq("sh"), "left_semi")
       } else {
-        val matched = dset.hint("shuffle_hash")
-          .join(cgrams.distinct(), Seq("sh"), "left_semi")
+        val matched = graft.core.Caches.persist(dset.hint("shuffle_hash")
+          .join(cgrams.distinct(), Seq("sh"), "left_semi"))
         dpos.hint("shuffle_hash").join(matched, Seq("sh"), "left_semi")
       }
     maximalRuns(hits.select(col("id"), col("p")), n, minGrams, idCol)

@@ -548,9 +548,11 @@ object Corpus {
     val d = docs(s, dir)
     val bucket = pmod(TextAnalysis.hash60(col("text")), lit(100L))
     // the blocklist collect is the gate's contract (bench sets are small
-    // by premise — flagNearDups' task-binary envelope, documented there)
-    val keys = TextAnalysis.benchGramKeys(d.filter(bucket >= 90), n = 3)
-      .collect().map(_.getLong(0)).toSeq
+    // by premise — flagNearDups' task-binary envelope, documented there);
+    // memoized per bench plan so warm re-runs skip the collect job
+    val bg = TextAnalysis.benchGramKeys(d.filter(bucket >= 90), n = 3)
+    val keys = graft.core.Caches.memo(bg)(
+      bg.collect().map(_.getLong(0)).toSeq)
     TextAnalysis.flagContaminated(d, keys, n = 3)
       .select(col("doc_id"), col("contaminated"))
       .orderBy(col("doc_id"))
