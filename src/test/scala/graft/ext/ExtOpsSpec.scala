@@ -286,6 +286,35 @@ class ExtOpsSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("second-half ops: degenerate inputs (empty sides, all-null, bad params)") {
+    graft.core.Caches.unpersistAll()
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    // empty delta / empty corpus → no spans either way
+    assert(Dedup.repeatedSpansAgainst(empty, one, n = 8).count() == 0L)
+    assert(Dedup.repeatedSpansAgainst(one, empty, n = 8).count() == 0L)
+    // a corpus whose docs ALL land outside the train split → empty rewrite
+    // (can't force buckets here, but an empty-input rewrite must be empty)
+    assert(TextAnalysis.decontaminateSpans(empty, n = 8).count() == 0L)
+    assert(TextAnalysis.decontaminateAgainst(one, empty, n = 8)
+      .collect().map(_.getAs[Long]("n_removed")).toSeq == Seq(0L))
+    // gate with an empty blocklist: nothing flags, null text stays null
+    val g = TextAnalysis.flagContaminated(
+      Seq((1L, "x y z"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      Seq.empty[Long], n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Any]("contaminated")).toMap
+    assert(g(1L) == false && g(2L) == null)
+    // samplers refuse nonsense instead of returning it
+    intercept[IllegalArgumentException] {
+      graft.ext.Sharding.ppsTokenSample(one, k = 0) }
+    intercept[IllegalArgumentException] {
+      val allNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      graft.ext.Sharding.ppsTokenSample(allNull, k = 3) } // total = 0
+    intercept[IllegalArgumentException] {
+      graft.ext.Sharding.shuffledTokenBudget(one, budget = 0) }
+    graft.core.Caches.unpersistAll()
+  }
+
   test("fractionalDfCap: floor below the fraction point, |corpus|/10 above, memoized count") {
     val docs = Tables.load(spark, sf001, "documents")
     val n = docs.count()
