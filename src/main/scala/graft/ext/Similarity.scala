@@ -522,6 +522,86 @@ object Similarity {
     out
   }
 
+  /** Multi-iteration Lloyd k-means CLUSTER ASSIGNMENT over an embedding
+    * corpus — the standalone topic-clustering primitive (cluster-balanced
+    * sampling, per-topic curation stats, SemDeDup's coarse step exposed
+    * as its own operator), EXACT across engines: vectors quantize to the
+    * shared fixed-point grid (×2¹⁵, floor — float→double is exact, the
+    * power-of-two scale is exact, q41's established recipe), seeds are
+    * the engine-portable content-hash cells (`pmod(hash60(id), k)`), and
+    * each iteration's centroid is the ELEMENT-WISE FLOORED integer mean
+    * (`floor(s/c)` — |s| < 2⁵³ keeps the double division correctly
+    * rounded and the floor exact on any engine; floored means cost one
+    * half-step of quantization and buy bit-identical centroids).
+    * Distances compare as pure integers (argmin of `‖m‖² − 2·x·m`, the
+    * `‖x‖²`-free form — same argmin, no per-row norm), ties break to the
+    * smallest cell id, so the full trajectory — every assignment of
+    * every iteration — is deterministic and a serial SQL engine
+    * reproduces it bit-for-bit.
+    *
+    * Plan shape: one persisted quantized base (scan once); per iteration
+    * ONE whole-vector aggregation ([[graft.functions.SumLongArray]] — k
+    * cells × dims longs of combine state, never an explode) collecting
+    * k·dims longs to the driver (the [[lloydCentroids]] contract: the
+    * centroid table is the ONLY driver-sized thing, bounded by
+    * parameters, not the corpus); assignment is a map-only codegen dot
+    * per cell against embedded primitive literals. The iteration loop is
+    * a driver loop over tiny collects — memoized per (input, k, iters)
+    * so warm re-runs skip straight to the final map-only assignment.
+    * Empty cells drop out of the centroid set and simply cannot win
+    * (hash seeding over a real corpus fills all k; a cell emptied by
+    * drift stays empty — standard Lloyd behavior, deterministic). */
+  def kmeansAssignFp(vectors: DataFrame, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(iters >= 1 && iters <= 16, s"iters out of range: $iters")
+    val base = graft.core.Caches.persist(
+      graft.core.Tables.spread(vectors).filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), fixedPointVec(col(vecCol)).as("x"),
+          pmod(graft.functions.TextMetrics.hash60(col(idCol).cast(StringType)),
+            lit(k.toLong)).cast(IntegerType).as("cell")))
+    val cents = graft.core.Caches.memo(
+      memoKey(vectors, "kmeansFp", k, iters, idCol, vecCol))(
+      kmeansJob(base, iters))
+    assignToCells(base, cents)
+      .select(col("id").as(idCol), col("cell").as("cluster"))
+  }
+
+  private def kmeansJob(base: DataFrame, iters: Int): Seq[(Int, Array[Long])] = {
+    import graft.functions.ArrayAgg.sumLongArray
+    var assign = base.select(col("id"), col("x"), col("cell"))
+    var cents: Seq[(Int, Array[Long])] = Nil
+    for (_ <- 1 to iters) {
+      val rows = assign.groupBy(col("cell"))
+        .agg(sumLongArray(col("x")).as("s"),
+          sumLongArray(transform(col("x"), _ => lit(1L))).as("c"))
+        .collect()
+      cents = rows.toSeq.collect {
+        case r if !r.isNullAt(1) =>
+          val s = r.getSeq[Long](1); val c = r.getSeq[Long](2)
+          r.getInt(0) -> Array.tabulate(s.length)(i =>
+            math.floor(s(i).toDouble / c(i).toDouble).toLong)
+      }.sortBy(_._1)
+      assign = assignToCells(base, cents)
+    }
+    cents
+  }
+
+  /** Map-only nearest-centroid assignment: argmin of the ‖x‖²-free
+    * integer distance, ties to the smallest cell id (array_sort over
+    * (d, cell) structs). */
+  private def assignToCells(base: DataFrame,
+      cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val scored = array(cents.map { case (j, m) =>
+      val mm = m.map(v => v * v).sum
+      struct((lit(mm) - lit(2L) * graft.functions.ArrayMath.dotLong(col("x"),
+        graft.functions.ArrayMath.longArrayLit(m))).as("d"),
+        lit(j).as("cell"))
+    }: _*)
+    base.select(col("id"), col("x"),
+      element_at(array_sort(scored), 1).getField("cell").as("cell"))
+  }
+
   /** Per-cell cosine scores against literal centroids — one codegen'd dot
     * per cell, map-only; sorted (score, cell) structs so argmax/top-m are
     * array ops. */

@@ -58,6 +58,13 @@ object ArrayMath {
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(a),
       ArrayType(DoubleType, containsNull = false)))
 
+  /** [[doubleArrayLit]] for BIGINT centroids/codebooks (same unsafe
+    * primitive layout rationale). */
+  def longArrayLit(a: Array[Long]): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(a),
+      ArrayType(LongType, containsNull = false)))
+
   private[functions] def numericElem(e: Expression): DataType = e.dataType match {
     case ArrayType(et @ (FloatType | DoubleType | LongType | IntegerType | ShortType), _) => et
     case other => throw new IllegalStateException(s"unsupported array type $other")

@@ -926,6 +926,52 @@ object Corpus {
       |ORDER BY qid, rk""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q133 — k-means cluster assignment (k=8, 3 Lloyd iterations) over the
+  // embedding corpus: fixed-point grid, content-hash seeds, FLOORED
+  // integer centroid means, pure-integer argmin with min-cell ties — the
+  // whole trajectory is deterministic, so the oracle replays all three
+  // iterations serially and must land on the identical assignment.
+  def q133_kmeans_assign(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssignFp(emb(s, dir), k = 8, iters = 3)
+      .orderBy(col("vec_id"))
+
+  private val q133_sql: String = {
+    // one Lloyd iteration: centroids from assignment a{i-1} (element-wise
+    // floored integer mean), then nearest-centroid reassignment a{i}
+    def iter(i: Int) =
+      s"""e$i AS (
+         |  SELECT cell, CAST(t.i AS INT) AS i,
+         |    sum(x[CAST(t.i AS INT)]) AS s, count(*) AS c
+         |  FROM a${i - 1}, range(1, 100000) t(i)
+         |  WHERE t.i <= len(x) GROUP BY 1, 2),
+         |m$i AS (SELECT cell, i,
+         |    CAST(floor(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) AS BIGINT) AS m
+         |  FROM e$i),
+         |d$i AS (
+         |  SELECT v.vec_id, m$i.cell,
+         |    sum((v.x[m$i.i] - m$i.m) * (v.x[m$i.i] - m$i.m)) AS d
+         |  FROM v, m$i GROUP BY 1, 2),
+         |a$i AS (
+         |  SELECT r.vec_id, r.cell, v.x FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM d$i) r JOIN v USING (vec_id) WHERE r.rn = 1)"""
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      e -> CAST(floor(CAST(e AS DOUBLE) * 32768.0) AS BIGINT)) AS x,
+       |    CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 8 AS INT) AS c0
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |a0 AS (SELECT vec_id, c0 AS cell, x FROM v),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT vec_id, CAST(cell AS INT) AS cluster FROM a3
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // q41 — embedding-cosine near-dup pairs (threshold 0.4, exact all-pairs —
   // the verification-grade variant; the LSH-bucketed scale path is q42).
   def q41_embedding_neardup(s: SparkSession, dir: String): DataFrame = {
@@ -1683,6 +1729,7 @@ object Corpus {
     "q130_shuffle_order" -> (q130_shuffle_order _),
     "q131_spans_against" -> (q131_spans_against _),
     "q132_shuffled_budget" -> (q132_shuffled_budget _),
+    "q133_kmeans_assign" -> (q133_kmeans_assign _),
     "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
     "q58_repetition_stats" -> (q58_repetition_stats _),
     "q59_contamination" -> (q59_contamination _),
@@ -1739,6 +1786,7 @@ object Corpus {
     "q130_shuffle_order" -> q130_sql,
     "q131_spans_against" -> q131_sql,
     "q132_shuffled_budget" -> q132_sql,
+    "q133_kmeans_assign" -> q133_sql,
     "q54_boilerplate_ngrams" -> q54_sql,
     "q58_repetition_stats" -> q58_sql,
     "q59_contamination" -> q59_sql,

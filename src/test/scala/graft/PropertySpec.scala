@@ -372,6 +372,38 @@ object GraftProps extends Properties("graft") {
       got == expect
     }
 
+  private def hash60of(t: String): BigInt =
+    BigInt(java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+
+  property("kmeansAssignFp == serial Lloyd reference (floored means, min-cell ties)") =
+    Prop.forAll(Gen.listOfN(12,
+        Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f)))) { vecs =>
+      val (k, iters) = (3, 2)
+      val x = vecs.zipWithIndex.map { case (v, i) =>
+        i.toLong -> v.map(f => math.floor(f.toDouble * 32768.0).toLong).toArray }
+      var cell: Map[Long, Int] =
+        x.map { case (id, _) => id -> (hash60of(id.toString) % k).toInt }.toMap
+      for (_ <- 1 to iters) {
+        val cents = x.groupBy(p => cell(p._1)).map { case (c, mem) =>
+          c -> Array.tabulate(4) { i =>
+            val s = mem.map(_._2(i)).sum
+            math.floor(s.toDouble / mem.size.toDouble).toLong }
+        }.toSeq.sortBy(_._1)
+        cell = x.map { case (id, xv) =>
+          id -> cents.map { case (c, m) =>
+            (m.map(v => v * v).sum - 2L * m.indices.map(i => xv(i) * m(i)).sum, c)
+          }.min._2
+        }.toMap
+      }
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      graft.core.Caches.unpersistAll()
+      val got = graft.ext.Similarity.kmeansAssignFp(df, k, iters).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      got == cell
+    }
+
   private val ppsDocGen: Gen[String] = Gen.frequency(
     (8, Gen.chooseNum(1, 30)),
     (1, Gen.const(200)),                 // longer than most strides → n_hits > 1
