@@ -553,19 +553,54 @@ object Similarity {
     * drift stays empty — standard Lloyd behavior, deterministic). */
   def kmeansAssignFp(vectors: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = kmeansBase(vectors, k, idCol, vecCol)
+    val cents = kmeansCentroidsFp(vectors, k, iters, idCol, vecCol)
+    assignToCells(base, cents)
+      .select(col("id").as(idCol), col("cell").as("cluster"))
+  }
+
+  /** The trained centroids of [[kmeansAssignFp]] as a driver value
+    * (`(cell, fixed-point centroid)` pairs) — for serving paths that
+    * score NEW vectors against a batch-trained model ([[kmeansServe]]).
+    * Memoized per (input plan, k, iters): one training run per corpus
+    * per session. */
+  def kmeansCentroidsFp(vectors: DataFrame, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Array[Long])] = {
     require(k > 0, s"k must be positive: $k")
     require(iters >= 1 && iters <= 16, s"iters out of range: $iters")
-    val base = graft.core.Caches.persist(
+    graft.core.Caches.memo(
+      memoKey(vectors, "kmeansFp", k, iters, idCol, vecCol))(
+      kmeansJob(kmeansBase(vectors, k, idCol, vecCol), iters))
+  }
+
+  /** Stateless nearest-centroid SERVING against trained centroids — the
+    * streaming dual of [[kmeansAssignFp]]'s assignment step: pure Column
+    * expressions (quantize + one codegen dot per cell against embedded
+    * primitive literals), no shuffle, no state, so the SAME code scores
+    * a batch frame or any streaming micro-batch (the
+    * [[graft.ext.Dedup.flagNearDups]] gate pattern). Appends `cluster`;
+    * null vectors get a null cluster (total pass). Rows keep all input
+    * columns. */
+  def kmeansServe(vectors: DataFrame, centroids: Seq[(Int, Array[Long])],
+      vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "kmeansServe needs at least one centroid")
+    // quantize ONCE into a real column — inlining it into nearestCell
+    // would re-run the transform once per centroid (the flagNearDups
+    // __graft_nd_hs rationale)
+    vectors.withColumn("__graft_km_x", fixedPointVec(col(vecCol)))
+      .withColumn("cluster",
+        when(col(vecCol).isNotNull,
+          nearestCell(col("__graft_km_x"), centroids)))
+      .drop("__graft_km_x")
+  }
+
+  private def kmeansBase(vectors: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame =
+    graft.core.Caches.persist(
       graft.core.Tables.spread(vectors).filter(col(vecCol).isNotNull)
         .select(col(idCol).as("id"), fixedPointVec(col(vecCol)).as("x"),
           pmod(graft.functions.TextMetrics.hash60(col(idCol).cast(StringType)),
             lit(k.toLong)).cast(IntegerType).as("cell")))
-    val cents = graft.core.Caches.memo(
-      memoKey(vectors, "kmeansFp", k, iters, idCol, vecCol))(
-      kmeansJob(base, iters))
-    assignToCells(base, cents)
-      .select(col("id").as(idCol), col("cell").as("cluster"))
-  }
 
   private def kmeansJob(base: DataFrame, iters: Int): Seq[(Int, Array[Long])] = {
     import graft.functions.ArrayAgg.sumLongArray
@@ -591,15 +626,19 @@ object Similarity {
     * integer distance, ties to the smallest cell id (array_sort over
     * (d, cell) structs). */
   private def assignToCells(base: DataFrame,
-      cents: Seq[(Int, Array[Long])]): DataFrame = {
+      cents: Seq[(Int, Array[Long])]): DataFrame =
+    base.select(col("id"), col("x"),
+      nearestCell(col("x"), cents).as("cell"))
+
+  private def nearestCell(x: Column,
+      cents: Seq[(Int, Array[Long])]): Column = {
     val scored = array(cents.map { case (j, m) =>
       val mm = m.map(v => v * v).sum
-      struct((lit(mm) - lit(2L) * graft.functions.ArrayMath.dotLong(col("x"),
+      struct((lit(mm) - lit(2L) * graft.functions.ArrayMath.dotLong(x,
         graft.functions.ArrayMath.longArrayLit(m))).as("d"),
         lit(j).as("cell"))
     }: _*)
-    base.select(col("id"), col("x"),
-      element_at(array_sort(scored), 1).getField("cell").as("cell"))
+    element_at(array_sort(scored), 1).getField("cell")
   }
 
   /** Per-cell cosine scores against literal centroids — one codegen'd dot

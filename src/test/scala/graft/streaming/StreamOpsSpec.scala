@@ -144,6 +144,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(out == Seq(202L), s"gate passed: $out")
   }
 
+  test("kmeansServe scores a vector stream against batch-trained centroids") {
+    // batch half: train centroids on the corpus; stream half: kmeansServe
+    // is pure Column exprs (quantize + per-cell codegen dot), so the SAME
+    // operator code assigns clusters inside the micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.core.Tables.load(spark, sf001, "embeddings")
+    val cents = graft.ext.Similarity.kmeansCentroidsFp(batch, k = 4, iters = 2)
+    val expect = graft.ext.Similarity.kmeansAssignFp(batch, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sample = batch.limit(8).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val served = graft.ext.Similarity.kmeansServe(vecs, cents)
+    assert(served.isStreaming)
+    val q = served.writeStream.format("memory").queryName("km_serve")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    mem.addData(sample.toIndexedSeq: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    val got = spark.table("km_serve").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(got == sample.map(s => s._1 -> expect(s._1)).toMap)
+    graft.core.Caches.unpersistAll()
+  }
+
   test("nearDupGateSink: doc flagged only after the periodic refresh picks up the new corpus") {
     implicit val sqlCtx = spark.sqlContext
     def text(i: Long, last: String = "omega") =
