@@ -38,13 +38,18 @@ import org.apache.spark.storage.StorageLevel
 object Caches {
   private val live = new ConcurrentLinkedQueue[DataFrame]
   private val memoMap =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, AnyRef]
+    new java.util.concurrent.ConcurrentHashMap[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), AnyRef]
 
   /** Memoize a driver-side value derived from a (typically persisted)
-    * DataFrame, keyed by its CANONICALIZED analyzed plan — the same key
-    * Spark's own CacheManager matches on, so re-building the identical
-    * operator plan (a warm re-run, or a later query over the same hub)
-    * reuses the computed stats instead of re-running their job. Lifetime
+    * DataFrame, keyed by `(tag, CANONICALIZED analyzed plan)` — the plan
+    * is the same key Spark's own CacheManager matches on, so re-building
+    * the identical operator plan (a warm re-run, or a later query over
+    * the same hub) reuses the computed stats instead of re-running their
+    * job. The `tag` names WHICH scalar is derived ("count",
+    * "tokenTotal", ...): two different statistics over the SAME input
+    * plan (e.g. a corpus's doc count and its token total) must never
+    * share a key, or a same-session query sequence silently serves one
+    * scalar where the other was asked for. Lifetime
     * is tied to the hub caches: [[unpersistAll]] clears the memo, so a
     * re-read of CHANGED underlying data (new corpus, same plan) cannot
     * serve stale stats past the release point. Serial-session contract
@@ -63,8 +68,8 @@ object Caches {
     * boundaries, or driver memory grows with the number of DISTINCT
     * operator plans run (each entry is a plan tree + small stats —
     * ~KBs, but unbounded in count). */
-  def memo[T <: AnyRef](df: DataFrame)(compute: => T): T = {
-    val key = df.queryExecution.analyzed.canonicalized
+  def memo[T <: AnyRef](df: DataFrame, tag: String)(compute: => T): T = {
+    val key = (tag, df.queryExecution.analyzed.canonicalized)
     val hit = memoMap.get(key)
     if (hit != null) hit.asInstanceOf[T]
     else {

@@ -121,7 +121,7 @@ object Dedup {
       permille: Int = 100): Int = {
     require(floorDf > 0 && permille > 0 && permille <= 1000,
       s"invalid df cap rule: floorDf=$floorDf permille=$permille")
-    val n = graft.core.Caches.memo(docs)(
+    val n = graft.core.Caches.memo(docs, "count")(
       java.lang.Long.valueOf(docs.count())).longValue
     math.max(floorDf.toLong, n * permille / 1000L)
       .min(Int.MaxValue.toLong).toInt
@@ -416,7 +416,7 @@ object Dedup {
     * and is memoized per canonical plan ([[graft.core.Caches.memo]]):
     * warm re-runs and sibling queries over the same hub pay zero jobs. */
   private[ext] def hubStatsOf(hub: DataFrame): HubStats =
-    graft.core.Caches.memo(hub) {
+    graft.core.Caches.memo(hub, "hubStats") {
       val r = hub.agg(count(lit(1)), sum(col("n")),
         sum(aggregate(col("shs"), lit(0L), (a, x) => a + octet_length(x)))).head
       HubStats(r.getLong(0),

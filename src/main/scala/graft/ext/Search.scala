@@ -98,6 +98,24 @@ object Search {
     floor(idf * sat * lit(1000000.0)).cast(LongType)
   }
 
+  /** Persisted per-document TERM-FREQUENCY hub `(doc_id, term, tf)` —
+    * the one token-scale aggregate the whole tf·idf family is built on.
+    * [[tfidfKeywords]] consumes it directly (tf and vocabulary df both
+    * derive from it); [[tfidfCosinePairs]] re-keys it to [[TextAnalysis
+    * .hash60]] gram keys with a vocab-scale map-side projection (never a
+    * second corpus pass). Persisting the POST-aggregate table (not the
+    * raw exploded occurrences) keeps the cache at vocab×doc scale while
+    * still amortizing the tokenize+count shuffle across every family
+    * consumer in the session. Spark's CacheManager dedupes re-persists of
+    * the same canonical plan, so calling two family operators over one
+    * corpus caches the hub once; released via
+    * [[graft.core.Caches.unpersistAll]] at corpus boundaries. */
+  private def tfHub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.core.Caches.persist(docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+
   /** Top-k keywords PER DOCUMENT by tf·idf — the corpus-wide tagging
     * projection ([[bm25TopK]] is the query-time probe; this scores every
     * (doc, term) pair). Same reproducibility discipline: rational idf
@@ -117,10 +135,7 @@ object Search {
     // contract): a countDistinct over the token-scale hub would pay a
     // two-phase distinct aggregate for the same scalar
     val nDocs = docs.filter(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
-    val hub = graft.core.Caches.persist(docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ", -1)).as("term")))
-    val tf = hub.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = tfHub(docs, idCol, textCol)
     val dfPerTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
       (col("df").cast(DoubleType) + lit(0.5))
@@ -195,11 +210,13 @@ object Search {
     require(minCosNum > 0 && minCosDen >= minCosNum, "need 0 < num/den <= 1")
     require(maxDf > 1, "maxDf must admit at least one pair")
     val nDocs = docs.filter(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
-    val tf = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ", -1)).as("term"))
-      .select(col("doc_id"), TextAnalysis.hash60(col("term")).as("gk"))
-      .groupBy(col("doc_id"), col("gk")).agg(count(lit(1)).as("tf"))
+    // the family tf hub re-keyed to hash60 gram keys: a vocab×doc-scale
+    // projection + re-aggregate (merging any colliding terms — the gk
+    // grouping contract below), never a second token-scale corpus pass.
+    val tf = graft.core.Caches.persist(
+      tfHub(docs, idCol, textCol)
+        .select(col("doc_id"), TextAnalysis.hash60(col("term")).as("gk"), col("tf"))
+        .groupBy(col("doc_id"), col("gk")).agg(sum(col("tf")).as("tf")))
     val vocab = tf.groupBy(col("gk")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     // integer weight w = tf · floor(idf·100); idf expression tree mirrored
@@ -210,11 +227,21 @@ object Search {
       tf.join(vocab, Seq("gk")).crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("gk"), (col("tf") * idfInt).as("w")))
     val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("na2"))
-    val pairs = w.as("a")
-      .join(w.as("b"),
-        col("a.gk") === col("b.gk") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"), sum(col("a.w") * col("b.w")).as("dot"))
+    // pair generation by posting-list expansion, never a self-join: one
+    // grouping on the gram key collects each discriminative term's
+    // posting list — ≤ maxDf structs wide BY CONSTRUCTION (the vocab cap
+    // above), so row width is bounded at any corpus size — and the a<b
+    // pairs expand map-side (sort_array orders by doc_id, the join's
+    // old `a.doc_id < b.doc_id`). Same sums, one exchange fewer.
+    val pairs = w
+      .groupBy(col("gk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("w")))).as("xs"))
+      .select(explode(flatten(transform(col("xs"), (x, ix) =>
+        transform(slice(col("xs"), ix + lit(2), size(col("xs"))), y =>
+          struct(x("doc_id").as("da"), y("doc_id").as("db"),
+            (x("w") * y("w")).as("ww")))))).as("p"))
+      .groupBy(col("p.da").as("doc_a"), col("p.db").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("p.ww")).as("dot"))
     val dec = DecimalType(20, 0)
     val lhs = col("dot").cast(dec) * col("dot").cast(dec) *
       lit(minCosDen.toLong * minCosDen)

@@ -96,7 +96,7 @@ object Sharding {
     import graft.queries.intDiv
     val laid = graft.core.Caches.persist(
       tokenPrefix(docs, bucketSize, idCol, textCol))
-    val total = graft.core.Caches.memo(laid)(java.lang.Long.valueOf(
+    val total = graft.core.Caches.memo(laid, "tokenTotal")(java.lang.Long.valueOf(
       laid.agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0))).longValue
     require(total > 0, "corpus has no tokens to sample from")
     val dec = DecimalType(20, 0)

@@ -298,7 +298,7 @@ object Similarity {
     val (p, b) =
       if (planesPerBand > 0) (planesPerBand, bands)
       else {
-        val n = graft.core.Caches.memo(base)(
+        val n = graft.core.Caches.memo(base, "count")(
           java.lang.Long.valueOf(base.count())).longValue
         val pp = math.max(4,
           math.ceil(math.log(math.max(1.0, n / 128.0)) / math.log(2.0)).toInt)
@@ -476,7 +476,7 @@ object Similarity {
   private def lloydCentroids(base: DataFrame, nCells: Int,
       idCol: String, vecCol: String): Array[Array[Double]] =
     graft.core.Caches.memo(
-      memoKey(base, "lloydCentroids", nCells, idCol, vecCol))(
+      memoKey(base, "lloydCentroids", nCells, idCol, vecCol), "trainer")(
       lloydCentroidsJob(base, nCells, idCol, vecCol))
 
   /** Plan-keyed memo handle for a driver-side trainer: the key DataFrame
@@ -569,7 +569,7 @@ object Similarity {
     require(k > 0, s"k must be positive: $k")
     require(iters >= 1 && iters <= 16, s"iters out of range: $iters")
     graft.core.Caches.memo(
-      memoKey(vectors, "kmeansFp", k, iters, idCol, vecCol))(
+      memoKey(vectors, "kmeansFp", k, iters, idCol, vecCol), "trainer")(
       kmeansJob(kmeansBase(vectors, k, idCol, vecCol), iters))
   }
 
@@ -593,6 +593,27 @@ object Similarity {
           nearestCell(col("__graft_km_x"), centroids)))
       .drop("__graft_km_x")
   }
+
+  /** Persist a trained centroid set ([[kmeansCentroidsFp]] output) as a
+    * parquet model dump `(cell INT, centroid ARRAY<BIGINT>)` — the
+    * handoff between the batch trainer and a [[kmeansServe]] consumer in
+    * another session (the YAML `kmeans_serve` stage loads exactly this).
+    * k·dims integers — driver-sized by the trainer's own contract. */
+  def kmeansModelSave(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Int, Array[Long])], path: String): Unit = {
+    import spark.implicits._
+    centroids.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[kmeansModelSave]] dump, cell-ordered. */
+  def kmeansModelLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Array[Long])] =
+    spark.read.parquet(path).select(col("cell"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
 
   private def kmeansBase(vectors: DataFrame, k: Int,
       idCol: String, vecCol: String): DataFrame =
@@ -793,7 +814,7 @@ object Similarity {
       dims: Int, idCol: String, vecCol: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) =
     graft.core.Caches.memo(
-      memoKey(base, "trainIvfPq", nCells, m, ksub, dims, idCol, vecCol))(
+      memoKey(base, "trainIvfPq", nCells, m, ksub, dims, idCol, vecCol), "trainer")(
       trainIvfPqJob(base, nCells, m, ksub, dims, idCol, vecCol))
 
   private def trainIvfPqJob(base: DataFrame, nCells: Int, m: Int, ksub: Int,

@@ -517,10 +517,12 @@ object TextAnalysis {
   /** Ingest-time CONTAMINATION gate — the streaming-stateless row flag
     * of the contamination family, as [[Dedup.flagNearDups]] is to the
     * near-dup family: `contaminated` ⟺ the document shares at least one
-    * word `n`-gram with the benchmark set. Unlike the LSH gate this is
-    * EXACT membership (no banding probability): grams hash to the
-    * engine-portable 60-bit key and membership is one binary search per
-    * gram against the embedded sorted blocklist
+    * word `n`-gram with the benchmark set. Unlike the LSH gate there is
+    * no banding probability: membership is exact up to 60-bit key
+    * collisions (~2⁻⁶⁰ per gram pair — the family's established
+    * md5-prefix convention, not a tunable recall knob): grams hash to
+    * the engine-portable 60-bit key and membership is one binary search
+    * per gram against the embedded sorted blocklist
     * ([[graft.functions.ArraySets.sortedLongContains]] — logarithmic,
     * primitive `long[]`, no boxing). Map-only, stateless, no shuffle —
     * runs identically on a batch frame or inside any streaming
@@ -1357,20 +1359,40 @@ object TextAnalysis {
     * fixed-point report). 0 = identical distributions, 10⁶ = disjoint.
     *
     * Scale shape: one tokenization pass → per-(source, gram-key) counts
-    * (the only corpus-scale shuffle, on [[hash60]] keys); totals are
-    * |S| rows broadcast back; the pair join runs on the COUNTS table
-    * (vocab × sources). Terms absent from one source contribute
-    * `c·N_other` — recovered from totals minus the shared-term sums, so
-    * only the inner join on shared grams is ever materialized. */
+    * (the only corpus-scale shuffle, on [[hash60]] keys, PERSISTED — two
+    * consumers below); per-source token totals are |S| rows BY
+    * CONSTRUCTION, so they collect to the driver (memoized — the
+    * centroid-literal rationale: a source registry is driver-sized the
+    * way a corpus is not) and ride the plan as literals. The shared-term
+    * sums come from ONE grouping on the gram key — per-gram source lists
+    * are ≤ |S| structs wide (bounded row width at any corpus size) and
+    * expand to their a<b pairs map-side — never a self-join, so the warm
+    * path is a single two-exchange job. Terms absent from one source
+    * contribute `c·N_other` — recovered from totals minus the shared-term
+    * sums, so only shared grams are ever materialized. */
   def sourceDivergence(docs: DataFrame,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
-    val counts = docs.filter(col(textCol).isNotNull)
-      .select(col(srcCol).as("src"),
-        explode(split(col(textCol), " ", -1)).as("term"))
-      .select(col("src"), hash60(col("term")).as("gk"))
-      .groupBy(col("src"), col("gk")).agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n_tok"))
-    val cw = counts.join(broadcast(totals), Seq("src"))
+    // persisted per-source unigram hub: the token-scale tokenize+count is
+    // the only corpus-sized stage and it has THREE consumers downstream
+    // (the totals aggregate and both sides of the shared-gram self-join) —
+    // without the persist each re-runs it (exchange reuse does not survive
+    // the differing parents). The q59 hubStatsOf rationale, applied to the
+    // source-matrix family; released via Caches.unpersistAll.
+    // null sources can never reach the output (a null never satisfies the
+    // pair ordering in either engine), so they are dropped before the hub
+    val counts = graft.core.Caches.persist(
+      docs.filter(col(textCol).isNotNull && col(srcCol).isNotNull)
+        .select(col(srcCol).as("src").cast(StringType),
+          explode(split(col(textCol), " ", -1)).as("term"))
+        .select(col("src"), hash60(col("term")).as("gk"))
+        .groupBy(col("src"), col("gk")).agg(count(lit(1)).as("c")))
+    // per-source token totals: |S| rows by construction — collected once
+    // (memoized; warm re-runs pay zero jobs) and embedded as literals
+    val totals: Seq[(String, Long)] =
+      graft.core.Caches.memo(counts, "srcTotals")(
+        counts.groupBy(col("src")).agg(sum(col("c")).as("n_tok"))
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
+    val nTok = map(totals.flatMap { case (s, n) => Seq(lit(s), lit(n)) }: _*)
     // the whole numerator runs in 38-digit decimals: at web scale a
     // source holds ~10¹² tokens, so c·N cross products reach ~10²⁴ —
     // past BIGINT — while decimal38 holds to ~10³⁸ (the oracle mirrors
@@ -1378,18 +1400,39 @@ object TextAnalysis {
     // lands in [0, 10⁶]); tvd_num is the one field that only fits BIGINT
     // below ~3·10⁹ tokens/source — emitted for drill-down, cast LAST.
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val shared = cw.as("a")
-      .join(cw.as("b"), col("a.gk") === col("b.gk") && col("a.src") < col("b.src"))
-      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
-      .agg(sum(abs(col("a.c").cast(dec) * col("b.n_tok") -
-          col("b.c").cast(dec) * col("a.n_tok")))
+    // shared-term sums via per-gram pair expansion: sort_array orders the
+    // ≤|S|-wide (src, c) list by source (Spark/UTF8 binary order — the
+    // same `<` the oracle's a.src < b.src uses), so slice-pairs (i < j)
+    // enumerate exactly the unordered source pairs sharing the gram
+    val byGram = counts
+      .groupBy(col("gk"))
+      .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("xs"))
+      .select(explode(flatten(transform(col("xs"), (x, ix) =>
+        transform(slice(col("xs"), ix + lit(2), size(col("xs"))), y =>
+          struct(x("src").as("sa"), y("src").as("sb"),
+            x("c").as("ca"), y("c").as("cb")))))).as("p"))
+    val shared = byGram
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .agg(sum(abs(col("p.ca").cast(dec) * element_at(nTok, col("p.sb")) -
+          col("p.cb").cast(dec) * element_at(nTok, col("p.sa"))))
           .as("shared_abs"),
-        sum(col("a.c")).as("shared_ca"), sum(col("b.c")).as("shared_cb"))
+        sum(col("p.ca")).as("shared_ca"), sum(col("p.cb")).as("shared_cb"))
     val num = coalesce(col("shared_abs"), lit(0L).cast(dec)) +
       (col("n_a") - coalesce(col("shared_ca"), lit(0L))).cast(dec) * col("n_b") +
       (col("n_b") - coalesce(col("shared_cb"), lit(0L))).cast(dec) * col("n_a")
-    totals.select(col("src").as("source_a"), col("n_tok").as("n_a"))
-      .crossJoin(totals.select(col("src").as("source_b"), col("n_tok").as("n_b")))
+    // the |S|² pair frame is a LOCAL literal relation (no corpus job):
+    // built unordered, filtered by the same Spark `<` as the pair
+    // expansion so driver-side string ordering never enters the contract
+    val spark = docs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val totSchema = StructType(Seq(
+      StructField("source_a", StringType, nullable = false),
+      StructField("n_a", LongType, nullable = false),
+      StructField("source_b", StringType, nullable = false),
+      StructField("n_b", LongType, nullable = false)))
+    val pairRows = (for { (sa, na) <- totals; (sb, nb) <- totals if sa != sb }
+      yield org.apache.spark.sql.Row(sa, na, sb, nb)).asJava
+    spark.createDataFrame(pairRows, totSchema)
       .filter(col("source_a") < col("source_b"))
       .join(shared, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),

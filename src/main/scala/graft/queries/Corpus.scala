@@ -298,7 +298,7 @@ object Corpus {
   // at every scale; the oracle is the serial single-window cumsum.
   def q132_shuffled_budget(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val total = graft.core.Caches.memo(d)(java.lang.Long.valueOf(
+    val total = graft.core.Caches.memo(d, "tokenTotal")(java.lang.Long.valueOf(
       d.agg(coalesce(sum(size(split(col("text"), " ", -1)).cast(LongType)),
         lit(0L))).head.getLong(0))).longValue
     graft.ext.Sharding.shuffledTokenBudget(d, budget = total / 5, salt = "epoch0")
@@ -329,7 +329,7 @@ object Corpus {
   // scanned but never shuffled — the daily-ingest shape.
   def q131_spans_against(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val total = graft.core.Caches.memo(d)(
+    val total = graft.core.Caches.memo(d, "count")(
       java.lang.Long.valueOf(d.count())).longValue
     val lo = total * 9 / 10
     graft.ext.Dedup.repeatedSpansAgainst(
@@ -551,7 +551,7 @@ object Corpus {
     // by premise — flagNearDups' task-binary envelope, documented there);
     // memoized per bench plan so warm re-runs skip the collect job
     val bg = TextAnalysis.benchGramKeys(d.filter(bucket >= 90), n = 3)
-    val keys = graft.core.Caches.memo(bg)(
+    val keys = graft.core.Caches.memo(bg, "benchKeys")(
       bg.collect().map(_.getLong(0)).toSeq)
     TextAnalysis.flagContaminated(d, keys, n = 3)
       .select(col("doc_id"), col("contaminated"))

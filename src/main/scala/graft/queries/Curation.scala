@@ -117,7 +117,7 @@ object Curation {
     // oracle hash) is unchanged at sf0.01/sf0.1; the count is one
     // metadata-cheap job.
     val cells = math.max(8L,
-      graft.core.Caches.memo(e)(java.lang.Long.valueOf(e.count())).longValue / 250L).toInt
+      graft.core.Caches.memo(e, "count")(java.lang.Long.valueOf(e.count())).longValue / 250L).toInt
     val sd = Similarity.semanticDedup(e, minCosine = 0.4, nCells = cells)
       .select(col("vec_id"), col("sem_canonical_id"))
     val exactPairs = Similarity.exactCosinePairs(e, e)
