@@ -87,7 +87,20 @@ object Bench {
     // corpus). Both are reported: `queries`/`value` carry warm (the
     // round-over-round comparable), `queries_cold`/`total_cold` the cold
     // truth, so hub-persisting operators can't hide their build cost.
-    val results = qs0.map { case (name, fn) =>
+    // TWO full sweeps, merged per-query by MIN (cold and warm
+    // independently): one sweep on a busy box records phantom
+    // regressions — BENCH_r11 published q50/q55/q51 40-99% over readings
+    // that three same-code sweeps disproved, and the round-6/7 drift
+    // class before it. A transient ambient episode (GC storm, co-tenant
+    // burst) poisons ALL runs of the queries it overlaps, so min-of-N
+    // WITHIN one visit can't save them; a second full pass minutes later
+    // almost never hits the same episode on the same query. Values
+    // converge toward the box's floor instead of its weather.
+    // SPARK_GRAFT_PASSES overrides (1 = the old single-sweep behavior).
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    def runPass(pass: Int): Seq[(String, (Double, Double))] = {
+      System.err.println(s"[bench] sweep pass $pass/$passes")
+      qs0.map { case (name, fn) =>
       // release the PREVIOUS query's caches first, THEN collect: gc before
       // the release would leave the eviction's own GC debt to land inside
       // the next timed cold run
@@ -135,6 +148,17 @@ object Bench {
       // a failed query reports -1 (visible), never a bogus time-to-exception
       name -> (cold.getOrElse(-1.0),
         if (warm.nonEmpty) warm.min else cold.getOrElse(-1.0))
+      }
+    }
+    // merge passes per-query: min where both succeeded, the successful
+    // value where one failed (-1 must not win a min over a real time)
+    def mergeMin(a: Double, b: Double): Double =
+      if (a < 0) b else if (b < 0) a else math.min(a, b)
+    val results = (1 to passes).map(runPass).reduce { (x, y) =>
+      x.zip(y).map { case ((n1, (c1, w1)), (n2, (c2, w2))) =>
+        require(n1 == n2, s"pass order diverged: $n1 vs $n2")
+        n1 -> (mergeMin(c1, c2), mergeMin(w1, w2))
+      }
     }
     // Millisecond precision: sub-ms digits are noise, and the contract line
     // must stay SHORT — the driver parses it from a bounded tail window, and
@@ -160,7 +184,9 @@ object Bench {
     System.err.println(
       s"""[bench] cold: {"total_cold":${fmt(totalCold)},"queries_cold":${objFull(_._2._1)}}""")
     System.err.println(s"""[bench] warm_full: ${objFull(_._2._2)}""")
-    println(s"""{"metric":"total","value":${fmt(totalWarm)},"unit":"sec","queries":${obj(_._2._2)},"total_cold":${fmt(totalCold)},"sf":"$sfDir"}""")
+    // "passes": the recorded protocol — each value is the per-query MIN
+    // across this many full sweeps (plus the per-visit min-of-2..4 runs)
+    println(s"""{"metric":"total","value":${fmt(totalWarm)},"unit":"sec","queries":${obj(_._2._2)},"total_cold":${fmt(totalCold)},"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,7 +69,63 @@ object Compiler {
       graft.ext.TextAnalysis.keywordScore(df, weights, bias)
         .filter(col("kw_score") >= min).select(cols: _*)
     }
+    // --- ingest gates (extension set): the stateless map-only flags the
+    // batch operators trained, exposed to the YAML surface so the
+    // streaming-ingest story is reachable without Scala. Side inputs
+    // (benchmark table, corpus band keys, centroid model) load from
+    // BATCH paths when the stage is built — once per stream, embedded as
+    // literals — so the stage itself stays map-only: no join, no state,
+    // identical plan on a batch frame or any streaming micro-batch.
+    // `action: drop` (default) filters gated rows out; `action: flag`
+    // keeps the audit column. Null text passes a drop-gate (the total-
+    // pass convention — a null payload is not evidence of contamination).
+    case "contamination_gate" => df => {
+      val benchPath = p.config.getOrElse("bench_path",
+        sys.error("contamination_gate needs config.bench_path (parquet with a text column)"))
+      val n = p.config.getOrElse("n", "8").toInt
+      val bench = df.sparkSession.read.parquet(benchPath)
+      val keys = graft.ext.TextAnalysis.benchGramKeys(bench, n)
+        .collect().map(_.getLong(0)).toSeq
+      gated(p, graft.ext.TextAnalysis.flagContaminated(df, keys, n),
+        "contaminated")
+    }
+    case "near_dup_gate" => df => {
+      val corpusPath = p.config.getOrElse("corpus_path",
+        sys.error("near_dup_gate needs config.corpus_path (parquet with doc_id + text)"))
+      val n = p.config.getOrElse("n", "8").toInt
+      val numHashes = p.config.getOrElse("num_hashes", "128").toInt
+      val rowsPerBand = p.config.getOrElse("rows_per_band", "4").toInt
+      val corpus = df.sparkSession.read.parquet(corpusPath)
+      val bandKeys = graft.ext.Dedup
+        .minhashBandKeys(corpus, n, numHashes, rowsPerBand)
+        .collect().map(_.getLong(0)).toSeq
+      gated(p, graft.ext.Dedup.flagNearDups(df, bandKeys, n, numHashes,
+        rowsPerBand), "near_dup_candidate")
+    }
+    // scores every row's `embedding` (config.vec_col overrides) against a
+    // batch-trained centroid dump ([[graft.ext.Similarity.kmeansModelSave]])
+    // — always additive (a cluster id is routing/audit metadata, not a
+    // drop decision), so no action knob
+    case "kmeans_serve" => df => {
+      val modelPath = p.config.getOrElse("model_path",
+        sys.error("kmeans_serve needs config.model_path (a kmeansModelSave dump)"))
+      val vecCol = p.config.getOrElse("vec_col", "embedding")
+      val centroids =
+        graft.ext.Similarity.kmeansModelLoad(df.sparkSession, modelPath)
+      graft.ext.Similarity.kmeansServe(df, centroids, vecCol)
+    }
   }
+
+  /** Gate tail shared by the flag processors: `drop` removes rows whose
+    * flag is TRUE (null flags — null text — pass) and hides the flag
+    * column; `flag` keeps the audit column for a downstream sink. */
+  private def gated(p: ProcConf, flagged: DataFrame, flagCol: String): DataFrame =
+    p.config.getOrElse("action", "drop") match {
+      case "drop" => flagged
+        .filter(!coalesce(col(flagCol), lit(false))).drop(flagCol)
+      case "flag" => flagged
+      case other => sys.error(s"unknown gate action '$other' (drop|flag)")
+    }
 
   /** The full processor chain (lib.rs:87-89: fold over handlers). */
   def pipeline(spec: Spec): DataFrame => DataFrame =

@@ -479,6 +479,127 @@ class SpecSpec extends SparkSpec {
     assert(log.snapshot.exists(p => p.queryName == "metrics_probe" && p.numInputRows == 3))
   }
 
+  test("contamination_gate spec: drops bench-overlapping docs, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cgate")
+    val benchPath = dir.resolve("bench").toString
+    Seq("leak alpha beta gamma delta").toDF("text").write.parquet(benchPath)
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: contamination_gate
+         |      config: {bench_path: "$benchPath", n: "3"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    val rows = Seq("totally clean document here",
+      "contains leak alpha beta verbatim", "short")
+    val batchOut = texts(Compiler.pipeline(spec)(rows.toDF("text"))).sorted
+    assert(batchOut == Seq("short", "totally clean document here"))
+    // the same compiled stage is map-only → runs unchanged on a stream
+    val ms = MemoryStream[String]
+    val out = Compiler.pipeline(spec)(ms.toDF().withColumnRenamed("value", "text"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("cgate_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    val streamOut = spark.table("cgate_stream").collect().map(_.getString(0)).sorted
+    assert(streamOut.toSeq == batchOut)
+    // action: flag keeps the audit column instead of dropping rows
+    val flagSpec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: contamination_gate
+         |      config: {bench_path: "$benchPath", n: "3", action: "flag"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    val flagged = Compiler.pipeline(flagSpec)(rows.toDF("text"))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("contaminated")).toMap
+    assert(flagged("contains leak alpha beta verbatim"))
+    assert(!flagged("totally clean document here"))
+  }
+
+  test("near_dup_gate spec: drops corpus near-dups, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndgate")
+    val corpusPath = dir.resolve("corpus").toString
+    def doc(i: Int) = (1 to 12).map(t => s"w${i}_$t").mkString(" ")
+    (1 to 4).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+      .write.parquet(corpusPath)
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: near_dup_gate
+         |      config: {corpus_path: "$corpusPath", n: "3"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    // an exact copy of corpus doc 2 bands identically → dropped; a fresh
+    // doc shares no shingles → passes
+    val rows = Seq(doc(2), (1 to 12).map(t => s"fresh_$t").mkString(" "))
+    val batchOut = texts(Compiler.pipeline(spec)(rows.toDF("text")))
+    assert(batchOut == rows.tail)
+    val ms = MemoryStream[String]
+    val out = Compiler.pipeline(spec)(ms.toDF().withColumnRenamed("value", "text"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("ndgate_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    val streamOut = spark.table("ndgate_stream").collect().map(_.getString(0))
+    assert(streamOut.toSeq == batchOut)
+  }
+
+  test("kmeans_serve spec: scores embeddings against a saved model, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmserve")
+    val modelPath = dir.resolve("model").toString
+    val batch = graft.core.Tables.load(spark, sf001, "embeddings")
+    val cents = graft.ext.Similarity.kmeansCentroidsFp(batch, k = 4, iters = 2)
+    graft.ext.Similarity.kmeansModelSave(spark, cents, modelPath)
+    // the dump round-trips bit-exactly (cell order + centroid values)
+    assert(graft.ext.Similarity.kmeansModelLoad(spark, modelPath)
+      .map { case (c, v) => (c, v.toSeq) } ==
+      cents.sortBy(_._1).map { case (c, v) => (c, v.toSeq) })
+    val expect = graft.ext.Similarity.kmeansAssignFp(batch, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: kmeans_serve
+         |      config: {model_path: "$modelPath"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    val sample = batch.limit(8).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray))
+    val ms = MemoryStream[(Long, Array[Float])]
+    val out = Compiler.pipeline(spec)(ms.toDF().toDF("vec_id", "embedding"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("kmserve_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(sample.toIndexedSeq: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    val got = spark.table("kmserve_stream").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(got == sample.map(s => s._1 -> expect(s._1)).toMap)
+    graft.core.Caches.unpersistAll()
+  }
+
   test("http_server address parsing: defaults, IPv6 brackets, rejects") {
     import graft.sources.HttpIngest.{parseAddress => pa}
     assert(pa("0.0.0.0:4195") == ("0.0.0.0", 4195))
