@@ -41,6 +41,17 @@ import org.apache.spark.sql.types._
   *               DENSE (no-broadcast) path exists for; use with the scale
   *               probe to exercise that path on REAL volume instead of
   *               forced tunables.
+  *   --vocab-growth=B
+  *               Heaps-law vocabulary growth exponent (default 0 = the
+  *               driver data's FIXED 30-word vocabulary, bit-identical
+  *               output). With B > 0 the document vocabulary holds
+  *               ceil(30 · times^B) distinct words (V ∝ corpus^B,
+  *               B ≈ 0.5 for web text), so term/shingle document
+  *               frequencies grow SUBLINEARLY with corpus size the way
+  *               real corpora do — the fixed vocab saturates every df
+  *               ∝ corpus, which makes the near-dup prefix-filter
+  *               family's scaling look quadratic for synthetic-only
+  *               reasons (the round-11 candidate-volume measurement).
   *   e.g. `GenData target/testdata/sf1 10` writes a 10× sf0.1 dataset
   *   (~6M lineitem, 50k docs, 20k embeddings) — the round-8 sf1 smoke.
   */
@@ -62,6 +73,10 @@ object GenData {
       s.stripPrefix("--dup-permille=").toInt }.getOrElse(25)
     require(dupPermille >= 8 && dupPermille <= 1000,
       s"--dup-permille must be in [8, 1000], got $dupPermille")
+    val vocabGrowth = args.collectFirst { case s if s.startsWith("--vocab-growth=") =>
+      s.stripPrefix("--vocab-growth=").toDouble }.getOrElse(0.0)
+    require(vocabGrowth >= 0.0 && vocabGrowth <= 1.0,
+      s"--vocab-growth must be in [0, 1], got $vocabGrowth")
     val unknown = tables -- AllTables.toSet
     require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(",")}")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
@@ -73,14 +88,15 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, outDir, times, cpus, salt, tables, dupPermille)
+    write(spark, outDir, times, cpus, salt, tables, dupPermille, vocabGrowth)
     spark.stop()
   }
 
   def write(spark: SparkSession, outDir: String, times: Double, cpus: Int,
       salt: String = "", tables: Set[String] = AllTables.toSet,
-      dupPermille: Int = 25): Unit =
-    new Gen(spark, outDir, times, cpus, salt, tables, dupPermille).writeAll()
+      dupPermille: Int = 25, vocabGrowth: Double = 0.0): Unit =
+    new Gen(spark, outDir, times, cpus, salt, tables, dupPermille,
+      vocabGrowth).writeAll()
 
   /** One generation run; `salt` folds into every hash seed (empty salt
     * keeps the hash seeds — and therefore every generated VALUE —
@@ -89,7 +105,8 @@ object GenData {
     * changed column TYPES: timestamps to timestamp_ntz, n_chars to
     * int64). */
   private final class Gen(spark: SparkSession, outDir: String, times: Double,
-      cpus: Int, salt: String, tables: Set[String], dupPermille: Int) {
+      cpus: Int, salt: String, tables: Set[String], dupPermille: Int,
+      vocabGrowth: Double) {
 
     private def h(cols: Column*): Column =
       if (salt.isEmpty) xxhash64(cols: _*)
@@ -226,8 +243,22 @@ object GenData {
         val base = when(isExact, col("id") - 997)
           .when(isNear, col("id") - 991).otherwise(col("id"))
         val len = (pmod(h(base, lit("len")), lit(83L)) + 8).cast(IntegerType)
+        // Heaps-law vocabulary: V = ceil(30 · times^B) distinct words.
+        // B = 0 keeps the modulus at 30 and the exact legacy expression —
+        // default output stays bit-identical. Indices past the literal
+        // list render as "w<k>" (uniform draw over V: dfs then grow
+        // ∝ corpus^(1-B), the sublinear shape real corpora have).
+        val vocabSize =
+          if (vocabGrowth == 0.0) 30L
+          else math.max(30L, math.ceil(30.0 * math.pow(times, vocabGrowth)).toLong)
         def word(seed: Column, p: Column) =
-          element_at(typedLit(Vocab), (pmod(h(seed, lit("w"), p), lit(30L)) + 1).cast(IntegerType))
+          if (vocabSize == 30L)
+            element_at(typedLit(Vocab), (pmod(h(seed, lit("w"), p), lit(30L)) + 1).cast(IntegerType))
+          else {
+            val k = pmod(h(seed, lit("w"), p), lit(vocabSize))
+            when(k < 30, element_at(typedLit(Vocab), (k + 1).cast(IntegerType)))
+              .otherwise(concat(lit("w"), k))
+          }
         val words = transform(sequence(lit(1), len), p =>
           when(isNear && pmod(h(col("id"), lit("m"), p), lit(12L)) === 0,
             word(h(col("id"), lit("alt")), p))

@@ -68,4 +68,23 @@ class GenDataSpec extends SparkSpec {
     assert(frac > 0.15 && frac < 0.33,
       f"expected ~22%% newly-planted near-dups, got $frac%.3f")
   }
+
+  test("--vocab-growth widens the vocabulary with scale; default stays fixed-30") {
+    import org.apache.spark.sql.functions._
+    def vocabOf(times: Double, beta: Double): Long = {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"gendata-vocab$times-$beta").toString
+      GenData.write(spark, out, times = times, cpus = 4,
+        tables = Set("documents"), vocabGrowth = beta)
+      spark.read.parquet(s"$out/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .agg(countDistinct(col("t"))).head.getLong(0)
+    }
+    // default (beta = 0): fixed 30-word vocabulary at any scale
+    assert(vocabOf(0.5, 0.0) == 30L)
+    // Heaps beta = 0.5: V = ceil(30 * times^0.5); the floor keeps
+    // times <= 1 at the legacy 30, larger corpora grow sublinearly
+    assert(vocabOf(0.5, 0.5) == 30L)
+    assert(vocabOf(4.0, 0.5) == 60L)
+  }
 }
