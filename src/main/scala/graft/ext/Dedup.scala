@@ -1342,6 +1342,36 @@ object Dedup {
       "canonical_id", "n_copies", keepNullKeys = false).drop("fp_md5")
   }
 
+  /** Incremental exact dedup — the R-S (delta-vs-corpus) form of
+    * [[exactDedup]], completing the family's against-forms
+    * ([[repeatedSpansAgainst]], [[nearDupJaccardAcross]]): the SURVIVORS
+    * of a new delta batch, i.e. the delta rows whose content fingerprint
+    * (full md5 — exact, the q36 contract) appears nowhere in the existing
+    * corpus AND that hold the min id of their fingerprint within the
+    * delta itself (a batch must dedup against the corpus and against its
+    * own internal copies in one pass). Output: `(idCol, fp60,
+    * n_delta_copies)` — survivors only, the daily-ingest admit list.
+    * Null-text rows drop on both sides (the exactDedup convention).
+    *
+    * Scale shape: the corpus contributes ONE distinct-fingerprint
+    * projection — 32-byte constant-width keys, never document bodies —
+    * into a single anti-join shuffle (or a broadcast when the delta side
+    * is small enough for AQE to flip the build side); the delta pays one
+    * keyed aggregate. Nothing corpus-sized is collected or rewritten. */
+  def exactDedupAgainst(delta: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val d = TextAnalysis.fingerprint(delta.filter(col(textCol).isNotNull), textCol)
+      .select(col(idCol), col("fp_md5"), col("fp60"))
+    val dGroups = d.groupBy(col("fp_md5"))
+      .agg(min(col(idCol)).as("__keep_id"), count(lit(1)).as("n_delta_copies"))
+    val cFp = corpus.filter(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("fp_md5")).distinct()
+    d.join(dGroups, Seq("fp_md5"))
+      .filter(col(idCol) === col("__keep_id"))
+      .join(cFp, Seq("fp_md5"), "left_anti")
+      .select(col(idCol), col("fp60"), col("n_delta_copies"))
+  }
+
   /** The keyed dedup-annotation shape shared by [[exactDedup]] and
     * [[TextAnalysis.urlDedup]]: group on `keyCol`, elect the min-id
     * canonical, count copies, annotate every input row via a join back.

@@ -1257,6 +1257,87 @@ object TextAnalysis {
         (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
   }
 
+  /** Per-source n-gram DIVERSITY — the self-repetition audit of the
+    * source matrix ([[sourceOverlap]] asks how much sources share;
+    * this asks how much each source repeats ITSELF — template farms and
+    * scraped boilerplate show distinct/total ratios collapsing toward 0,
+    * one of the Gopher/FineWeb source-quality axes; the per-document
+    * dual is the repetition scorer, this is the corpus-mix view):
+    * per source, total word `n`-gram occurrences, distinct n-grams, and
+    * `distinct_fp = floor(distinct · 10⁶ / total)`. Short docs
+    * (< n tokens) contribute nothing (the [[sourceOverlap]] gram rule).
+    *
+    * Scale shape: one tokenization pass → ONE aggregation keyed on the
+    * source (exact count-distinct runs as Spark's two-phase expand —
+    * the second phase is keyed on (source, gram-hash), fully parallel);
+    * output is |S| rows. [[hash60]] keys through the shuffle. */
+  def distinctNgramRatio(docs: DataFrame, n: Int,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(n > 0, s"gram width must be positive: $n")
+    val ws = split(col(textCol), " ", -1)
+    docs.filter(col(textCol).isNotNull && size(ws) >= n)
+      .select(col(srcCol).as("source"),
+        explode(graft.functions.TextMetrics.wordGramHash60(ws, n)).as("gk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        count_distinct(col("gk")).as("n_distinct"))
+      .withColumn("distinct_fp",
+        floor(col("n_distinct").cast(DoubleType) * lit(1000000.0) /
+          col("n_grams").cast(DoubleType)).cast(LongType))
+  }
+
+  /** Out-of-vocabulary rate per document against a fixed vocabulary —
+    * the tokenizer-coverage audit (a corpus slice whose tokens fall
+    * outside the model vocabulary trains as UNK noise; language and
+    * encoding drift both surface here first). Adds `n_tokens`, `n_oov`,
+    * and `oov_fp = floor(n_oov · 10⁶ / n_tokens)`; null text → null
+    * outputs (total pass). The vocabulary rides as an expression literal
+    * (the [[keywordScore]] envelope: curated vocabularies up to ~10⁴
+    * entries; a full BPE vocab would switch to the explode +
+    * broadcast-join shape). Map-only: one codegen'd projection, no
+    * shuffle. */
+  def oovRate(docs: DataFrame, vocab: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(vocab.nonEmpty, "oovRate needs a vocabulary")
+    val vs = typedLit(vocab)
+    val ws = split(col(textCol), " ", -1)
+    val nOov = aggregate(ws, lit(0L), (acc, t) =>
+      acc + when(array_contains(vs, t), 0L).otherwise(1L))
+    def ifText(c: Column) = when(col(textCol).isNotNull, c)
+    docs
+      .withColumn("n_tokens", ifText(size(ws).cast(LongType)))
+      .withColumn("n_oov", ifText(nOov))
+      .withColumn("oov_fp",
+        ifText(floor(nOov.cast(DoubleType) * lit(1000000.0) /
+          size(ws).cast(DoubleType)).cast(LongType)))
+  }
+
+  /** Top-k corpus vocabulary by frequency with Zipf-audit fields —
+    * `(rank, term, freq, share_fp)` where `share_fp = floor(freq · 10⁶ /
+    * total_tokens)`: the rank-frequency head is the first thing a corpus
+    * profile reads (a missing Zipf head means template text; a fat tail
+    * of singletons means OCR/encoding junk). Ties rank by term ascending.
+    *
+    * Scale shape: one token aggregation (vocab-scale output), then top-k
+    * via orderBy + limit — TakeOrderedAndProject's per-partition heaps,
+    * NO global sort and no single-partition vocab window; the final rank
+    * window runs over k rows. Total tokens broadcast as a 1-row frame. */
+  def termRankFreq(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val freqs = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ", -1)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val total = freqs.agg(sum(col("freq")).as("n_total"))
+    freqs.orderBy(col("freq").desc, col("term")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("term"))))
+      .crossJoin(broadcast(total))
+      .select(col("rank").cast(LongType).as("rank"), col("term"), col("freq"),
+        floor(col("freq").cast(DoubleType) * lit(1000000.0) /
+          col("n_total").cast(DoubleType)).cast(LongType).as("share_fp"))
+  }
+
   /** Sentence-terminator split rule shared with the oracle: a `.`/`!`/`?`
     * followed by one or more spaces ends a sentence. Group-1 backref in
     * the replacement keeps the terminator; the space run is consumed by
@@ -1292,6 +1373,40 @@ object TextAnalysis {
       .select(col(idCol), (col("pos") + 1).cast(LongType).as("sent_idx"),
         col("sentence"),
         size(split(col("sentence"), " ", -1)).cast(LongType).as("n_tokens"))
+  }
+
+  /** Sentence-level exact deduplication (the RefinedWeb-style pass one
+    * granularity below [[graft.ext.Dedup.exactDedup]]: boilerplate
+    * sentences — cookie banners, navigation stubs, license blurbs —
+    * repeat across documents that are nowhere near duplicates as wholes):
+    * every sentence keeps its FIRST corpus-wide occurrence (order =
+    * (doc, sentence index), the dedup family's min-id convention) and
+    * later occurrences are cut; each document is rebuilt from its kept
+    * sentences in original order, single-space joined (the
+    * [[splitSentences]] inverse — terminators live inside the sentences).
+    * Sentences compare by [[hash60]] (the family's 60-bit-collision
+    * contract). Output per non-null-text document with ≥1 sentence:
+    * `(idCol, clean_text, n_sents, n_removed)`; a fully-boilerplate
+    * document yields the empty string.
+    *
+    * Scale shape: one corpus-linear sentence fan-out, ONE shuffle on the
+    * sentence hash (constant-width key) for the first-occurrence window,
+    * one shuffle back on the doc id for the rebuild — per-sentence-group
+    * and per-doc windows only, nothing driver-sized, no self-join. */
+  def dedupSentences(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(hash60(col("sentence")))
+      .orderBy(col(idCol), col("sent_idx"))
+    splitSentences(docs, idCol, textCol)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(filter(sort_array(collect_list(struct(
+            col("sent_idx"),
+            when(col("rn") === 1, col("sentence")).as("s")))),
+          x => x("s").isNotNull), x => x("s")), " ").as("clean_text"),
+        count(lit(1)).as("n_sents"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
   }
 
   /** `<a href="...">anchor</a>` matcher shared with the oracle — group 1

@@ -972,6 +972,163 @@ object Corpus {
   }
 
   // --------------------------------------------------------------------------
+  // q134 — sentence-level exact dedup: terminators planted as in q102,
+  // then every sentence keeps its first corpus-wide occurrence
+  // ((doc_id, sent_idx) order) and documents are rebuilt from their kept
+  // sentences. Pure-integer counts; hash60 sentence keys on both sides.
+  def q134_dedup_sentences(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        replace(replace(col("text"),
+          lit(" table "), lit(". Table ")), lit(" fast "), lit("! Fast ")).as("text"))
+    TextAnalysis.dedupSentences(planted)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q134_sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    replace(replace(text, ' table ', '. Table '), ' fast ', '! Fast ') AS text
+      |  FROM documents WHERE text IS NOT NULL),
+      |m AS (SELECT doc_id,
+      |        string_split(regexp_replace(text, '([.!?]) +', '\1' || chr(31), 'g'),
+      |          chr(31)) AS ss
+      |      FROM p),
+      |e AS (SELECT doc_id, unnest(ss) AS sentence,
+      |        CAST(generate_subscripts(ss, 1) AS BIGINT) AS sent_idx FROM m),
+      |sx AS (SELECT doc_id, sent_idx, sentence FROM e WHERE sentence <> ''),
+      |r AS (SELECT doc_id, sent_idx, sentence, row_number() OVER (
+      |        PARTITION BY CAST(('0x' || substr(md5(sentence), 1, 15)) AS BIGINT)
+      |        ORDER BY doc_id, sent_idx) AS rn
+      |      FROM sx)
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN rn = 1 THEN sentence END, ' '
+      |    ORDER BY sent_idx), '') AS clean_text,
+      |  CAST(count(*) AS BIGINT) AS n_sents,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q135 — fixed-window token chunking (window 32, stride 24): the
+  // context-window splitting pass; every token covered, trailing chunks
+  // may be short. Map-only fan-out on both engines.
+  def q135_chunk_tokens(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sharding.chunkTokens(docs(s, dir), window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q135_sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |    CAST((i - 1) // 24 + 1 AS BIGINT) AS chunk_idx,
+      |    CAST(i AS BIGINT) AS chunk_start,
+      |    array_to_string(ws[CAST(i AS INT):CAST(i + 31 AS INT)], ' ') AS chunk_text,
+      |    CAST(least(len(ws) - i + 1, 32) AS BIGINT) AS n_chunk_tokens
+      |  FROM w, range(1, 100000, 24) t(i) WHERE i <= len(ws))
+      |SELECT doc_id, chunk_idx, chunk_start, chunk_text, n_chunk_tokens, n_tokens
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q136 — per-source distinct-ngram diversity (word 3-grams): the
+  // self-repetition audit; exact integer counts, one mirrored floor.
+  def q136_ngram_diversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctNgramRatio(docs(s, dir), n = 3)
+      .orderBy(col("source"))
+
+  private val q136_sql =
+    """WITH w AS (
+      |  SELECT source, string_split(text, ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT source,
+      |    CAST(('0x' || substr(md5(
+      |      array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')), 1, 15))
+      |      AS BIGINT) AS gk
+      |  FROM w, range(1, 100000) t(i) WHERE i <= len(ws) - 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(count(DISTINCT gk) AS BIGINT) AS n_distinct,
+      |  CAST(floor(CAST(count(DISTINCT gk) AS DOUBLE) * 1000000.0 /
+      |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS distinct_fp
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q137 — incremental exact dedup: survivors of the top-10%-of-ids delta
+  // batch against the rest of the corpus (fractional boundary — one SQL
+  // text at every scale). Full-md5 fingerprints decide membership.
+  def q137_exact_dedup_against(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val total = graft.core.Caches.memo(d, "count")(
+      java.lang.Long.valueOf(d.count())).longValue
+    val lo = total * 9 / 10
+    Dedup.exactDedupAgainst(
+        d.filter(col("doc_id") >= lo), d.filter(col("doc_id") < lo))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q137_sql =
+    """WITH nn AS (SELECT (count(*) * 9) // 10 AS lo FROM documents),
+      |d AS (SELECT doc_id, md5(text) AS fp,
+      |        CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp60
+      |      FROM documents, nn WHERE doc_id >= lo AND text IS NOT NULL),
+      |g AS (SELECT fp, min(doc_id) AS keep_id,
+      |        CAST(count(*) AS BIGINT) AS n_delta_copies
+      |      FROM d GROUP BY fp),
+      |c AS (SELECT DISTINCT md5(text) AS fp
+      |      FROM documents, nn WHERE doc_id < lo AND text IS NOT NULL)
+      |SELECT d.doc_id, d.fp60, g.n_delta_copies
+      |FROM d JOIN g USING (fp)
+      |WHERE d.doc_id = g.keep_id AND fp NOT IN (SELECT fp FROM c)
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q138 — out-of-vocabulary rate per document against a fixed 15-word
+  // vocabulary (half the synthetic corpus vocab → mid-range rates).
+  private val OovVocab = Seq("the", "a", "data", "spark", "join", "row",
+    "key", "hash", "scan", "value", "order", "filter", "big", "fast", "slow")
+
+  def q138_oov_rate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(docs(s, dir).filter(col("text").isNotNull), OovVocab)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_fp"))
+      .orderBy(col("doc_id"))
+
+  private val q138_sql = {
+    val lst = OovVocab.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH x AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> NOT list_contains($lst, t))) AS BIGINT) AS n_oov
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id, n_tokens, n_oov,
+       |  CAST(floor(CAST(n_oov AS DOUBLE) * 1000000.0 /
+       |    CAST(n_tokens AS DOUBLE)) AS BIGINT) AS oov_fp
+       |FROM x ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // q139 — top-50 term rank-frequency (Zipf audit): exact counts, ties
+  // rank by term; share over the exact corpus token total.
+  def q139_term_rank_freq(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termRankFreq(docs(s, dir), k = 50)
+      .orderBy(col("rank"))
+
+  private val q139_sql =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+      |n AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM f),
+      |r AS (SELECT term, freq,
+      |        CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+      |      FROM f)
+      |SELECT rank, term, freq,
+      |  CAST(floor(CAST(freq AS DOUBLE) * 1000000.0 /
+      |    CAST(n.n_total AS DOUBLE)) AS BIGINT) AS share_fp
+      |FROM r, n WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q41 — embedding-cosine near-dup pairs (threshold 0.4, exact all-pairs —
   // the verification-grade variant; the LSH-bucketed scale path is q42).
   def q41_embedding_neardup(s: SparkSession, dir: String): DataFrame = {
@@ -1730,6 +1887,12 @@ object Corpus {
     "q131_spans_against" -> (q131_spans_against _),
     "q132_shuffled_budget" -> (q132_shuffled_budget _),
     "q133_kmeans_assign" -> (q133_kmeans_assign _),
+    "q134_dedup_sentences" -> (q134_dedup_sentences _),
+    "q135_chunk_tokens" -> (q135_chunk_tokens _),
+    "q136_ngram_diversity" -> (q136_ngram_diversity _),
+    "q137_exact_dedup_against" -> (q137_exact_dedup_against _),
+    "q138_oov_rate" -> (q138_oov_rate _),
+    "q139_term_rank_freq" -> (q139_term_rank_freq _),
     "q54_boilerplate_ngrams" -> (q54_boilerplate_ngrams _),
     "q58_repetition_stats" -> (q58_repetition_stats _),
     "q59_contamination" -> (q59_contamination _),
@@ -1787,6 +1950,12 @@ object Corpus {
     "q131_spans_against" -> q131_sql,
     "q132_shuffled_budget" -> q132_sql,
     "q133_kmeans_assign" -> q133_sql,
+    "q134_dedup_sentences" -> q134_sql,
+    "q135_chunk_tokens" -> q135_sql,
+    "q136_ngram_diversity" -> q136_sql,
+    "q137_exact_dedup_against" -> q137_sql,
+    "q138_oov_rate" -> q138_sql,
+    "q139_term_rank_freq" -> q139_sql,
     "q54_boilerplate_ngrams" -> q54_sql,
     "q58_repetition_stats" -> q58_sql,
     "q59_contamination" -> q59_sql,

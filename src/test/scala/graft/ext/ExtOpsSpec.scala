@@ -1342,4 +1342,80 @@ class ExtOpsSpec extends SparkSpec {
     val onlyA = Search.bm25TopK(df, Seq("a"), topK = 10).collect().map(_.getLong(0))
     assert(onlyA.toSet == Set(1L, 2L))
   }
+
+  test("dedupSentences keeps first corpus-wide occurrence, rebuilds in order") {
+    val df = Seq(
+      (1L, "alpha beta. gamma delta! epsilon"),
+      (2L, "gamma delta! zeta eta. alpha beta."),
+      (3L, "alpha beta. gamma delta!"),   // fully boilerplate -> empty
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSentences(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_sents"),
+          r.getAs[Long]("n_removed"))).toMap
+    // doc 1 is first everywhere; doc 2 keeps only its new sentence; doc 3
+    // empties; null text emits nothing
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ("alpha beta. gamma delta! epsilon", 3L, 0L))
+    assert(out(2L) == ("zeta eta.", 3L, 2L))
+    assert(out(3L) == ("", 2L, 2L))
+  }
+
+  test("chunkTokens covers every token; trailing chunks shorten, never vanish") {
+    val df = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Sharding.chunkTokens(df, window = 8, stride = 4).collect()
+      .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("chunk_start"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("n_chunk_tokens")))
+      .sortBy(_._1)
+    assert(out.map(c => (c._1, c._2, c._4)).toSeq ==
+      Seq((1L, 1L, 8L), (2L, 5L, 6L), (3L, 9L, 2L)))
+    assert(out(2)._3 == "t9 t10")
+    // every token index appears in at least one chunk
+    val covered = out.flatMap(c => c._2 until (c._2 + c._4)).toSet
+    assert(covered == (1L to 10L).toSet)
+    assertThrows[IllegalArgumentException](Sharding.chunkTokens(df, 4, 5))
+  }
+
+  test("distinctNgramRatio: repeated text collapses the ratio, fresh text holds it") {
+    val rep = Array.fill(9)("x y z").mkString(" ")           // 27 tokens, 3 distinct 3-grams
+    val fresh = (1 to 27).map(i => s"u$i").mkString(" ")     // all 3-grams distinct
+    val df = Seq(("loop", rep), ("fresh", fresh)).toDF("source", "text")
+    val out = TextAnalysis.distinctNgramRatio(df, n = 3).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"))).toMap
+    assert(out("loop") == (25L, 3L))
+    assert(out("fresh") == (25L, 25L))
+  }
+
+  test("exactDedupAgainst admits only first-in-delta, corpus-unseen docs") {
+    val corpus = Seq((1L, "existing doc"), (2L, "other doc")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "existing doc"),     // in corpus -> rejected
+      (11L, "brand new"), (12L, "brand new"),  // internal copy: 11 survives
+      (13L, "also new"),
+      (14L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDedupAgainst(delta, corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_delta_copies")).toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L))
+  }
+
+  test("oovRate counts tokens outside the vocabulary; null text passes through") {
+    val df = Seq((1L, "the cat sat"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(df, Seq("the", "a")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Any]("n_tokens"), r.getAs[Any]("n_oov"), r.getAs[Any]("oov_fp"))).toMap
+    assert(out(1L) == ((3L, 2L, 666666L)))
+    assert(out(2L) == ((null, null, null)))
+  }
+
+  test("termRankFreq ranks by freq desc then term asc, shares sum the corpus") {
+    val df = Seq((1L, "b b a a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.termRankFreq(df, k = 2).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("term"),
+        r.getAs[Long]("freq"), r.getAs[Long]("share_fp"))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", 2L, 400000L), (2L, "b", 2L, 400000L)))
+  }
+
 }
