@@ -291,38 +291,4 @@ object Sharding {
           lit(0L)))
       .select(col("bucket"), col("bucket_offset"))
 
-  /** Fixed-window token CHUNKING with overlap — the long-document dual of
-    * [[packSequences]] (packing concatenates SHORT docs up to a sequence
-    * length; chunking splits LONG docs down to one): chunk k of a
-    * document starts at token `1 + k·stride` for every start position
-    * ≤ n_tokens and takes up to `window` tokens. Trailing chunks may be
-    * shorter than `window` (never empty), so every token is covered —
-    * the training-data contract; a tail chunk can overlap its
-    * predecessor by more than `window − stride`, which is the price of
-    * total coverage under a fixed stride (documented, deterministic).
-    * Output: `(idCol, chunk_idx ≥ 1, chunk_start, chunk_text,
-    * n_chunk_tokens, n_tokens)`.
-    *
-    * Map-only fan-out: one projection + one generate per document — no
-    * shuffle, no state; linear in corpus tokens at any scale (each token
-    * appears in ≤ ⌈window/stride⌉ chunks). */
-  def chunkTokens(docs: DataFrame, window: Int, stride: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(window > 0, s"window must be positive: $window")
-    require(stride > 0 && stride <= window,
-      s"stride must be in [1, window]: stride=$stride window=$window")
-    val ws = split(col(textCol), " ", -1)
-    docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), ws.as("ws"))
-      .select(col(idCol), size(col("ws")).cast(LongType).as("n_tokens"),
-        posexplode(transform(
-          sequence(lit(1), size(col("ws")), lit(stride)), st => struct(
-            st.cast(LongType).as("chunk_start"),
-            array_join(slice(col("ws"), st, lit(window)), " ").as("chunk_text"),
-            least(size(col("ws")) - st + 1, lit(window)).cast(LongType)
-              .as("n_chunk_tokens")))).as(Seq("pos", "c")))
-      .select(col(idCol), (col("pos") + 1).cast(LongType).as("chunk_idx"),
-        col("c.chunk_start"), col("c.chunk_text"), col("c.n_chunk_tokens"),
-        col("n_tokens"))
-  }
 }

@@ -559,6 +559,49 @@ object Similarity {
       .select(col("id").as(idCol), col("cell").as("cluster"))
   }
 
+  /** Per-cluster DISTANCE OUTLIERS of the k-means model — the
+    * data-pruning audit (SSL-prototype / CLIP-filter style: the farthest
+    * members of each cluster are its least prototypical examples — the
+    * prune/review candidates; the distance dual of [[semanticDedup]],
+    * which keeps the closest): for each vector its assigned cluster and
+    * EXACT integer squared distance `d2 = ‖x − m‖²` to the trained
+    * centroid (fixed-point grid, so d2 is engine-reproducible), then the
+    * `topPerCell` farthest per cluster, ranked `d2` desc with vec-id
+    * ties. Shares [[kmeansCentroidsFp]]'s memoized trainer — running
+    * assignment and outliers over one corpus trains once.
+    *
+    * Scale shape: scoring is map-only against centroid literals (one
+    * codegen dot per cell + one ‖x‖² per row); the only shuffle is the
+    * per-cluster rank window — parallel across cells, so with small k
+    * each reducer sorts ~n/k rows: at extreme corpus sizes pre-filter
+    * with a distance threshold from a sample, or raise k (the window is
+    * the q07 top-k-per-group pattern, documented envelope). */
+  def kmeansOutliersFp(vectors: DataFrame, k: Int, iters: Int = 3,
+      topPerCell: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(topPerCell > 0, s"topPerCell must be positive: $topPerCell")
+    val base = kmeansBase(vectors, k, idCol, vecCol)
+    val cents = kmeansCentroidsFp(vectors, k, iters, idCol, vecCol)
+    // full distance, not the argmin shortcut: d2 = ‖m‖² − 2·x·m + ‖x‖²,
+    // all exact BIGINT (|m|,|x| ≤ 2¹⁶ over ≤2²⁰ dims); array_sort on
+    // (d2, cell) structs keeps the family's min-cell tie rule
+    val scored = array(cents.map { case (j, m) =>
+      val mm = m.map(v => v * v).sum
+      struct((lit(mm) - lit(2L) * graft.functions.ArrayMath.dotLong(col("x"),
+          graft.functions.ArrayMath.longArrayLit(m)) + col("__xx")).as("d2"),
+        lit(j).as("cell"))
+    }: _*)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("d2").desc, col(idCol))
+    base
+      .withColumn("__xx", graft.functions.ArrayMath.dotLong(col("x"), col("x")))
+      .withColumn("best", element_at(array_sort(scored), 1))
+      .select(col("id").as(idCol), col("best.cell").as("cluster"),
+        col("best.d2").as("d2"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= topPerCell)
+  }
+
   /** The trained centroids of [[kmeansAssignFp]] as a driver value
     * (`(cell, fixed-point centroid)` pairs) — for serving paths that
     * score NEW vectors against a batch-trained model ([[kmeansServe]]).

@@ -1009,26 +1009,32 @@ object Corpus {
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
-  // q135 — fixed-window token chunking (window 32, stride 24): the
-  // context-window splitting pass; every token covered, trailing chunks
-  // may be short. Map-only fan-out on both engines.
-  def q135_chunk_tokens(s: SparkSession, dir: String): DataFrame =
-    graft.ext.Sharding.chunkTokens(docs(s, dir), window = 32, stride = 24)
-      .orderBy(col("doc_id"), col("chunk_idx"))
+  // q135 — k-means distance outliers (k=8, 3 Lloyd iterations, top 10 per
+  // cluster): each vector's exact integer squared distance to its trained
+  // centroid, farthest-first per cluster — the prototypicality-pruning
+  // audit. The oracle replays q133's unrolled Lloyd trajectory and ranks
+  // the same full distances.
+  def q135_kmeans_outliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansOutliersFp(emb(s, dir), k = 8, iters = 3, topPerCell = 10)
+      .orderBy(col("cluster"), col("rk"))
 
-  private val q135_sql =
-    """WITH w AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ws
-      |  FROM documents WHERE text IS NOT NULL),
-      |c AS (
-      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
-      |    CAST((i - 1) // 24 + 1 AS BIGINT) AS chunk_idx,
-      |    CAST(i AS BIGINT) AS chunk_start,
-      |    array_to_string(ws[CAST(i AS INT):CAST(i + 31 AS INT)], ' ') AS chunk_text,
-      |    CAST(least(len(ws) - i + 1, 32) AS BIGINT) AS n_chunk_tokens
-      |  FROM w, range(1, 100000, 24) t(i) WHERE i <= len(ws))
-      |SELECT doc_id, chunk_idx, chunk_start, chunk_text, n_chunk_tokens, n_tokens
-      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  private val q135_sql: String = {
+    // same trajectory CTEs as q133 (v, a0, iterations 1-3), then rank the
+    // FULL distances d3 per cluster, farthest first
+    val prefix = q133_sql
+      .split("SELECT vec_id, CAST\\(cell AS INT\\) AS cluster FROM a3")(0)
+    s"""${prefix.trim.stripSuffix(",")},
+       |r AS (SELECT vec_id, cell, d, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |      FROM d3),
+       |b AS (SELECT vec_id, CAST(cell AS INT) AS cluster, CAST(d AS BIGINT) AS d2
+       |      FROM r WHERE rn = 1),
+       |o AS (SELECT vec_id, cluster, d2, CAST(row_number() OVER (
+       |        PARTITION BY cluster ORDER BY d2 DESC, vec_id) AS BIGINT) AS rk
+       |      FROM b)
+       |SELECT vec_id, cluster, d2, rk FROM o WHERE rk <= 10
+       |ORDER BY cluster, rk""".stripMargin
+  }
 
   // --------------------------------------------------------------------------
   // q136 — per-source distinct-ngram diversity (word 3-grams): the
@@ -1888,7 +1894,7 @@ object Corpus {
     "q132_shuffled_budget" -> (q132_shuffled_budget _),
     "q133_kmeans_assign" -> (q133_kmeans_assign _),
     "q134_dedup_sentences" -> (q134_dedup_sentences _),
-    "q135_chunk_tokens" -> (q135_chunk_tokens _),
+    "q135_kmeans_outliers" -> (q135_kmeans_outliers _),
     "q136_ngram_diversity" -> (q136_ngram_diversity _),
     "q137_exact_dedup_against" -> (q137_exact_dedup_against _),
     "q138_oov_rate" -> (q138_oov_rate _),
@@ -1951,7 +1957,7 @@ object Corpus {
     "q132_shuffled_budget" -> q132_sql,
     "q133_kmeans_assign" -> q133_sql,
     "q134_dedup_sentences" -> q134_sql,
-    "q135_chunk_tokens" -> q135_sql,
+    "q135_kmeans_outliers" -> q135_sql,
     "q136_ngram_diversity" -> q136_sql,
     "q137_exact_dedup_against" -> q137_sql,
     "q138_oov_rate" -> q138_sql,

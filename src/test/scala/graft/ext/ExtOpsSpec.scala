@@ -1362,20 +1362,6 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(3L) == ("", 2L, 2L))
   }
 
-  test("chunkTokens covers every token; trailing chunks shorten, never vanish") {
-    val df = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
-    val out = Sharding.chunkTokens(df, window = 8, stride = 4).collect()
-      .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("chunk_start"),
-        r.getAs[String]("chunk_text"), r.getAs[Long]("n_chunk_tokens")))
-      .sortBy(_._1)
-    assert(out.map(c => (c._1, c._2, c._4)).toSeq ==
-      Seq((1L, 1L, 8L), (2L, 5L, 6L), (3L, 9L, 2L)))
-    assert(out(2)._3 == "t9 t10")
-    // every token index appears in at least one chunk
-    val covered = out.flatMap(c => c._2 until (c._2 + c._4)).toSet
-    assert(covered == (1L to 10L).toSet)
-    assertThrows[IllegalArgumentException](Sharding.chunkTokens(df, 4, 5))
-  }
 
   test("distinctNgramRatio: repeated text collapses the ratio, fresh text holds it") {
     val rep = Array.fill(9)("x y z").mkString(" ")           // 27 tokens, 3 distinct 3-grams
@@ -1416,6 +1402,28 @@ class ExtOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("rank"), r.getAs[String]("term"),
         r.getAs[Long]("freq"), r.getAs[Long]("share_fp"))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, "a", 2L, 400000L), (2L, "b", 2L, 400000L)))
+  }
+
+
+  test("kmeansOutliersFp: farthest-per-cluster, consistent with the assignment") {
+    graft.core.Caches.unpersistAll()
+    val e = Tables.load(spark, sf001, "embeddings")
+    val assign = Similarity.kmeansAssignFp(e, k = 4, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    val out = Similarity.kmeansOutliersFp(e, k = 4, iters = 2, topPerCell = 3).collect()
+    val byCell = out.groupBy(_.getAs[Int]("cluster"))
+    byCell.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      // ranks are 1..m and distances non-increasing with rank
+      val byRk = rows.sortBy(_.getAs[Long]("rk"))
+      assert(byRk.map(_.getAs[Long]("rk")).toSeq == (1L to rows.length).toSeq)
+      val ds = byRk.map(_.getAs[Long]("d2")).toSeq
+      assert(ds == ds.sorted(Ordering[Long].reverse))
+    }
+    // every outlier's cluster matches the assignment operator's cluster
+    out.foreach(r => assert(
+      assign(r.getAs[Long]("vec_id")) == r.getAs[Int]("cluster")))
+    graft.core.Caches.unpersistAll()
   }
 
 }
