@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 /** Lexical retrieval over a document corpus — the keyword-search
   * complement to the embedding family in [[Similarity]]. The reference
@@ -121,13 +121,16 @@ object Search {
     * (doc, term) pair). Same reproducibility discipline: rational idf
     * `(N − df + 0.5)/(df + 0.5)`, fixed-point `floor(tf · idf · 10⁶)`.
     *
-    * Plan shape at scale: tokenize once into a persisted hub; tf is one
-    * (doc, term) aggregate; df is a vocab-sized term aggregate off the tf
-    * table (never a second corpus pass); the tf⋈df join shuffles on term
-    * (vocab-scale — a broadcast would not survive a web-scale vocab, AQE
-    * handles the zipf head); top-k per doc is a hash-partitioned window,
-    * parallel across docs. Returns (doc_id, term, tf, df, score_fp, rk),
-    * ties broken by term ascending. */
+    * Plan shape at scale: tokenize once into the family's persisted tf
+    * hub ([[tfHub]] — shared with [[tfidfCosinePairs]]); df is a
+    * vocab-sized term aggregate off the tf table (never a second corpus
+    * pass); the tf⋈df join shuffles on term (vocab-scale — a broadcast
+    * would not survive a web-scale vocab, AQE handles the zipf head);
+    * top-k per doc happens INSIDE the per-doc aggregation (sorted-slice
+    * of a list bounded by the document's own distinct-term count), not a
+    * rank window — one exchange fewer, no per-partition sort. Returns
+    * (doc_id, term, tf, df, score_fp, rk), ties broken by term
+    * ascending. */
   def tfidfKeywords(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k > 0, "k must be positive")
@@ -136,19 +139,32 @@ object Search {
     // two-phase distinct aggregate for the same scalar
     val nDocs = docs.filter(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
     val tf = tfHub(docs, idCol, textCol)
-    val dfPerTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a count window over the term partition — the same integer the
+    // separate vocab aggregate + join would produce, in the SAME exchange:
+    // no vocab-sized broadcast (which would not survive a web-scale
+    // vocabulary) and one fewer serialized job. Unordered partition-count
+    // windows need no sort, so the exchange is all this stage costs.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
     val idf = ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
       (col("df").cast(DoubleType) + lit(0.5))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score_fp").desc, col("term"))
-    tf.join(dfPerTerm, Seq("term"))
+    // top-k inside the per-doc aggregation, not a rank window: the sorted
+    // struct list is bounded by the DOCUMENT's distinct-term count (row
+    // width ∝ doc length, never corpus size), and slicing it to k replaces
+    // the window's exchange+sort+filter with the same grouping exchange
+    // the rebuild needs anyway. Sort key (−score_fp, term) = the rank
+    // order (score desc, term asc); rk = slice position.
+    withDf
       .crossJoin(broadcast(nDocs))
       .withColumn("score_fp",
         floor(col("tf").cast(DoubleType) * idf * lit(1000000.0)).cast(LongType))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        col("score_fp"), col("rk"))
+      .groupBy(col("doc_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("score_fp")).as("neg"), col("term"), col("tf"), col("df")))),
+        1, k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("t.term"), col("t.tf"), col("t.df"),
+        (-col("t.neg")).as("score_fp"), (col("pos") + 1).cast(IntegerType).as("rk"))
   }
 
   /** The DuckDB dual of [[tfidfKeywords]] — same tokenization, tree, and

@@ -139,6 +139,13 @@ class SpecSpec extends SparkSpec {
     assert(media.input.typ == "binary_files")
     assert(media.input.config.get("pathGlobFilter").exists(_.contains("png")))
     assert(media.pipeline.isEmpty && media.output.typ == "parquet")
+    val gates = SpecLoader.loadFile("examples/ingest_gates_stream.yml")
+    assert(gates.input.typ == "http_server")
+    assert(gates.pipeline.map(_.typ) == Seq("contamination_gate", "near_dup_gate"))
+    assert(gates.pipeline.head.config.get("bench_path").nonEmpty)
+    val route = SpecLoader.loadFile("examples/embedding_route_batch.yml")
+    assert(route.pipeline.map(_.typ) == Seq("kmeans_serve"))
+    assert(route.pipeline.head.config.get("model_path").nonEmpty)
   }
 
   test("kafka source/sink option building (kafka_in.yml / kafka_out.yml)") {
