@@ -444,4 +444,38 @@ object GraftProps extends Properties("graft") {
         .filter(col("g") =!= col("o")).count()
       neq == 0L
     }
+
+  // dedupSentences: small sentence alphabet so cross-doc duplicates are
+  // dense; terminators only split when followed by a space (the
+  // SentenceEndRe contract), which the reference mirrors verbatim
+  private val sentWordGen: Gen[String] =
+    Gen.oneOf("aa", "b.", "c!", "dd", "e?", "f")
+  private val sentDocGen: Gen[String] =
+    Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, sentWordGen).map(_.mkString(" ")))
+
+  property("dedupSentences == in-JVM first-occurrence reference") =
+    Prop.forAll(Gen.listOfN(10, sentDocGen)) { texts =>
+      def sentencesOf(t: String): Seq[String] =
+        t.replaceAll("([.!?]) +", "$1\u001f").split("\u001f", -1)
+          .toSeq.filter(_.nonEmpty)
+      val seen = scala.collection.mutable.Set[String]()
+      val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+        val ss = sentencesOf(t)
+        if (ss.isEmpty) None
+        else {
+          val kept = ss.filter(s => seen.add(s))
+          Some(i.toLong -> ((kept.mkString(" "), ss.size.toLong,
+            (ss.size - kept.size).toLong)))
+        }
+      }.toMap
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.TextAnalysis.dedupSentences(df).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_sents"),
+            r.getAs[Long]("n_removed")))).toMap
+      got == expect
+    }
+
 }
