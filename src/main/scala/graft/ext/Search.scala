@@ -63,20 +63,28 @@ object Search {
     val base = graft.core.Caches.persist(docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ", -1).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("dl")))
-    // 1-row corpus stats; broadcast-crossed onto the scored postings.
-    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // 1-row corpus stats, memoized to driver literals (the same two longs
+    // every probe over this corpus needs — warm re-runs and sibling
+    // queries pay zero jobs; same values ⇒ same IEEE tree ⇒ same bits)
+    val (nDocs, sumDl) = graft.core.Caches.memo(base, "bm25Stats") {
+      val r = base.agg(count(lit(1)), sum(col("dl"))).head
+      (java.lang.Long.valueOf(r.getLong(0)),
+        java.lang.Long.valueOf(if (r.isNullAt(1)) 0L else r.getLong(1)))
+    }
     // Posting lists for the query terms only: the isin filter runs inside
     // the same stage as the explode, so the groupBy shuffle sees only
-    // matching (doc, term) occurrences.
-    val tf = base
+    // matching (doc, term) occurrences. Per-term df rides a count window
+    // over the term partition — the postings are already ∝ query-term df,
+    // so the extra exchange is tiny and the separate vocab aggregate +
+    // broadcast-build job disappears.
+    val scored = base
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfPerTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(dfPerTerm), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("n_docs", lit(nDocs.longValue))
+      .withColumn("sum_dl", lit(sumDl.longValue))
       .select(col("doc_id"), termScoreFp(k1, b).as("fp"))
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("fp")).as("score_fp"))

@@ -271,41 +271,47 @@ object TextAnalysis {
     *
     * Every ratio is ONE division of two exact integers — bit-identical
     * across engines (IEEE division is correctly rounded), so the operator
-    * is hash-exact oracle-checkable. Plan shape: two independent
-    * count-then-rollup aggregations (unigrams, bigrams) joined on doc id —
-    * both partial-aggregate before their shuffle, and the bigram explode is
-    * map-only. Linear in corpus size; no driver-side anything. */
+    * is hash-exact oracle-checkable. Plan shape (r12 restructure): every
+    * statistic is per-DOCUMENT, so nothing ever shuffles — each row sorts
+    * its own token (and bigram) array and reads the run lengths off the
+    * sorted array with HOFs (run length of a distinct token = its count;
+    * max run = top frequency; runs > 1 = duplicated occurrences). A pure
+    * projection: linear in corpus tokens, zero exchanges, no join — the
+    * earlier two-aggregation form shuffled the whole corpus by token to
+    * compute row-local facts. */
   def repetitionStats(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val base = graft.core.Tables.spread(docs)
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol), col(textCol).as("t"))
-    val uni = base
-      .select(col(idCol), explode(split(col("t"), " ", -1)).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col(idCol)).agg(
-        sum(col("cnt")).as("n_tokens"),
-        count(lit(1)).as("n_types"),
-        max(col("cnt")).as("max_uni"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_cnt"))
+    // (n_runs, max_run, Σ runs>1) of the sorted array via run boundaries;
+    // empty arrays are guarded by the caller (sequence(1, 0) DESCENDS)
+    def runStats(arr: Column): (Column, Column, Column) = {
+      val sorted = sort_array(arr)
+      val firsts = filter(sequence(lit(1), size(sorted)), i =>
+        (i === 1) || (element_at(sorted, i) =!= element_at(sorted, i - 1)))
+      val withEnd = concat(firsts, array(size(sorted) + 1))
+      val runLens = transform(sequence(lit(1), size(firsts)), j =>
+        (element_at(withEnd, j + 1) - element_at(withEnd, j)).cast(LongType))
+      (size(firsts).cast(LongType), array_max(runLens),
+        aggregate(filter(runLens, l => l > 1L), lit(0L), (a, x) => a + x))
+    }
+    val ws = split(col("t"), " ", -1)
+    val (nTypes, maxUni, dupCnt) = runStats(ws)
     // Dedup.wordNgramArray(_, 2) on a ≥2-token doc is exactly the bigram
     // list (the short-doc whole-text rule only kicks in below 2 tokens,
-    // which the filter excludes) — one shared gram rule, no inline copy.
-    val bi = base.filter(size(split(col("t"), " ", -1)) >= 2)
-      .select(col(idCol), explode(Dedup.wordNgramArray(col("t"), 2)).as("b"))
-      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col(idCol)).agg(
-        sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("max_bi"))
-    uni.join(bi, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType))
-          .as("type_token_ratio"),
-        (col("max_uni").cast(DoubleType) / col("n_tokens").cast(DoubleType))
-          .as("top_unigram_frac"),
-        (col("dup_cnt").cast(DoubleType) / col("n_tokens").cast(DoubleType))
-          .as("dup_token_frac"),
-        coalesce(col("max_bi").cast(DoubleType) / col("n_bigrams").cast(DoubleType),
-          lit(0.0)).as("top_bigram_frac"))
+    // which the guard excludes) — one shared gram rule, no inline copy.
+    val bs = Dedup.wordNgramArray(col("t"), 2)
+    val (_, maxBi, _) = runStats(bs)
+    val nTokens = size(ws).cast(LongType)
+    def ratio(num: Column) = num.cast(DoubleType) / nTokens.cast(DoubleType)
+    graft.core.Tables.spread(docs)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("t"))
+      .select(col(idCol), nTokens.as("n_tokens"),
+        ratio(nTypes).as("type_token_ratio"),
+        ratio(maxUni).as("top_unigram_frac"),
+        ratio(dupCnt).as("dup_token_frac"),
+        when(size(ws) >= 2,
+          maxBi.cast(DoubleType) / size(bs).cast(DoubleType))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
   /** Benchmark-contamination check — the decontamination step every serious

@@ -171,17 +171,25 @@ object Relational {
       |  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""".stripMargin
 
   // --------------------------------------------------------------------------
-  // q07 — top-k per group via ranking window: top 3 lines by price per
-  // supplier. One shuffle on l_suppkey; ties broken deterministically.
-  def q07_topk_per_supplier(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+  // q07 — top-k per group: top 3 lines by price per supplier. Sorted-slice
+  // inside the per-supplier aggregation (struct sort key (−price, order,
+  // line) = the rank order; rk = slice position) — one exchange, no
+  // per-partition rank sort over the full table. Map-side partial
+  // aggregation combines before the shuffle; the group array is bounded
+  // by lines-per-supplier (the rank-window form, q71's family, is the
+  // spill path for pathologically large single groups).
+  def q07_topk_per_supplier(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+      .groupBy(col("l_suppkey"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("l_extendedprice")).as("np"), col("l_orderkey"),
+        col("l_linenumber")))), 1, 3).as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("l_suppkey"), col("t.l_orderkey"), col("t.l_linenumber"),
+        (-col("t.np")).as("l_extendedprice"),
+        (col("pos") + 1).cast(IntegerType).as("rk"))
       .orderBy(col("l_suppkey"), col("rk"))
-  }
 
   private val q07_sql =
     """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rk FROM (

@@ -73,8 +73,10 @@ class PlanSpec extends SparkSpec {
   test("bm25 probes posting lists without building an index (q79 shape)") {
     val docs = graft.core.Tables.load(spark, sf001, "documents")
     val p = plan(graft.ext.Search.bm25TopK(docs, Seq("dup", "spark"), topK = 20))
-    // df + stats join back as broadcasts; top-k is a heap, not a global sort
-    assert(p.contains("BroadcastExchange"), s"expected broadcast stat joins:\n$p")
+    // corpus stats ride as memoized literals and df as a count window on
+    // the term partition (r12) — no broadcast-build jobs; top-k is a
+    // heap, not a global sort
+    assert(p.contains("Window"), s"expected the per-term df count window:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
     // the term ISIN filter must run below the tf groupBy's exchange (the
     // one partitioned by term), so that shuffle carries only query-term
