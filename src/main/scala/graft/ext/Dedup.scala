@@ -1342,6 +1342,32 @@ object Dedup {
       "canonical_id", "n_copies", keepNullKeys = false).drop("fp_md5")
   }
 
+  /** Ingest-time EXACT-dup gate — the stateless streaming dual of
+    * [[exactDedup]], completing the gate triple with [[flagNearDups]]
+    * and [[TextAnalysis.flagContaminated]]: `exact_dup` ⟺ the row's
+    * content fingerprint appears in the batch-collected corpus key set.
+    * Keys are [[TextAnalysis.hash60]] fingerprints (exact up to 60-bit
+    * collisions, ~2⁻⁶⁰ per pair — the embedded-sorted-array gates'
+    * convention; the batch-side [[exactDedupAgainst]] uses full md5).
+    * Map-only, no shuffle, no state: one binary search per row against
+    * the embedded sorted blocklist, identical on a batch frame or any
+    * streaming micro-batch. Null text → null flag (total pass).
+    * Envelope: ~8 B/key rides every task binary — ~10⁷ corpus
+    * fingerprints ≈ 80 MB is the practical ceiling; past that, the
+    * anti-join form ([[exactDedupAgainst]]) is the scale path. */
+  def flagExactDups(docs: DataFrame, fpKeys: Seq[Long],
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("exact_dup",
+      when(col(textCol).isNotNull,
+        graft.functions.ArraySets.sortedLongContains(
+          TextAnalysis.hash60(col(textCol)), fpKeys)))
+
+  /** The batch half of the exact-dup gate: the corpus's distinct 60-bit
+    * content fingerprints, ready to collect into [[flagExactDups]]. */
+  def corpusFpKeys(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    corpus.filter(col(textCol).isNotNull)
+      .select(TextAnalysis.hash60(col(textCol)).as("fp60")).distinct()
+
   /** Incremental exact dedup — the R-S (delta-vs-corpus) form of
     * [[exactDedup]], completing the family's against-forms
     * ([[repeatedSpansAgainst]], [[nearDupJaccardAcross]]): the SURVIVORS

@@ -89,6 +89,14 @@ object Compiler {
       gated(p, graft.ext.TextAnalysis.flagContaminated(df, keys, n),
         "contaminated")
     }
+    case "exact_dup_gate" => df => {
+      val corpusPath = p.config.getOrElse("corpus_path",
+        sys.error("exact_dup_gate needs config.corpus_path (parquet with a text column)"))
+      val corpus = df.sparkSession.read.parquet(corpusPath)
+      val keys = graft.ext.Dedup.corpusFpKeys(corpus)
+        .collect().map(_.getLong(0)).toSeq
+      gated(p, graft.ext.Dedup.flagExactDups(df, keys), "exact_dup")
+    }
     case "near_dup_gate" => df => {
       val corpusPath = p.config.getOrElse("corpus_path",
         sys.error("near_dup_gate needs config.corpus_path (parquet with doc_id + text)"))

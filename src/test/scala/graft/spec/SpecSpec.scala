@@ -141,7 +141,7 @@ class SpecSpec extends SparkSpec {
     assert(media.pipeline.isEmpty && media.output.typ == "parquet")
     val gates = SpecLoader.loadFile("examples/ingest_gates_stream.yml")
     assert(gates.input.typ == "http_server")
-    assert(gates.pipeline.map(_.typ) == Seq("contamination_gate", "near_dup_gate"))
+    assert(gates.pipeline.map(_.typ) == Seq("contamination_gate", "exact_dup_gate", "near_dup_gate"))
     assert(gates.pipeline.head.config.get("bench_path").nonEmpty)
     val route = SpecLoader.loadFile("examples/embedding_route_batch.yml")
     assert(route.pipeline.map(_.typ) == Seq("kmeans_serve"))
@@ -565,6 +565,37 @@ class SpecSpec extends SparkSpec {
     try started.awaitTermination(60000) finally started.stop()
     val streamOut = spark.table("ndgate_stream").collect().map(_.getString(0))
     assert(streamOut.toSeq == batchOut)
+  }
+
+  test("exact_dup_gate spec: drops exact corpus copies, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-edgate")
+    val corpusPath = dir.resolve("corpus").toString
+    Seq((1L, "already ingested doc"), (2L, "another old doc"))
+      .toDF("doc_id", "text").write.parquet(corpusPath)
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: exact_dup_gate
+         |      config: {corpus_path: "$corpusPath"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    val rows = Seq("already ingested doc", "a genuinely new doc")
+    val batchOut = texts(Compiler.pipeline(spec)(rows.toDF("text")))
+    assert(batchOut == Seq("a genuinely new doc"))
+    val ms = MemoryStream[String]
+    val out = Compiler.pipeline(spec)(ms.toDF().withColumnRenamed("value", "text"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("edgate_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    assert(spark.table("edgate_stream").collect().map(_.getString(0)).toSeq == batchOut)
   }
 
   test("kmeans_serve spec: scores embeddings against a saved model, batch == stream") {
