@@ -271,46 +271,30 @@ object TextAnalysis {
     *
     * Every ratio is ONE division of two exact integers — bit-identical
     * across engines (IEEE division is correctly rounded), so the operator
-    * is hash-exact oracle-checkable. Plan shape (r12 restructure): every
-    * statistic is per-DOCUMENT, so nothing ever shuffles — each row sorts
-    * its own token (and bigram) array and reads the run lengths off the
-    * sorted array with HOFs (run length of a distinct token = its count;
-    * max run = top frequency; runs > 1 = duplicated occurrences). A pure
-    * projection: linear in corpus tokens, zero exchanges, no join — the
-    * earlier two-aggregation form shuffled the whole corpus by token to
-    * compute row-local facts. */
+    * is hash-exact oracle-checkable. Plan shape (r13): every statistic is
+    * per-DOCUMENT, so nothing ever shuffles — ONE codegen'd expression
+    * ([[graft.functions.RepetitionCounts]]) reads all six integer facts
+    * off the row's own tokens in a single linear pass. A pure projection:
+    * linear in corpus tokens, zero exchanges, no join. The two rejected
+    * shapes are recorded on the expression: corpus-wide token aggregations
+    * shuffle the world for row-local facts, and the r12 array-HOF form hit
+    * the interpreted-lambda capture trap (~O(n³)/row — SURVEY §2.6). */
   def repetitionStats(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // (n_runs, max_run, Σ runs>1) of the sorted array via run boundaries;
-    // empty arrays are guarded by the caller (sequence(1, 0) DESCENDS)
-    def runStats(arr: Column): (Column, Column, Column) = {
-      val sorted = sort_array(arr)
-      val firsts = filter(sequence(lit(1), size(sorted)), i =>
-        (i === 1) || (element_at(sorted, i) =!= element_at(sorted, i - 1)))
-      val withEnd = concat(firsts, array(size(sorted) + 1))
-      val runLens = transform(sequence(lit(1), size(firsts)), j =>
-        (element_at(withEnd, j + 1) - element_at(withEnd, j)).cast(LongType))
-      (size(firsts).cast(LongType), array_max(runLens),
-        aggregate(filter(runLens, l => l > 1L), lit(0L), (a, x) => a + x))
-    }
-    val ws = split(col("t"), " ", -1)
-    val (nTypes, maxUni, dupCnt) = runStats(ws)
-    // Dedup.wordNgramArray(_, 2) on a ≥2-token doc is exactly the bigram
-    // list (the short-doc whole-text rule only kicks in below 2 tokens,
-    // which the guard excludes) — one shared gram rule, no inline copy.
-    val bs = Dedup.wordNgramArray(col("t"), 2)
-    val (_, maxBi, _) = runStats(bs)
-    val nTokens = size(ws).cast(LongType)
-    def ratio(num: Column) = num.cast(DoubleType) / nTokens.cast(DoubleType)
+    val rc = col("rc")
+    def ratio(num: Column) =
+      num.cast(DoubleType) / rc.getField("n_tokens").cast(DoubleType)
     graft.core.Tables.spread(docs)
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), col(textCol).as("t"))
-      .select(col(idCol), nTokens.as("n_tokens"),
-        ratio(nTypes).as("type_token_ratio"),
-        ratio(maxUni).as("top_unigram_frac"),
-        ratio(dupCnt).as("dup_token_frac"),
-        when(size(ws) >= 2,
-          maxBi.cast(DoubleType) / size(bs).cast(DoubleType))
+      .select(col(idCol),
+        graft.functions.RepetitionCounts.of(col(textCol)).as("rc"))
+      .select(col(idCol), rc.getField("n_tokens").as("n_tokens"),
+        ratio(rc.getField("n_types")).as("type_token_ratio"),
+        ratio(rc.getField("max_uni")).as("top_unigram_frac"),
+        ratio(rc.getField("dup_cnt")).as("dup_token_frac"),
+        when(rc.getField("n_bigrams") > 0L,
+          rc.getField("max_bi").cast(DoubleType) /
+            rc.getField("n_bigrams").cast(DoubleType))
           .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 

@@ -941,6 +941,40 @@ class ExtOpsSpec extends SparkSpec {
     assert(d2.getAs[Double]("top_bigram_frac") == 0.0)
   }
 
+  test("repetitionStats matches a plain-Scala reference on long documents") {
+    // The r12 regression passed 5-token fixtures and hung on 100-token
+    // corpus docs (interpreted-HOF subtree capture, ~O(n³)/row). This gate
+    // runs at REAL document lengths — 2k and 10k tokens — against an
+    // independently-written reference, and its budget is the suite's own
+    // patience: any superlinear per-row regression times the suite out.
+    val rnd = new scala.util.Random(58)
+    val docs = (1L to 40L).map { id =>
+      val n = if (id % 10 == 0) 10000 else 2000
+      // small vocab forces heavy repetition; occasional empty tokens
+      // exercise the split(-1) dialect (consecutive spaces)
+      val toks = Array.fill(n)(
+        if (rnd.nextInt(50) == 0) "" else s"w${rnd.nextInt(40)}")
+      (id, toks.mkString(" "))
+    }
+    val out = TextAnalysis.repetitionStats(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val uni = ws.groupBy(identity).view.mapValues(_.length.toLong)
+      val bi = ws.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.length.toLong)
+      val n = ws.length.toLong
+      val r = out(id)
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Double]("type_token_ratio") == uni.size.toDouble / n)
+      assert(r.getAs[Double]("top_unigram_frac") == uni.values.max.toDouble / n)
+      assert(r.getAs[Double]("dup_token_frac") ==
+        uni.values.filter(_ > 1).sum.toDouble / n)
+      assert(r.getAs[Double]("top_bigram_frac") ==
+        bi.values.max.toDouble / (n - 1))
+    }
+  }
+
   test("ngramContamination flags planted benchmark overlap only") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),    // contains bench trigram
