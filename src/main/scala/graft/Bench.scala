@@ -73,10 +73,17 @@ object Bench {
         }
       }
     }
+    // Per-query wall-clock budget (Watchdog): r12's bench hung at one
+    // query's WARMUP count and the whole artifact recorded rc=124 — a
+    // pathological query must cost its own row, never the sweep.
+    val budgetMs = graft.core.Watchdog.budgetMs()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory)
-      qs0.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      qs0.foreach { case (name, fn) =>
+        graft.core.Watchdog.run(spark, s"warmup-$name", budgetMs) {
+          fn(spark, warmDir).count()
+        }
+        ()
       }
     // Three timed runs per query with EXPLICIT cache semantics (min-of-N
     // absorbs the occasional multi-second GC/JIT pause a 50-query sweep
@@ -109,9 +116,10 @@ object Bench {
       System.gc()
       def run(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
+        graft.core.Watchdog.run(spark, name, budgetMs) { fn(spark, sfDir).count() } match {
+          case Right(_) => Some((System.nanoTime() - t0) / 1e9)
+          case Left(err) =>
+            System.err.println(s"[bench] $name FAILED: $err"); None
         }
       }
       val cold = run()
