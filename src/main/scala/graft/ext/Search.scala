@@ -124,46 +124,61 @@ object Search {
         explode(split(col(textCol), " ", -1)).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
 
+  /** The df-ANNOTATED face of [[tfHub]], laid out for per-document
+    * consumers: each (doc_id, term, tf) row carries its term's document
+    * frequency (a count window over the term partition — the same integer
+    * a vocab aggregate + join would produce, without the broadcast build),
+    * and the result is hash-REPARTITIONED BY doc_id before persisting, so
+    * a warm `groupBy(doc_id)` over the cache is exchange-FREE
+    * (InMemoryTableScan preserves the cached plan's hash partitioning).
+    * Both window and repartition are paid once at hub build; the window's
+    * term partitions are vocab-keyed (zipf-head safe: one partition holds
+    * one term's posting rows at worst, bounded by corpus doc count — the
+    * same bound the df join shape had). */
+  private def dfHub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.core.Caches.persist(
+      tfHub(docs, idCol, textCol)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .repartition(col("doc_id")))
+
   /** Top-k keywords PER DOCUMENT by tf·idf — the corpus-wide tagging
     * projection ([[bm25TopK]] is the query-time probe; this scores every
     * (doc, term) pair). Same reproducibility discipline: rational idf
     * `(N − df + 0.5)/(df + 0.5)`, fixed-point `floor(tf · idf · 10⁶)`.
     *
     * Plan shape at scale: tokenize once into the family's persisted tf
-    * hub ([[tfHub]] — shared with [[tfidfCosinePairs]]); df is a
-    * vocab-sized term aggregate off the tf table (never a second corpus
-    * pass); the tf⋈df join shuffles on term (vocab-scale — a broadcast
-    * would not survive a web-scale vocab, AQE handles the zipf head);
-    * top-k per doc happens INSIDE the per-doc aggregation (sorted-slice
-    * of a list bounded by the document's own distinct-term count), not a
-    * rank window — one exchange fewer, no per-partition sort. Returns
+    * hub ([[tfHub]] — shared with [[tfidfCosinePairs]]), annotate df and
+    * lay it out by doc_id once into [[dfHub]] (never a second corpus
+    * pass); N is a memoized driver literal. The warm query is then
+    * cache-scan → exchange-free per-doc aggregation: top-k happens INSIDE
+    * that aggregation (sorted-slice of a list bounded by the document's
+    * own distinct-term count), not a rank window. Returns
     * (doc_id, term, tf, df, score_fp, rk), ties broken by term
     * ascending. */
   def tfidfKeywords(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k > 0, "k must be positive")
     // N from the pre-explode projection (docs are unique by id — the table
-    // contract): a countDistinct over the token-scale hub would pay a
-    // two-phase distinct aggregate for the same scalar
-    val nDocs = docs.filter(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
-    val tf = tfHub(docs, idCol, textCol)
-    // df as a count window over the term partition — the same integer the
-    // separate vocab aggregate + join would produce, in the SAME exchange:
-    // no vocab-sized broadcast (which would not survive a web-scale
-    // vocabulary) and one fewer serialized job. Unordered partition-count
-    // windows need no sort, so the exchange is all this stage costs.
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
-    val idf = ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+    // contract), memoized to a driver literal: the same scalar every
+    // family query over this corpus needs, so warm re-runs and sibling
+    // queries pay zero jobs for it (same value ⇒ same IEEE tree ⇒ same
+    // bits as the old broadcast form)
+    val docsF = docs.filter(col(textCol).isNotNull)
+    val nDocs = graft.core.Caches.memo(docsF, "nDocsNotNull") {
+      java.lang.Long.valueOf(docsF.count())
+    }
+    // the df-annotated family hub, already partitioned by doc_id: the
+    // warm path below is cache-scan → exchange-free per-doc aggregation
+    val withDf = dfHub(docs, idCol, textCol)
+    val idf = ((lit(nDocs.longValue) - col("df")).cast(DoubleType) + lit(0.5)) /
       (col("df").cast(DoubleType) + lit(0.5))
     // top-k inside the per-doc aggregation, not a rank window: the sorted
     // struct list is bounded by the DOCUMENT's distinct-term count (row
     // width ∝ doc length, never corpus size), and slicing it to k replaces
-    // the window's exchange+sort+filter with the same grouping exchange
-    // the rebuild needs anyway. Sort key (−score_fp, term) = the rank
+    // the window's exchange+sort+filter with the grouping the hub's
+    // layout already satisfies. Sort key (−score_fp, term) = the rank
     // order (score desc, term asc); rk = slice position.
     withDf
-      .crossJoin(broadcast(nDocs))
       .withColumn("score_fp",
         floor(col("tf").cast(DoubleType) * idf * lit(1000000.0)).cast(LongType))
       .groupBy(col("doc_id"))

@@ -92,6 +92,24 @@ class PlanSpec extends SparkSpec {
       s"term filter not below the tf shuffle:\n$p")
   }
 
+  test("tfidfKeywords aggregates straight off the doc_id-partitioned hub (q83 shape)") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    val df = graft.ext.Search.tfidfKeywords(docs, k = 5)
+    df.collect() // materialize hub + AQE final plan (memory: count() plans separately)
+    val p = plan(df)
+    // the warm path is cache-scan → per-doc aggregation with NO exchange:
+    // the dfHub persists a doc_id hash layout the groupBy reuses. In the
+    // printed plan the outer operators precede the InMemoryRelation's
+    // inner (build-time) plan, so assert no Exchange above the cache scan.
+    val cut = p.indexOf("InMemoryTableScan")
+    assert(cut > 0, s"expected the persisted dfHub in:\n$p")
+    val outer = p.substring(0, cut)
+    assert(!outer.contains("Exchange"),
+      s"q83's warm path should not re-shuffle the hub's layout:\n$outer")
+    graft.core.Caches.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
   test("histogram aggregates partially before its one shuffle") {
     val li = graft.core.Tables.load(spark, sf001, "lineitem")
     val p = plan(graft.ext.Stats.histogram(li, "l_extendedprice", 0.0, 100.0))
