@@ -54,6 +54,28 @@ object Compiler {
       graft.ext.TextAnalysis.qualityScore(df)
         .filter(col("quality_score") >= min).select(cols: _*)
     }
+    // Gopher-style repetition gate on the codegen'd per-row counters
+    // ([[graft.functions.RepetitionCounts]]) — the q58/q75 filter,
+    // YAML-reachable. One projection + filter: no shuffle, no state,
+    // identical on batch and streaming frames. Null text passes (the
+    // drop-gates' total-pass convention).
+    case "repetition_filter" => df => {
+      val maxBigram = p.config.getOrElse("max_top_bigram_frac", "0.1").toDouble
+      val maxUnigram = p.config.getOrElse("max_top_unigram_frac", "1.0").toDouble
+      val minTtr = p.config.getOrElse("min_type_token_ratio", "0.0").toDouble
+      val cols = df.columns.toIndexedSeq.map(col)
+      val rc = col("__rc")
+      def frac(f: String) =
+        rc.getField(f).cast("double") / rc.getField("n_tokens").cast("double")
+      val topBi = when(rc.getField("n_bigrams") > 0L,
+        rc.getField("max_bi").cast("double") /
+          rc.getField("n_bigrams").cast("double")).otherwise(lit(0.0))
+      df.withColumn("__rc", graft.functions.RepetitionCounts.of(col("text")))
+        .filter(col("text").isNull ||
+          (topBi <= maxBigram && frac("max_uni") <= maxUnigram &&
+            frac("n_types") >= minTtr))
+        .select(cols: _*)
+    }
     case "keyword_filter" => df => {
       val weights = p.config.getOrElse("weights",
           sys.error("keyword_filter needs config.weights (\"term:w,term:w\")"))

@@ -81,6 +81,37 @@ class SpecSpec extends SparkSpec {
     assert(texts(out) == Seq(good))
   }
 
+  test("repetition_filter drops degenerate docs batch AND stream, keeps schema") {
+    val spec = SpecLoader.load(
+      """input: {type: stdin}
+        |pipeline:
+        |  processors:
+        |    - type: repetition_filter
+        |      config: {max_top_bigram_frac: "0.2", min_type_token_ratio: "0.3"}
+        |output: {type: stdout}
+        |""".stripMargin)
+    val varied = "the quick brown fox jumps over one lazy dog near a riverbank"
+    val looped = Seq.fill(30)("buy now").mkString(" ")       // top bigram 29/59
+    val flat = Seq.fill(40)("spam").mkString(" ")            // ttr 1/40
+    val in = Model.fromLines(spark, Seq(varied, looped, flat)).toDF()
+    val out = Compiler.pipeline(spec)(in)
+    assert(out.columns.toSeq == in.columns.toSeq)
+    assert(texts(out) == Seq(varied))
+    // the same stage on a streaming frame: identical rows out
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val sOut = Compiler.pipeline(spec)(ms.toDF().withColumnRenamed("value", "text"))
+    val q = sOut.writeStream.format("memory").queryName("rep_gate_stream").start()
+    try {
+      ms.addData(varied, looped, flat)
+      q.processAllAvailable()
+      val got = spark.table("rep_gate_stream").collect().map(_.getString(0)).toSeq
+      assert(got == Seq(varied), "stream gate must match the batch gate")
+    } finally q.stop()
+  }
+
   test("curation processors are streaming-safe (no state, no aggregation)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -133,7 +164,7 @@ class SpecSpec extends SparkSpec {
     val curation = SpecLoader.loadFile("examples/curation_batch.yml")
     assert(curation.input.typ == "parquet")
     assert(curation.pipeline.map(_.typ) == Seq("strip_markup", "pii_redact",
-      "normalize_text", "quality_filter", "keyword_filter"))
+      "normalize_text", "quality_filter", "repetition_filter", "keyword_filter"))
     assert(curation.output.typ == "parquet")
     val media = SpecLoader.loadFile("examples/media_ingest_stream.yml")
     assert(media.input.typ == "binary_files")
