@@ -1029,6 +1029,42 @@ object TextAnalysis {
       .filter(col("domain_rank") <= maxPerDomain)
   }
 
+  /** Batch-side producer of the domain-blocklist gate's key set: the
+    * DISTINCT [[hash60]] keys of a blocklist table's ASCII-lowercased
+    * domains. One small aggregation; collect is the caller's choice —
+    * blocklists are driver-sized by nature (the largest public URL
+    * filter lists are ~10⁶ entries ≈ 8 MB of keys, far under the
+    * [[flagContaminated]] envelope). */
+  def blockedDomainKeys(blocklist: DataFrame,
+      domainCol: String = "domain"): DataFrame =
+    blocklist.filter(col(domainCol).isNotNull)
+      .select(hash60(lower(col(domainCol))).as("dk")).distinct()
+
+  /** Ingest-time DOMAIN-BLOCKLIST gate — the URL-filter stage every
+    * web-corpus pipeline runs first (RefinedWeb/Dolma both gate on
+    * adult/fraud/malware domain lists before any content filter):
+    * `blocked_domain` ⟺ the text mentions an `http(s)://host` whose
+    * host, or ANY parent suffix of it, is in the blocklist —
+    * `ads.tracker.example.com` is blocked by an `example.com` entry
+    * (standard subdomain-inheriting blocklist semantics).
+    *
+    * Same architecture as [[flagContaminated]]: the blocklist rides the
+    * expression as an embedded sorted `long[]` of [[hash60]] keys
+    * (exact up to 60-bit collisions, ~2⁻⁶⁰ per pair), the per-row
+    * suffix walk is one codegen call
+    * ([[graft.functions.DomainSuffixKeys]] — the nested label iteration
+    * would otherwise be a forbidden lambda-capture HOF), and membership
+    * is a binary search per suffix. Map-only, stateless, no shuffle —
+    * identical on batch frames and streaming micro-batches. Null text →
+    * null flag (total-pass convention). */
+  def flagBlockedDomains(docs: DataFrame, blockedKeys: Seq[Long],
+      textCol: String = "text"): DataFrame = {
+    val flag = exists(
+      graft.functions.DomainSuffixKeys.of(col(textCol)),
+      k => graft.functions.ArraySets.sortedLongContains(k, blockedKeys))
+    docs.withColumn("blocked_domain", when(col(textCol).isNotNull, flag))
+  }
+
   /** Line-level boilerplate removal — the RefinedWeb line-dedup pass:
     * any line whose corpus document frequency (case-insensitive, trimmed)
     * reaches `minDf` is navigation/footer/cookie-banner boilerplate and is

@@ -1873,6 +1873,56 @@ object Corpus {
   }
 
   // --------------------------------------------------------------------------
+  // q140 — domain-blocklist gate: planted URLs (mixed-case hosts, one
+  // subdomain axis, two independent domains per doc) against a literal
+  // blocklist; a blocklist entry blocks its exact host AND every
+  // subdomain (suffix-inheriting semantics — `host3.example.org` gates
+  // any `subN.host3.example.org`). The oracle recomputes the suffix walk
+  // and membership on the same 60-bit md5-prefix keys, so string- and
+  // key-equality agree (the q129 convention).
+  def q140_domain_blocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val id = col("doc_id")
+    val planted = docs(s, dir).select(id, concat(col("text"),
+      lit(" see https://Sub"), pmod(id, lit(7L)).cast(StringType),
+      lit(".host"), pmod(id, lit(50L)).cast(StringType),
+      lit(".Example.org/x and http://static.cdn"),
+      pmod(id, lit(11L)).cast(StringType), lit(".net/y")).as("text"))
+    // mixed-case blocklist entry exercises blockedDomainKeys' lowercasing
+    val bl = Seq("host3.example.org", "Sub2.host10.example.org", "cdn7.net")
+      .toDF("domain")
+    val bk = TextAnalysis.blockedDomainKeys(bl)
+    val keys = graft.core.Caches.memo(bk, "blockedDomainKeys")(
+      bk.collect().map(_.getLong(0)).toSeq)
+    TextAnalysis.flagBlockedDomains(planted, keys)
+      .select(col("doc_id"), col("blocked_domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q140_sql =
+    """WITH p AS (
+      |  SELECT doc_id, text || ' see https://Sub' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '.host' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '.Example.org/x and http://static.cdn' ||
+      |    CAST(doc_id % 11 AS VARCHAR) || '.net/y' AS text
+      |  FROM documents),
+      |d AS (SELECT doc_id,
+      |        lower(unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))) AS dom
+      |      FROM p),
+      |l AS (SELECT doc_id, string_split(dom, '.') AS ls FROM d),
+      |suf AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(array_to_string(ls[CAST(i AS INT):CAST(len(ls) AS INT)], '.')), 1, 15)) AS BIGINT) AS sk
+      |  FROM l, range(1, 100) t(i) WHERE i <= len(ls)),
+      |b AS (SELECT CAST(('0x' || substr(md5(lower(dom)), 1, 15)) AS BIGINT) AS bk
+      |      FROM (SELECT unnest(['host3.example.org', 'Sub2.host10.example.org', 'cdn7.net']) AS dom)),
+      |hit AS (SELECT DISTINCT suf.doc_id, true AS h FROM suf JOIN b ON sk = bk)
+      |SELECT p.doc_id,
+      |  CASE WHEN p.text IS NULL THEN NULL
+      |       ELSE coalesce(hit.h, false) END AS blocked_domain
+      |FROM p LEFT JOIN hit USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -1934,7 +1984,8 @@ object Corpus {
     "q84_cluster_safe_split" -> (q84_cluster_safe_split _),
     "q85_lm_quality" -> (q85_lm_quality _),
     "q86_embedding_normalize" -> (q86_embedding_normalize _),
-    "q87_url_dedup" -> (q87_url_dedup _)
+    "q87_url_dedup" -> (q87_url_dedup _),
+    "q140_domain_blocklist" -> (q140_domain_blocklist _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1999,6 +2050,7 @@ object Corpus {
     "q84_cluster_safe_split" -> q84_sql,
     "q85_lm_quality" -> q85_sql,
     "q86_embedding_normalize" -> q86_sql,
-    "q87_url_dedup" -> q87_sql
+    "q87_url_dedup" -> q87_sql,
+    "q140_domain_blocklist" -> q140_sql
   )
 }

@@ -119,6 +119,16 @@ object Compiler {
         .collect().map(_.getLong(0)).toSeq
       gated(p, graft.ext.Dedup.flagExactDups(df, keys), "exact_dup")
     }
+    case "domain_blocklist_gate" => df => {
+      val blPath = p.config.getOrElse("blocklist_path",
+        sys.error("domain_blocklist_gate needs config.blocklist_path (parquet with a domain column)"))
+      val domainCol = p.config.getOrElse("domain_col", "domain")
+      val bl = df.sparkSession.read.parquet(blPath)
+      val keys = graft.ext.TextAnalysis.blockedDomainKeys(bl, domainCol)
+        .collect().map(_.getLong(0)).toSeq
+      gated(p, graft.ext.TextAnalysis.flagBlockedDomains(df, keys),
+        "blocked_domain")
+    }
     case "near_dup_gate" => df => {
       val corpusPath = p.config.getOrElse("corpus_path",
         sys.error("near_dup_gate needs config.corpus_path (parquet with doc_id + text)"))

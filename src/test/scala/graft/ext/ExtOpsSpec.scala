@@ -975,6 +975,30 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("flagBlockedDomains: suffix-inheriting match, case-folded, null-total") {
+    val docs = Seq(
+      (1L, Some("see https://ads.Tracker.example.COM/x")), // sub of blocked example.com
+      (2L, Some("https://example.com/page")),              // exact blocked
+      (3L, Some("https://notexample.com and http://example.org")), // neither
+      (4L, Some("no urls at all")),
+      (5L, None: Option[String]),
+      (6L, Some("http://safe.net/a https://evil.test/b"))  // second URL blocked
+    ).toDF("doc_id", "text")
+    val bl = Seq("Example.com", "evil.test").toDF("domain")
+    val keys = TextAnalysis.blockedDomainKeys(bl).collect().map(_.getLong(0)).toSeq
+    val out = TextAnalysis.flagBlockedDomains(docs, keys).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Boolean]("blocked_domain"))).toMap
+    assert(out(1L).contains(true), "subdomain must inherit the block")
+    assert(out(2L).contains(true), "exact domain blocked")
+    assert(out(3L).contains(false), "suffix match is label-aligned, not substring")
+    assert(out(4L).contains(false), "no URLs -> not blocked")
+    assert(out(5L).isEmpty, "null text -> null flag (total-pass)")
+    assert(out(6L).contains(true), "any mentioned domain blocks")
+    // one extraction rule for the whole domain family
+    assert(TextAnalysis.UrlDomainRe == "https?://([A-Za-z0-9.-]+)")
+  }
+
   test("ngramContamination flags planted benchmark overlap only") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),    // contains bench trigram

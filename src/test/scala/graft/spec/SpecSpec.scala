@@ -629,6 +629,39 @@ class SpecSpec extends SparkSpec {
     assert(spark.table("edgate_stream").collect().map(_.getString(0)).toSeq == batchOut)
   }
 
+  test("domain_blocklist_gate spec: drops docs mentioning blocked domains, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-dbgate")
+    val blPath = dir.resolve("blocklist").toString
+    Seq("example.com", "evil.test").toDF("domain").write.parquet(blPath)
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: domain_blocklist_gate
+         |      config: {blocklist_path: "$blPath"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    val rows = Seq(
+      "read https://ads.example.com/promo now", // subdomain of blocked
+      "see http://docs.example.org/ok",         // unblocked domain
+      "plain text, no urls")
+    val batchOut = texts(Compiler.pipeline(spec)(rows.toDF("text")))
+    assert(batchOut == rows.tail)
+    val ms = MemoryStream[String]
+    val out = Compiler.pipeline(spec)(ms.toDF().withColumnRenamed("value", "text"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("dbgate_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    assert(spark.table("dbgate_stream").collect().map(_.getString(0)).toSeq == batchOut)
+  }
+
   test("kmeans_serve spec: scores embeddings against a saved model, batch == stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
