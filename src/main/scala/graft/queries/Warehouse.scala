@@ -5,7 +5,7 @@ import graft.ext.{Diff, Graph, Similarity, Stats}
 import graft.operators.IntervalJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Round-6 warehouse/graph operators as oracle-checked queries: the
   * SCD-Type-2 history build (q116), the grid-bucketed interval-overlap
@@ -122,6 +122,75 @@ object Warehouse {
       |         'n' || CAST((doc_id * 5 + 7) % 13 AS VARCHAR)
       |  FROM d WHERE doc_id % 2 = 0),
       |e AS (SELECT DISTINCT src, dst FROM e_raw),
+      |nodes AS (SELECT DISTINCT src AS node FROM e
+      |          UNION SELECT DISTINCT dst FROM e),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |c1 AS (SELECT e.dst AS node, sum(r0.r // deg.deg) AS cin
+      |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT n.node,
+      |         CAST((15 * 1000000 + 85 * COALESCE(c1.cin, 0)) // 100 AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN c1 USING (node)),
+      |c2 AS (SELECT e.dst AS node, sum(r1.r // deg.deg) AS cin
+      |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT n.node,
+      |         CAST((15 * 1000000 + 85 * COALESCE(c2.cin, 0)) // 100 AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN c2 USING (node)),
+      |c3 AS (SELECT e.dst AS node, sum(r2.r // deg.deg) AS cin
+      |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS (SELECT n.node,
+      |         CAST((15 * 1000000 + 85 * COALESCE(c3.cin, 0)) // 100 AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN c3 USING (node))
+      |SELECT node, r AS rank_fp FROM r3 ORDER BY node""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q141 — host-graph PageRank: the domain-authority signal of a crawl
+  // pipeline derived from the corpus's own hyperlinks, as ONE composition
+  // of verified operators — q103's planted `<a href>` links through
+  // extractLinks give the edge targets, each document's own host is its
+  // id-derived site (overlapping the target namespace, so the graph has
+  // real cycles plus two teleport-only hosts), and q118's integer
+  // fixed-point pageRankFp scores the host graph. The oracle chains the
+  // SAME verified SQL fragments (q103's extraction, q118's unrolled
+  // iterations), so the composition is hash-exact, not just each piece.
+  def q141_host_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = docs(s, dir).filter(col("text").isNotNull)
+      .select(id, concat(
+        lit("<a href=\"http://site"), pmod(id, lit(7L)).cast(StringType),
+        lit(".example.com/p\">go "), pmod(id, lit(5L)).cast(StringType),
+        lit("</a> "),
+        when(pmod(id, lit(2L)) === 0, concat(
+          lit("<a href=\"https://site"), pmod(id + 1, lit(7L)).cast(StringType),
+          lit(".example.com/x\">More Stuff</a> "))).otherwise(lit("")),
+        col("text")).as("text"))
+    val edges = graft.ext.TextAnalysis.extractLinks(planted)
+      .select(concat(lit("site"), pmod(col("doc_id"), lit(9L)).cast(StringType),
+        lit(".example.com")).as("src"), col("target_domain").as("dst"))
+    Graph.pageRankFp(edges, iters = 3)
+      .select(col("node"), col("rank").as("rank_fp"))
+      .orderBy(col("node"))
+  }
+
+  private val q141_sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    '<a href="http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '.example.com/p">go ' || CAST(doc_id % 5 AS VARCHAR) || '</a> ' ||
+      |    (CASE WHEN doc_id % 2 = 0
+      |          THEN '<a href="https://site' || CAST((doc_id + 1) % 7 AS VARCHAR) ||
+      |               '.example.com/x">More Stuff</a> '
+      |          ELSE '' END) || text AS text
+      |  FROM documents WHERE text IS NOT NULL),
+      |u AS (SELECT doc_id,
+      |        unnest(regexp_extract_all(text, '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS url
+      |      FROM p),
+      |e_raw AS (
+      |  SELECT 'site' || CAST(doc_id % 9 AS VARCHAR) || '.example.com' AS src,
+      |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS dst
+      |  FROM u),
+      |e AS (SELECT DISTINCT src, dst FROM e_raw
+      |      WHERE src IS NOT NULL AND dst IS NOT NULL),
       |nodes AS (SELECT DISTINCT src AS node FROM e
       |          UNION SELECT DISTINCT dst FROM e),
       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
@@ -347,6 +416,7 @@ object Warehouse {
     "q116_scd2_history" -> (q116_scd2_history _),
     "q117_overlap_pairs" -> (q117_overlap_pairs _),
     "q118_pagerank" -> (q118_pagerank _),
+    "q141_host_pagerank" -> (q141_host_pagerank _),
     "q119_winsorize" -> (q119_winsorize _),
     "q120_triangles" -> (q120_triangles _),
     "q121_expectations" -> (q121_expectations _),
@@ -356,6 +426,7 @@ object Warehouse {
     "q116_scd2_history" -> q116_sql,
     "q117_overlap_pairs" -> q117_sql,
     "q118_pagerank" -> q118_sql,
+    "q141_host_pagerank" -> q141_sql,
     "q119_winsorize" -> q119_sql,
     "q120_triangles" -> q120_sql,
     "q121_expectations" -> q121_sql,
