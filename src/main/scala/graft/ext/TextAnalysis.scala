@@ -808,37 +808,47 @@ object TextAnalysis {
     * persisted hub (the [[graft.core.Caches]] convention — the unigram and
     * bigram generators are different explodes, so ReuseExchange alone
     * cannot share the tokenization between them); each rollup is
-    * partial-aggregated before its shuffle; the corpus totals are derived
-    * from the rollups themselves (sum of unigram counts = token count, sum
-    * of pre-filter bigram counts = bigram count — never a third/fourth
-    * corpus pass) and broadcast as 1-row scalar subqueries; the unigram
-    * joins hit the bigram table on its natural key. Cost is linear in
-    * token count. `minCount` prunes the rare-pair tail BEFORE the joins —
-    * at web scale the c_ab=1 tail is most of the distinct pairs and
+    * partial-aggregated before its shuffle and PERSISTED (the unigram
+    * table feeds two joins, the bigram table feeds its total and the
+    * pair output — without the persists each consumer re-pays the
+    * corpus explode); the corpus totals are derived from the rollups
+    * themselves (sum of unigram counts = token count, sum of pre-filter
+    * bigram counts = bigram count — never a third/fourth corpus pass)
+    * and memoized to DRIVER LITERALS (the bm25Stats convention: warm
+    * re-runs pay zero scalar jobs, and a literal ⇒ the same IEEE tree ⇒
+    * the same bits as the old 1-row broadcast); the unigram joins hit
+    * the bigram table on its natural key. Cost is linear in token
+    * count. `minCount` prunes the rare-pair tail BEFORE the joins — at
+    * web scale the c_ab=1 tail is most of the distinct pairs and
     * carries no collocation signal. */
   def collocations(docs: DataFrame, minCount: Long = 20,
       textCol: String = "text"): DataFrame = {
     val ws = graft.core.Caches.persist(
       docs.filter(col(textCol).isNotNull)
         .select(split(col(textCol), " ", -1).as("ws")))
-    val ucnt = ws.select(explode(col("ws")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val nu = ucnt.agg(sum(col("c")).as("n_u"))
-    val bcnt0 = ws.filter(size(col("ws")) >= 2)
-      .select(explode(wordBigramArray(col("ws"))).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("c_ab"))
-    val nb = bcnt0.agg(sum(col("c_ab")).as("n_b"))
-    bcnt0
+    val ucnt = graft.core.Caches.persist(
+      ws.select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val bcnt = graft.core.Caches.persist(
+      ws.filter(size(col("ws")) >= 2)
+        .select(explode(wordBigramArray(col("ws"))).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("c_ab")))
+    def total(df: DataFrame, tag: String, c: String): Long =
+      graft.core.Caches.memo(df, tag) {
+        val r = df.agg(sum(col(c))).head
+        java.lang.Long.valueOf(if (r.isNullAt(0)) 0L else r.getLong(0))
+      }.longValue
+    val nU = total(ucnt, "collocTokenTotal", "c")
+    val nB = total(bcnt, "collocBigramTotal", "c_ab")
+    bcnt
       .filter(col("c_ab") >= minCount)
       .join(ucnt.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
       .join(ucnt.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
-      .crossJoin(broadcast(nu))
-      .crossJoin(broadcast(nb))
       .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
-        ((col("c_ab").cast(DoubleType) / col("n_b").cast(DoubleType)) /
-          ((col("c_a").cast(DoubleType) / col("n_u").cast(DoubleType)) *
-            (col("c_b").cast(DoubleType) / col("n_u").cast(DoubleType)))).as("lift"))
+        ((col("c_ab").cast(DoubleType) / lit(nB).cast(DoubleType)) /
+          ((col("c_a").cast(DoubleType) / lit(nU).cast(DoubleType)) *
+            (col("c_b").cast(DoubleType) / lit(nU).cast(DoubleType)))).as("lift"))
   }
 
   /** (w1, w2) struct array over an already-split token array — THE word
