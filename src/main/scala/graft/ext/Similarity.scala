@@ -64,6 +64,43 @@ object Similarity {
       .select(col("qid"), col("vid"), col("cosine"))
   }
 
+  /** Embedding-space decontamination — the semantic complement of
+    * [[graft.ext.TextAnalysis.ngramContamination]] (modern eval-leak
+    * sweeps run BOTH: n-gram overlap catches verbatim leaks, embedding
+    * cosine catches paraphrased ones): one row per corpus vector with at
+    * least one benchmark vector at cosine ≥ `minCosine` — the vector's
+    * close-bench count and its max cosine.
+    *
+    * Exactness: fixed-point components ([[fixedPointVec]]) make dot and
+    * norms exact BIGINT sums; the per-pair cosine is the same
+    * correctly-rounded double tree as [[exactCosinePairs]], so count,
+    * max, and the threshold decision are bit-identical cross-engine.
+    *
+    * Scale shape: the benchmark side is small by the family's premise →
+    * BROADCAST; the corpus side is one map-only scan (|corpus|·|bench|
+    * codegen'd dot loops, no index build), the threshold filter runs
+    * BEFORE the per-vector aggregation so only contaminated pairs reach
+    * the one |matches|-sized exchange — the corpus itself is never
+    * shuffled. For bench sets past broadcast range, decontaminate in
+    * [[ivfTopK]] cells instead. */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+      minCosine: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val b = bench.select(col(idCol).as("bid"), fixedPointVec(col(vecCol)).as("bx"))
+      .withColumn("bn2", intDot(col("bx"), col("bx")))
+    val c = graft.core.Tables.spread(corpus)
+      .select(col(idCol), fixedPointVec(col(vecCol)).as("cx"))
+      .withColumn("cn2", intDot(col("cx"), col("cx")))
+    val cos = when(col("cn2") === 0 || col("bn2") === 0, lit(0.0)).otherwise(
+      intDot(col("cx"), col("bx")).cast(DoubleType) /
+        (sqrt(col("cn2").cast(DoubleType)) * sqrt(col("bn2").cast(DoubleType))))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= minCosine)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_close"), max(col("cos")).as("max_cos"))
+  }
+
   /** Brute-force exact top-k neighbors per query (self-match excluded),
     * deterministic tie-break on vid. */
   def bruteForceTopK(queries: DataFrame, base: DataFrame, k: Int,

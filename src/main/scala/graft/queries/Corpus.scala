@@ -1168,6 +1168,42 @@ object Corpus {
       |ORDER BY i, j""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q142 — embedding-space decontamination: corpus vectors semantically
+  // close (cos ≥ 0.5) to a held-out benchmark set (the deterministic
+  // vec_id % 37 slice — its members self-match at cos 1.0, and planted
+  // near-dup groups contaminate across the slice boundary). The semantic
+  // complement of q59's n-gram check; same fixed-point/IEEE discipline as
+  // q41, so counts, max cosines, and the threshold are hash-exact.
+  def q142_semantic_contamination(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.semanticContamination(e, e.filter(pmod(col("vec_id"), lit(37L)) === 0),
+        minCosine = 0.5)
+      .orderBy(col("vec_id"))
+  }
+
+  private val q142_sql =
+    """WITH ex AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, (x, i) -> i - 1)) AS idx,
+      |    unnest(list_transform(embedding,
+      |      (x, i) -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT))) AS xi
+      |  FROM embeddings),
+      |n2 AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+      |dots AS (
+      |  SELECT c.vec_id AS cid, b.vec_id AS bid, CAST(sum(c.xi * b.xi) AS BIGINT) AS dot
+      |  FROM ex c JOIN ex b ON c.idx = b.idx AND b.vec_id % 37 = 0
+      |  GROUP BY 1, 2),
+      |cosv AS (
+      |  SELECT cid, bid,
+      |    CASE WHEN x.n2 = 0 OR y.n2 = 0 THEN 0.0
+      |      ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+      |    END AS cos
+      |  FROM dots JOIN n2 x ON cid = x.vec_id JOIN n2 y ON bid = y.vec_id)
+      |SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_close, max(cos) AS max_cos
+      |FROM cosv WHERE cos >= 0.5
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q50 — LSH-bucketed embedding near-dup PAIRS (the 100 TB scale path for
   // q41's corpus-level embedding dedup): SRP band candidates, exact
   // fixed-point verify — every emitted pair is a true q41 pair with a
@@ -1985,7 +2021,8 @@ object Corpus {
     "q85_lm_quality" -> (q85_lm_quality _),
     "q86_embedding_normalize" -> (q86_embedding_normalize _),
     "q87_url_dedup" -> (q87_url_dedup _),
-    "q140_domain_blocklist" -> (q140_domain_blocklist _)
+    "q140_domain_blocklist" -> (q140_domain_blocklist _),
+    "q142_semantic_contamination" -> (q142_semantic_contamination _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2051,6 +2088,7 @@ object Corpus {
     "q85_lm_quality" -> q85_sql,
     "q86_embedding_normalize" -> q86_sql,
     "q87_url_dedup" -> q87_sql,
-    "q140_domain_blocklist" -> q140_sql
+    "q140_domain_blocklist" -> q140_sql,
+    "q142_semantic_contamination" -> q142_sql
   )
 }

@@ -676,6 +676,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("semanticContamination: exact copies and near-paraphrases flag, orthogonal don't") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),    // exact copy of bench 100
+      (2L, Array(0.9f, 0.1f)),    // near bench 100 (cos ≈ 0.994)
+      (3L, Array(0.0f, 1.0f)),    // orthogonal to 100, matches bench 101
+      (4L, Array(-1.0f, 0.0f)),   // anti-parallel — below any positive threshold
+      (5L, Array(0.0f, 0.0f))     // zero norm -> cos 0.0, never flags
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f)), (101L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(corpus, bench, minCosine = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_close"), r.getAs[Double]("max_cos"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"unexpected flags: $out")
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1.0)
+    assert(out(3L)._1 == 1L && out(3L)._2 == 1.0)
+    assert(out(2L)._2 > 0.9 && out(2L)._2 < 1.0)
+  }
+
   test("zero-norm embedding scores cosine 0.0, never NaN, never rank 1") {
     val base = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
