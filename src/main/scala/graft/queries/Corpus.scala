@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Search, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Learn, Multimodal, Search, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1959,6 +1959,56 @@ object Corpus {
       |ORDER BY p.doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q143 — distributed quality-classifier TRAINING: 3 full-batch integer
+  // perceptron passes over (n_chars, token count, period count) with the
+  // ±1 label "is English", then map-only scoring of the corpus with the
+  // trained weights. Every update is an exact BIGINT sum, so the whole
+  // training trajectory is deterministic and the oracle unrolls the same
+  // 3 iterations as CTEs (the q118/q133 discipline) — a one-ulp drift
+  // anywhere in training changes every margin and the hash.
+  def q143_perceptron_quality(s: SparkSession, dir: String): DataFrame = {
+    val feats = Seq("x1", "x2", "x3")
+    val d = docs(s, dir)
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("doc_id"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(-1L)).as("y"),
+        col("n_chars").as("x1"),
+        size(split(col("text"), " ", -1)).cast(LongType).as("x2"),
+        (length(col("text")) - length(translate(col("text"), ".", "")))
+          .cast(LongType).as("x3"))
+    val model = Learn.perceptronTrain(d, "y", feats, iters = 3)
+    Learn.perceptronScore(d, model, feats)
+      .select(col("doc_id"), col("y"), col("margin"), col("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q143_sql = {
+    def m(i: String) = s"(SELECT w1 FROM $i)*x1 + (SELECT w2 FROM $i)*x2 + " +
+      s"(SELECT w3 FROM $i)*x3 + (SELECT b FROM $i)"
+    def step(prev: String) =
+      s"""SELECT
+         |  (SELECT w1 FROM $prev) + CAST(sum(CASE WHEN y*(${m(prev)}) <= 0 THEN y*x1 ELSE 0 END) AS BIGINT) AS w1,
+         |  (SELECT w2 FROM $prev) + CAST(sum(CASE WHEN y*(${m(prev)}) <= 0 THEN y*x2 ELSE 0 END) AS BIGINT) AS w2,
+         |  (SELECT w3 FROM $prev) + CAST(sum(CASE WHEN y*(${m(prev)}) <= 0 THEN y*x3 ELSE 0 END) AS BIGINT) AS w3,
+         |  (SELECT b FROM $prev) + CAST(sum(CASE WHEN y*(${m(prev)}) <= 0 THEN y ELSE 0 END) AS BIGINT) AS b
+         |FROM f""".stripMargin
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+       |    n_chars AS x1,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x2,
+       |    CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS x3
+       |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+       |i1 AS (SELECT CAST(sum(y*x1) AS BIGINT) AS w1, CAST(sum(y*x2) AS BIGINT) AS w2,
+       |              CAST(sum(y*x3) AS BIGINT) AS w3, CAST(sum(y) AS BIGINT) AS b FROM f),
+       |i2 AS (${step("i1")}),
+       |i3 AS (${step("i2")})
+       |SELECT doc_id, y, CAST(${m("i3")} AS BIGINT) AS margin,
+       |  CASE WHEN ${m("i3")} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> (q32_token_stats _),
@@ -2022,7 +2072,8 @@ object Corpus {
     "q86_embedding_normalize" -> (q86_embedding_normalize _),
     "q87_url_dedup" -> (q87_url_dedup _),
     "q140_domain_blocklist" -> (q140_domain_blocklist _),
-    "q142_semantic_contamination" -> (q142_semantic_contamination _)
+    "q142_semantic_contamination" -> (q142_semantic_contamination _),
+    "q143_perceptron_quality" -> (q143_perceptron_quality _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2089,6 +2140,7 @@ object Corpus {
     "q86_embedding_normalize" -> q86_sql,
     "q87_url_dedup" -> q87_sql,
     "q140_domain_blocklist" -> q140_sql,
-    "q142_semantic_contamination" -> q142_sql
+    "q142_semantic_contamination" -> q142_sql,
+    "q143_perceptron_quality" -> q143_sql
   )
 }

@@ -676,6 +676,31 @@ class ExtOpsSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("perceptron: hand-computed batch trajectory, separable data classified") {
+    // 1 feature, separable at x = 0: y = +1 for x in {2, 3}, -1 for {-2, -3}
+    val df = Seq((1L, 1L, 2L), (2L, 1L, 3L), (3L, -1L, -2L), (4L, -1L, -3L))
+      .toDF("doc_id", "y", "x1")
+    // iter 1 from w=0,b=0: margin 0 -> ALL misclassified ->
+    //   w = 2+3+2+3 = 10, b = 1+1-1-1 = 0
+    // iter 2: margins 20,30,-(-20),... all y*margin > 0 -> no update
+    val m1 = Learn.perceptronTrain(df, "y", Seq("x1"), iters = 1)
+    assert(m1.weights.toSeq == Seq(10L) && m1.bias == 0L)
+    graft.core.Caches.unpersistAll() // drop the memoized 1-iter model
+    val m3 = Learn.perceptronTrain(df, "y", Seq("x1"), iters = 3)
+    assert(m3.weights.toSeq == Seq(10L) && m3.bias == 0L,
+      "converged model must be stable under more passes")
+    val scored = Learn.perceptronScore(df, m3, Seq("x1")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("margin"), r.getAs[Long]("pred"))).toMap
+    assert(scored(1L) == (20L, 1L) && scored(4L) == (-30L, -1L))
+    // null features/labels drop from training, never poison the sums
+    val withNulls = df.unionByName(Seq((5L, 1L, Option.empty[Long]))
+      .toDF("doc_id", "y", "x1"))
+    graft.core.Caches.unpersistAll()
+    val mN = Learn.perceptronTrain(withNulls, "y", Seq("x1"), iters = 1)
+    assert(mN.weights.toSeq == Seq(10L) && mN.bias == 0L)
+  }
+
   test("semanticContamination: exact copies and near-paraphrases flag, orthogonal don't") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)),    // exact copy of bench 100
