@@ -93,4 +93,42 @@ object Learn {
       .withColumn("pred",
         when(col("margin") > 0L, lit(1L)).otherwise(lit(-1L)))
   }
+
+  /** Text-derivable feature registry — the features a YAML `linear_gate`
+    * can compute from a pipeline's `text` payload at serve time. A model
+    * trained on registry names is servable without Scala; training on
+    * arbitrary columns remains the library path. Each is an integer,
+    * engine-portable count (the q143 feature set). */
+  val TextFeatures: Map[String, Column] = Map(
+    "n_chars" -> length(col("text")).cast(LongType),
+    "n_tokens" -> size(split(col("text"), " ", -1)).cast(LongType),
+    "n_periods" -> (length(col("text")) -
+      length(translate(col("text"), ".", ""))).cast(LongType))
+
+  /** Persist a trained model as a tiny parquet dump — the
+    * trainer→server handoff ([[graft.ext.Similarity.kmeansModelSave]]
+    * precedent): one row per feature in weight order plus the bias row
+    * (feature = "__bias"). Round-trips bit-exactly. */
+  def linearModelSave(spark: org.apache.spark.sql.SparkSession,
+      model: LinearModel, features: Seq[String], path: String): Unit = {
+    import spark.implicits._
+    val rows = features.zip(model.weights.toSeq)
+      .zipWithIndex.map { case ((f, w), i) => (i, f, w) } :+
+      ((features.length, "__bias", model.bias))
+    rows.toDF("pos", "feature", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[linearModelSave]] dump → (model, feature names in weight
+    * order). */
+  def linearModelLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): (LinearModel, Seq[String]) = {
+    val rows = spark.read.parquet(path)
+      .select(col("pos"), col("feature"), col("weight"))
+      .collect().sortBy(_.getInt(0))
+    val (bias, feats) = rows.partition(_.getString(1) == "__bias")
+    require(bias.length == 1, s"model at $path has ${bias.length} bias rows")
+    (LinearModel(feats.map(_.getLong(2)), bias.head.getLong(2)),
+      feats.map(_.getString(1)).toSeq)
+  }
 }

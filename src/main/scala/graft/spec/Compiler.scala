@@ -142,6 +142,31 @@ object Compiler {
       gated(p, graft.ext.Dedup.flagNearDups(df, bandKeys, n, numHashes,
         rowsPerBand), "near_dup_candidate")
     }
+    // scores every row's text features against a batch-trained linear
+    // model dump ([[graft.ext.Learn.linearModelSave]]) and gates on the
+    // integer margin — the serve side of the q143 trainer. The model's
+    // features must come from [[graft.ext.Learn.TextFeatures]] (the
+    // text-derivable registry); weights load once at stage build as
+    // literals, so the stage is a map-only filter: no join, no state,
+    // batch == stream. `min_margin` (default 1 — margins are integers,
+    // so ≥1 ⟺ pred = +1) sets the decision threshold; null text passes
+    // (total-pass convention).
+    case "linear_gate" => df => {
+      val modelPath = p.config.getOrElse("model_path",
+        sys.error("linear_gate needs config.model_path (a linearModelSave dump)"))
+      val minMargin = p.config.getOrElse("min_margin", "1").toLong
+      val (model, feats) = graft.ext.Learn.linearModelLoad(df.sparkSession, modelPath)
+      val missing = feats.filterNot(graft.ext.Learn.TextFeatures.contains)
+      require(missing.isEmpty,
+        s"linear_gate model uses non-text features: ${missing.mkString(", ")}")
+      val cols = df.columns.toIndexedSeq.map(col)
+      val withF = feats.foldLeft(df) { (acc, f) =>
+        acc.withColumn(f, graft.ext.Learn.TextFeatures(f))
+      }
+      graft.ext.Learn.perceptronScore(withF, model, feats)
+        .filter(col("text").isNull || col("margin") >= minMargin)
+        .select(cols: _*)
+    }
     // scores every row's `embedding` (config.vec_col overrides) against a
     // batch-trained centroid dump ([[graft.ext.Similarity.kmeansModelSave]])
     // — always additive (a cluster id is routing/audit metadata, not a

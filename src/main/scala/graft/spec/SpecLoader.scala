@@ -17,7 +17,7 @@ object SpecLoader {
     // stages, so they run unchanged on batch AND streaming pipelines)
     "normalize_text", "strip_markup", "pii_redact",
     "quality_filter", "repetition_filter", "keyword_filter",
-    "domain_blocklist_gate",
+    "domain_blocklist_gate", "linear_gate",
     // ingest gates (extension set): map-only flags against batch-trained
     // side inputs — blocklist/band-key/centroid loads happen at stage
     // build, so the stages run unchanged on batch AND streaming frames

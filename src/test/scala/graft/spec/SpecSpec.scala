@@ -662,6 +662,57 @@ class SpecSpec extends SparkSpec {
     assert(spark.table("dbgate_stream").collect().map(_.getString(0)).toSeq == batchOut)
   }
 
+  test("linear_gate spec: serves a trained perceptron on text features, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-lingate")
+    val modelPath = dir.resolve("model").toString
+    // train on the registry features: long docs labeled +1, short -1 —
+    // the model must learn a length-ish separator
+    val long1 = Seq.fill(30)("informative content here").mkString(" ")
+    val long2 = Seq.fill(25)("more useful words indeed").mkString(" ")
+    val train = Seq((1L, 1L, long1), (2L, 1L, long2), (3L, -1L, "tiny"), (4L, -1L, "also small"))
+      .toDF("doc_id", "y", "text")
+    val feats = Seq("n_chars", "n_tokens")
+    val withF = feats.foldLeft(train) { (acc, f) =>
+      acc.withColumn(f, graft.ext.Learn.TextFeatures(f)) }
+    val model = graft.ext.Learn.perceptronTrain(withF, "y", feats, iters = 3)
+    graft.ext.Learn.linearModelSave(spark, model, feats, modelPath)
+    val (loaded, lf) = graft.ext.Learn.linearModelLoad(spark, modelPath)
+    assert(loaded.weights.toSeq == model.weights.toSeq &&
+      loaded.bias == model.bias && lf == feats, "dump must round-trip bit-exactly")
+    // 3 passes on all-positive count features can't learn the large
+    // negative bias separation needs — the margin THRESHOLD is the
+    // decision knob (as in production: train, pick the operating point):
+    // any margin between the short docs' and long docs' scores separates
+    val margins = graft.ext.Learn.perceptronScore(withF, model, feats)
+      .collect().map(r => r.getAs[Long]("y") -> r.getAs[Long]("margin"))
+    val cut = (margins.filter(_._1 == 1L).map(_._2).min +
+      margins.filter(_._1 == -1L).map(_._2).max) / 2
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: linear_gate
+         |      config: {model_path: "$modelPath", min_margin: "$cut"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    val rows = Seq(long1, "short junk", long2)
+    val batchOut = texts(Compiler.pipeline(spec)(rows.toDF("text")))
+    assert(batchOut == Seq(long1, long2), s"gate kept: ${batchOut.map(_.take(20))}")
+    val ms = MemoryStream[String]
+    val out = Compiler.pipeline(spec)(ms.toDF().withColumnRenamed("value", "text"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("lingate_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    assert(spark.table("lingate_stream").collect().map(_.getString(0)).toSeq == batchOut)
+  }
+
   test("kmeans_serve spec: scores embeddings against a saved model, batch == stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
