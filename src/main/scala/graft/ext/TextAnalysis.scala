@@ -1613,4 +1613,53 @@ object TextAnalysis {
     docs.withColumn("norm_text", norm)
       .withColumn("n_chars_norm", length(col("norm_text")).cast(LongType))
   }
+
+  /** Terminal-punctuation line test shared with the oracle (Java∩RE2:
+    * no lookaround, explicit class). A line "ends in terminal
+    * punctuation" iff its trimmed form ends with `.`, `!`, `?` or `"`. */
+  val TerminalPunctRe = "[.!?\"]$"
+
+  /** C4-style heuristic line+document quality filter (Raffel et al. 2020
+    * §2.2's rule set, the pass web pipelines run between markup stripping
+    * and dedup; RefinedWeb runs the same shape). Line rules — a line of
+    * the document survives iff, on its trimmed form, it (a) ends in
+    * terminal punctuation ([[TerminalPunctRe]]), (b) has at least
+    * `minWordsPerLine` space-separated words, and (c) does not mention
+    * "javascript" (case-insensitive; the browser-requirement boilerplate
+    * line). Document rules — the document is kept iff at least
+    * `minKeptLines` lines survive, the raw text has no `{` (the code/JSON
+    * brace rule), and no "lorem ipsum" (placeholder boilerplate).
+    *
+    * Adds: `n_lines`, `n_kept` (both 0 for null text), `keep_doc`
+    * (false for null text — a gate, unlike the repetition filter whose
+    * null-pass contract is documented at its YAML stage), and
+    * `clean_text` = the surviving lines rejoined with `\n` when the doc
+    * is kept, else null. Total pass: every input row appears once.
+    *
+    * Plan: map-only projection — one `split` on newline, one array
+    * `filter` whose lambda reads ONLY its own lambda variable and
+    * literals (the SURVEY §4 lambda-capture rule: trim/lower of the
+    * lambda var are computed FROM it, not captured subtrees), no shuffle,
+    * no per-doc state beyond the line array. Linear at any corpus size;
+    * at 100 TB this runs fused inside the scan stage. */
+  def c4Filter(docs: DataFrame, minWordsPerLine: Int = 5,
+      minKeptLines: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n", -1)
+    val kept = filter(lines, l =>
+      trim(l).rlike(TerminalPunctRe) &&
+        size(split(trim(l), " +", -1)) >= lit(minWordsPerLine) &&
+        !lower(l).contains("javascript"))
+    val keepDoc = when(t.isNull, lit(false)).otherwise(
+      size(kept) >= lit(minKeptLines) &&
+        !t.contains("{") && !lower(t).contains("lorem ipsum"))
+    docs.withColumn("n_lines",
+        when(t.isNull, lit(0L)).otherwise(size(lines).cast(LongType)))
+      .withColumn("n_kept",
+        when(t.isNull, lit(0L)).otherwise(size(kept).cast(LongType)))
+      .withColumn("keep_doc", keepDoc)
+      .withColumn("clean_text",
+        when(keepDoc, concat_ws("\n", kept)).otherwise(lit(null).cast(StringType)))
+  }
 }

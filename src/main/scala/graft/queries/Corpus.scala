@@ -1959,6 +1959,73 @@ object Corpus {
       |ORDER BY p.doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q144 — C4-style heuristic line+doc filter: seven planted lines per
+  // doc walk every rule independently (terminal punctuation, min words,
+  // the javascript line, the brace and lorem-ipsum doc rules), with the
+  // raw word-soup text as line 0 (never terminal-punctuated, so inert).
+  // The oracle re-derives the same line lambda in DuckDB's list_filter.
+  def q144_c4_filter(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def n(m: Long) = pmod(id, lit(m)).cast(StringType)
+    val planted = docs(s, dir).select(id, concat(col("text"),
+      lit("\nThis is a proper sentence number "), n(13L),
+      lit(" with enough words."),
+      lit("\ntoo short."),
+      lit("\nthis line has many words but never terminates properly"),
+      when(pmod(id, lit(3L)) === 0,
+        lit("\nPlease enable JavaScript to view the comments powered by widgets."))
+        .otherwise(lit("\nAnother perfectly sound sentence with plenty of words here.")),
+      when(pmod(id, lit(5L)) === 0, concat(
+        lit("\nA third good sentence keeps document "), n(13L), lit(" alive today.")))
+        .otherwise(lit("\ntail fragment")),
+      when(pmod(id, lit(7L)) === 0, lit("\nconfig { enabled: true }"))
+        .otherwise(lit("\nClosing remarks follow in the final line of text.")),
+      when(pmod(id, lit(11L)) === 0,
+        lit("\nLorem Ipsum dolor sit amet consectetur adipiscing elit."))
+        .otherwise(lit("\nplain trailing fragment"))).as("text"))
+    TextAnalysis.c4Filter(planted)
+      .select(id, col("n_lines"), col("n_kept"), col("keep_doc"), col("clean_text"))
+      .orderBy(id)
+  }
+
+  private val q144_sql =
+    """WITH p AS (
+      |  SELECT doc_id, text ||
+      |    chr(10) || 'This is a proper sentence number ' || CAST(doc_id % 13 AS VARCHAR) || ' with enough words.' ||
+      |    chr(10) || 'too short.' ||
+      |    chr(10) || 'this line has many words but never terminates properly' ||
+      |    (CASE WHEN doc_id % 3 = 0
+      |          THEN chr(10) || 'Please enable JavaScript to view the comments powered by widgets.'
+      |          ELSE chr(10) || 'Another perfectly sound sentence with plenty of words here.' END) ||
+      |    (CASE WHEN doc_id % 5 = 0
+      |          THEN chr(10) || 'A third good sentence keeps document ' || CAST(doc_id % 13 AS VARCHAR) || ' alive today.'
+      |          ELSE chr(10) || 'tail fragment' END) ||
+      |    (CASE WHEN doc_id % 7 = 0
+      |          THEN chr(10) || 'config { enabled: true }'
+      |          ELSE chr(10) || 'Closing remarks follow in the final line of text.' END) ||
+      |    (CASE WHEN doc_id % 11 = 0
+      |          THEN chr(10) || 'Lorem Ipsum dolor sit amet consectetur adipiscing elit.'
+      |          ELSE chr(10) || 'plain trailing fragment' END) AS text
+      |  FROM documents),
+      |k AS (SELECT doc_id, text,
+      |        string_split(text, chr(10)) AS ls,
+      |        list_filter(string_split(text, chr(10)), l ->
+      |          regexp_matches(trim(l), '[.!?"]$')
+      |          AND len(string_split_regex(trim(l), ' +')) >= 5
+      |          AND NOT contains(lower(l), 'javascript')) AS kept
+      |      FROM p)
+      |SELECT doc_id,
+      |  CASE WHEN text IS NULL THEN 0 ELSE len(ls) END AS n_lines,
+      |  CASE WHEN text IS NULL THEN 0 ELSE len(kept) END AS n_kept,
+      |  CASE WHEN text IS NULL THEN false
+      |       ELSE len(kept) >= 3 AND NOT contains(text, '{')
+      |            AND NOT contains(lower(text), 'lorem ipsum') END AS keep_doc,
+      |  CASE WHEN text IS NOT NULL AND len(kept) >= 3 AND NOT contains(text, '{')
+      |            AND NOT contains(lower(text), 'lorem ipsum')
+      |       THEN array_to_string(kept, chr(10)) END AS clean_text
+      |FROM k ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q143 — distributed quality-classifier TRAINING: 3 full-batch integer
   // perceptron passes over (n_chars, token count, period count) with the
   // ±1 label "is English", then map-only scoring of the corpus with the
@@ -2073,7 +2140,8 @@ object Corpus {
     "q87_url_dedup" -> (q87_url_dedup _),
     "q140_domain_blocklist" -> (q140_domain_blocklist _),
     "q142_semantic_contamination" -> (q142_semantic_contamination _),
-    "q143_perceptron_quality" -> (q143_perceptron_quality _)
+    "q143_perceptron_quality" -> (q143_perceptron_quality _),
+    "q144_c4_filter" -> (q144_c4_filter _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2141,6 +2209,7 @@ object Corpus {
     "q87_url_dedup" -> q87_sql,
     "q140_domain_blocklist" -> q140_sql,
     "q142_semantic_contamination" -> q142_sql,
-    "q143_perceptron_quality" -> q143_sql
+    "q143_perceptron_quality" -> q143_sql,
+    "q144_c4_filter" -> q144_sql
   )
 }

@@ -76,6 +76,21 @@ object Compiler {
             frac("n_types") >= minTtr))
         .select(cols: _*)
     }
+    // C4-style line+doc heuristic filter ([[TextAnalysis.c4Filter]]) as
+    // an ingest stage: surviving docs carry their line-filtered text
+    // forward (the C4 pass REWRITES pages, it doesn't just gate them).
+    // Map-only projection + filter, batch == stream. Unlike the
+    // drop-gates, null text is dropped here: the operator's keep_doc is
+    // false for null (a page with no payload has no 3 kept lines).
+    case "c4_filter" => df => {
+      val minWords = p.config.getOrElse("min_words_per_line", "5").toInt
+      val minLines = p.config.getOrElse("min_kept_lines", "3").toInt
+      val cols = df.columns.toIndexedSeq.map(col)
+      graft.ext.TextAnalysis.c4Filter(df, minWords, minLines)
+        .filter(col("keep_doc"))
+        .withColumn("text", col("clean_text"))
+        .select(cols: _*)
+    }
     case "keyword_filter" => df => {
       val weights = p.config.getOrElse("weights",
           sys.error("keyword_filter needs config.weights (\"term:w,term:w\")"))

@@ -16,7 +16,7 @@ object SpecLoader {
     // curation processors (our extension set — stateless map/filter
     // stages, so they run unchanged on batch AND streaming pipelines)
     "normalize_text", "strip_markup", "pii_redact",
-    "quality_filter", "repetition_filter", "keyword_filter",
+    "quality_filter", "repetition_filter", "c4_filter", "keyword_filter",
     "domain_blocklist_gate", "linear_gate",
     // ingest gates (extension set): map-only flags against batch-trained
     // side inputs — blocklist/band-key/centroid loads happen at stage

@@ -112,6 +112,40 @@ class SpecSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("c4_filter rewrites surviving docs to their kept lines, batch == stream") {
+    val spec = SpecLoader.load(
+      """input: {type: stdin}
+        |pipeline:
+        |  processors:
+        |    - type: c4_filter
+        |      config: {min_kept_lines: "2"}
+        |output: {type: stdout}
+        |""".stripMargin)
+    val good = "One proper sentence with enough words here.\nshort.\n" +
+      "A second proper sentence with enough words too."
+    val braces = "One proper sentence with enough words here.\n" +
+      "A second proper sentence with enough words too.\nvar x = { a: 1 }"
+    val thin = "Only one proper sentence with enough words here.\nno punct line"
+    val in = Model.fromLines(spark, Seq(good, braces, thin)).toDF()
+    val out = Compiler.pipeline(spec)(in)
+    assert(out.columns.toSeq == in.columns.toSeq)
+    assert(texts(out) == Seq(
+      "One proper sentence with enough words here.\n" +
+        "A second proper sentence with enough words too."))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val sOut = Compiler.pipeline(spec)(ms.toDF().withColumnRenamed("value", "text"))
+    val q = sOut.writeStream.format("memory").queryName("c4_stream").start()
+    try {
+      ms.addData(good, braces, thin)
+      q.processAllAvailable()
+      val got = spark.table("c4_stream").collect().map(_.getString(0)).toSeq
+      assert(got == texts(out), "stream c4_filter must match the batch stage")
+    } finally q.stop()
+  }
+
   test("curation processors are streaming-safe (no state, no aggregation)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
