@@ -1614,6 +1614,47 @@ object TextAnalysis {
       .withColumn("n_chars_norm", length(col("norm_text")).cast(LongType))
   }
 
+  /** Code-keyword regex shared with the oracle (Java∩RE2: `\b` word
+    * boundaries work identically in both engines on ASCII words). */
+  val CodeKeywordRe =
+    "\\b(def|class|return|import|function|var|let|const|void|int|for|while)\\b"
+
+  /** Code-vs-prose detection — the source-separation signal corpus
+    * pipelines use to route documents to a code pipeline or drop them
+    * from a prose corpus (the StarCoder-era mixture problem). Three
+    * integer evidence channels, each independently countable by any
+    * engine: (1) `n_punct` — occurrences of the code punctuation class
+    * `{}()[];=`, (2) `kw_hits` — word-boundary matches of
+    * [[CodeKeywordRe]], (3) `indent_lines` — lines starting with two
+    * spaces or a tab (block structure). The fixed-point score is
+    * `floor(1e6 · (3·n_punct + 10·kw_hits + 20·indent_lines) / n_chars)`
+    * — punctuation is weak evidence, keywords stronger, indentation
+    * strongest, normalized by document length so long prose with a
+    * stray bracket stays cold. `is_code` gates on `minScoreFp`.
+    *
+    * Null text yields zero counts/score and `is_code = false` (total
+    * pass). Plan: map-only projection — `translate`-difference for the
+    * punctuation count, one `regexp_extract_all` size for keywords, one
+    * newline split + `filter` (lambda reads only its own variable) for
+    * indent lines. No shuffle; fused into the scan at any scale. */
+  def codeScore(docs: DataFrame, minScoreFp: Long = 15000L,
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nPunct = (length(t) - length(translate(t, "{}()[];=", ""))).cast(LongType)
+    val kwHits = size(regexp_extract_all(t, lit(CodeKeywordRe), lit(0))).cast(LongType)
+    val indents = size(filter(split(t, "\n", -1),
+      l => substring(l, 1, 2) === "  " || substring(l, 1, 1) === "\t")).cast(LongType)
+    val score = floor(
+      (lit(3L) * nPunct + lit(10L) * kwHits + lit(20L) * indents)
+        .cast(DoubleType) * lit(1000000.0) /
+        greatest(length(t), lit(1)).cast(DoubleType)).cast(LongType)
+    docs.withColumn("n_punct", coalesce(nPunct, lit(0L)))
+      .withColumn("kw_hits", coalesce(kwHits, lit(0L)))
+      .withColumn("indent_lines", coalesce(indents, lit(0L)))
+      .withColumn("code_score_fp", coalesce(score, lit(0L)))
+      .withColumn("is_code", coalesce(score >= lit(minScoreFp), lit(false)))
+  }
+
   /** Terminal-punctuation line test shared with the oracle (Java∩RE2:
     * no lookaround, explicit class). A line "ends in terminal
     * punctuation" iff its trimmed form ends with `.`, `!`, `?` or `"`. */

@@ -2026,6 +2026,62 @@ object Corpus {
       |FROM k ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q145 — code-vs-prose detection: a 4-way planted axis (full code
+  // block with indented lines / pure prose / mixed keyword+assignment /
+  // bare word-soup) over the real text, so scores span cold→hot:
+  // `is_code` fires on both code-bearing classes (sf0.01: ≥70707 fp vs
+  // the 15000 gate) and stays 0 on the prose and soup classes. The oracle
+  // recomputes all three evidence channels (translate-difference
+  // punctuation count, \b keyword matches, indent-line filter) in DuckDB.
+  def q145_code_score(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val codeBlock = "\ndef compute(x):\n  return x + 1\nfor i in items:\n" +
+      "  total = total + i\nconst y = items[0];"
+    val planted = docs(s, dir).select(id, concat(col("text"),
+      when(pmod(id, lit(4L)) === 0, lit(codeBlock))
+        .when(pmod(id, lit(4L)) === 1,
+          lit("\nThe quick brown fox jumps over the lazy dog near the river bank."))
+        .when(pmod(id, lit(4L)) === 2,
+          lit("\nSee the function example() below for details.\nlet z = 1;"))
+        .otherwise(lit(""))).as("text"))
+    TextAnalysis.codeScore(planted)
+      .select(id, col("n_punct"), col("kw_hits"), col("indent_lines"),
+        col("code_score_fp"), col("is_code"))
+      .orderBy(id)
+  }
+
+  private val q145_sql =
+    """WITH p AS (
+      |  SELECT doc_id, text ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN
+      |       chr(10) || 'def compute(x):' || chr(10) || '  return x + 1' ||
+      |       chr(10) || 'for i in items:' || chr(10) || '  total = total + i' ||
+      |       chr(10) || 'const y = items[0];'
+      |     WHEN doc_id % 4 = 1 THEN
+      |       chr(10) || 'The quick brown fox jumps over the lazy dog near the river bank.'
+      |     WHEN doc_id % 4 = 2 THEN
+      |       chr(10) || 'See the function example() below for details.' ||
+      |       chr(10) || 'let z = 1;'
+      |     ELSE '' END) AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |  length(text) - length(translate(text, '{}()[];=', '')) AS n_punct,
+      |  len(regexp_extract_all(text,
+      |    '\b(def|class|return|import|function|var|let|const|void|int|for|while)\b')) AS kw_hits,
+      |  len(list_filter(string_split(text, chr(10)),
+      |    l -> substr(l, 1, 2) = '  ' OR substr(l, 1, 1) = chr(9))) AS indent_lines,
+      |  greatest(length(text), 1) AS n FROM p)
+      |SELECT doc_id,
+      |  coalesce(n_punct, 0) AS n_punct,
+      |  coalesce(kw_hits, 0) AS kw_hits,
+      |  coalesce(indent_lines, 0) AS indent_lines,
+      |  coalesce(CAST(floor(CAST(3*n_punct + 10*kw_hits + 20*indent_lines AS DOUBLE)
+      |    * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT), 0) AS code_score_fp,
+      |  coalesce(CAST(floor(CAST(3*n_punct + 10*kw_hits + 20*indent_lines AS DOUBLE)
+      |    * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT) >= 15000, false) AS is_code
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q143 — distributed quality-classifier TRAINING: 3 full-batch integer
   // perceptron passes over (n_chars, token count, period count) with the
   // ±1 label "is English", then map-only scoring of the corpus with the
@@ -2141,7 +2197,8 @@ object Corpus {
     "q140_domain_blocklist" -> (q140_domain_blocklist _),
     "q142_semantic_contamination" -> (q142_semantic_contamination _),
     "q143_perceptron_quality" -> (q143_perceptron_quality _),
-    "q144_c4_filter" -> (q144_c4_filter _)
+    "q144_c4_filter" -> (q144_c4_filter _),
+    "q145_code_score" -> (q145_code_score _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2210,6 +2267,7 @@ object Corpus {
     "q140_domain_blocklist" -> q140_sql,
     "q142_semantic_contamination" -> q142_sql,
     "q143_perceptron_quality" -> q143_sql,
-    "q144_c4_filter" -> q144_sql
+    "q144_c4_filter" -> q144_sql,
+    "q145_code_score" -> q145_sql
   )
 }
