@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -276,6 +276,80 @@ object Sharding {
         col("bucket_offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
       .filter(col("tokens_before") < budget)
       .select(col(idCol), col("skey"), col("n_tokens"), col("tokens_before"))
+  }
+
+  /** T5-style span corruption — the denoising-objective pair builder
+    * (Raffel et al. 2020 §3.1.4: replace random token spans with
+    * sentinels; the model reconstructs them). Deterministic, engine-
+    * portable: token spans of `spanLen` (the last `n mod spanLen` tokens
+    * are never maskable) are masked iff
+    * `hash60(salt:doc_id:span_idx) mod rateDen < rateNum` — the same
+    * md5-prefix hash family as every sampling operator, so the choice
+    * is a pure function of (salt, doc, position) reproducible across
+    * runs, engines, and partitionings. The k-th masked span of a doc
+    * (0-based, document order) becomes `<X_k>` in `input_text`;
+    * `target_text` lists each sentinel followed by the tokens it hid,
+    * closed by `<Z>` (`<Z>` alone when nothing was masked).
+    *
+    * Output per doc: `n_tokens`, `n_spans` (full spans), `n_masked`,
+    * `input_text`, `target_text`; null-text rows pass through with zero
+    * counts and null texts (total pass).
+    *
+    * Plan — the explode/window/regroup shape, NOT array lambdas: per-
+    * token span math over a captured token array would re-evaluate the
+    * split per element on Spark's interpreted HOF path (the SURVEY §4
+    * capture rule — the q58 lesson). Tokens explode map-side with their
+    * doc's `n` computed BEFORE the explode; ONE exchange on the doc id
+    * serves both the running masked-head count (window) and the
+    * reassembly (groupBy on the same key); sentinel numbering is the
+    * running count minus one. Per-doc state is the doc's own tokens —
+    * linear at any corpus size. */
+  def spanCorruption(docs: DataFrame, spanLen: Int = 3, rateNum: Int = 3,
+      rateDen: Int = 20, salt: String = "s146", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(spanLen >= 1 && rateNum >= 0 && rateDen >= 1)
+    val toks = split(col(textCol), " ", -1)
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(toks).cast(LongType).as("n"),
+        posexplode(toks).as(Seq("pos0", "tok")))
+      .withColumn("span_id", (col("pos0") / lit(spanLen)).cast(LongType))
+      .withColumn("is_full", (col("span_id") + 1) * lit(spanLen.toLong) <= col("n"))
+      .withColumn("masked", col("is_full") &&
+        pmod(graft.functions.TextMetrics.hash60(concat_ws(":",
+          lit(salt), col(idCol).cast(StringType), col("span_id").cast(StringType))),
+          lit(rateDen.toLong)) < lit(rateNum.toLong))
+      .withColumn("head", pmod(col("pos0"), lit(spanLen)) === 0)
+    val running = Window.partitionBy(col(idCol)).orderBy(col("pos0"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withK = base.withColumn("k",
+      sum(when(col("head") && col("masked"), lit(1L)).otherwise(lit(0L)))
+        .over(running) - lit(1L))
+    val sentinel = concat(lit("<X_"), col("k").cast(StringType), lit(">"))
+    val inPiece = when(!col("masked"), col("tok"))
+      .when(col("head"), sentinel)
+    val tgtPiece = when(col("masked") && col("head"),
+        concat(sentinel, lit(" "), col("tok")))
+      .when(col("masked"), col("tok"))
+    val grouped = withK.groupBy(col(idCol)).agg(
+      first(col("n")).as("n_tokens"),
+      sum(when(col("head") && col("is_full"), lit(1L)).otherwise(lit(0L))).as("n_spans"),
+      sum(when(col("head") && col("masked"), lit(1L)).otherwise(lit(0L))).as("n_masked"),
+      array_sort(collect_list(when(inPiece.isNotNull,
+        struct(col("pos0"), inPiece.as("p"))))).as("ins"),
+      array_sort(collect_list(when(tgtPiece.isNotNull,
+        struct(col("pos0"), tgtPiece.as("p"))))).as("tgts"))
+    val joinP = (c: Column) => concat_ws(" ", transform(c, x => x.getField("p")))
+    val out = grouped.select(col(idCol), col("n_tokens"), col("n_spans"),
+      col("n_masked"), joinP(col("ins")).as("input_text"),
+      when(size(col("tgts")) === 0, lit("<Z>"))
+        .otherwise(concat(joinP(col("tgts")), lit(" <Z>"))).as("target_text"))
+    docs.select(col(idCol))
+      .join(out, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        col("input_text"), col("target_text"))
   }
 
   /** The exclusive-prefix-sum step both operators share: per-`bucket`

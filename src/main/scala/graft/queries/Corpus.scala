@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ext.{Dedup, Learn, Multimodal, Search, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Learn, Multimodal, Search, Sharding, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -2026,6 +2026,60 @@ object Corpus {
       |FROM k ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q146 — T5-style span corruption on the real corpus text: 3-token
+  // spans masked at 3/20 by the salted md5-prefix hash, sentinels
+  // numbered in document order. The oracle re-derives the entire pair
+  // construction relationally (range-join token explode, the same
+  // hash60 span draw, running masked-head count for k, ordered
+  // string_aggs) — a single masked-span disagreement anywhere would
+  // shift every later sentinel number and break the hash.
+  def q146_span_corruption(s: SparkSession, dir: String): DataFrame =
+    Sharding.spanCorruption(docs(s, dir))
+      .orderBy(col("doc_id"))
+
+  private val q146_sql =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |              len(string_split(text, ' ')) AS n
+      |            FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, n, CAST(i AS BIGINT) AS pos0,
+      |          w[CAST(i + 1 AS INT)] AS tok, i // 3 AS span_id
+      |        FROM ws, range(0, 100000) t(i) WHERE i < n),
+      |m AS (SELECT *,
+      |        (span_id + 1) * 3 <= n AS is_full,
+      |        (span_id + 1) * 3 <= n AND
+      |          CAST(('0x' || substr(md5('s146:' || CAST(doc_id AS VARCHAR) ||
+      |            ':' || CAST(span_id AS VARCHAR)), 1, 15)) AS BIGINT) % 20 < 3 AS masked,
+      |        pos0 % 3 = 0 AS head
+      |      FROM tok),
+      |r AS (SELECT *,
+      |        sum(CASE WHEN head AND masked THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos0
+      |                ROWS UNBOUNDED PRECEDING) - 1 AS k
+      |      FROM m),
+      |g AS (SELECT doc_id,
+      |        any_value(n) AS n_tokens,
+      |        CAST(sum(CASE WHEN head AND is_full THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+      |        CAST(sum(CASE WHEN head AND masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+      |        string_agg(CASE WHEN NOT masked THEN tok
+      |                        WHEN head THEN '<X_' || CAST(k AS VARCHAR) || '>'
+      |                   END, ' ' ORDER BY pos0) AS input_text,
+      |        string_agg(CASE WHEN masked AND head
+      |                        THEN '<X_' || CAST(k AS VARCHAR) || '> ' || tok
+      |                        WHEN masked THEN tok
+      |                   END, ' ' ORDER BY pos0) AS tgt
+      |      FROM r GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(g.n_tokens, 0) AS n_tokens,
+      |  coalesce(g.n_spans, 0) AS n_spans,
+      |  coalesce(g.n_masked, 0) AS n_masked,
+      |  g.input_text,
+      |  CASE WHEN g.doc_id IS NULL THEN NULL
+      |       WHEN g.tgt IS NULL THEN '<Z>'
+      |       ELSE g.tgt || ' <Z>' END AS target_text
+      |FROM documents d LEFT JOIN g USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q145 — code-vs-prose detection: a 4-way planted axis (full code
   // block with indented lines / pure prose / mixed keyword+assignment /
   // bare word-soup) over the real text, so scores span cold→hot:
@@ -2198,7 +2252,8 @@ object Corpus {
     "q142_semantic_contamination" -> (q142_semantic_contamination _),
     "q143_perceptron_quality" -> (q143_perceptron_quality _),
     "q144_c4_filter" -> (q144_c4_filter _),
-    "q145_code_score" -> (q145_code_score _)
+    "q145_code_score" -> (q145_code_score _),
+    "q146_span_corruption" -> (q146_span_corruption _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2268,6 +2323,7 @@ object Corpus {
     "q142_semantic_contamination" -> q142_sql,
     "q143_perceptron_quality" -> q143_sql,
     "q144_c4_filter" -> q144_sql,
-    "q145_code_score" -> q145_sql
+    "q145_code_score" -> q145_sql,
+    "q146_span_corruption" -> q146_sql
   )
 }

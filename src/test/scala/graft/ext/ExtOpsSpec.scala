@@ -922,6 +922,45 @@ class ExtOpsSpec extends SparkSpec {
     assert(byDefault.values.map(_._2).max > 0, "fixture should span multiple shards")
   }
 
+  test("spanCorruption: target reconstructs input; tail never masked; null/empty total") {
+    val docs = Tables.load(spark, sf001, "documents").limit(100)
+      .union(Seq((-1L, null.asInstanceOf[String], "x", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Sharding.spanCorruption(docs, spanLen = 3, rateNum = 3, rateDen = 20)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 101)
+    val nullRow = out(-1L)
+    assert(nullRow.getAs[Long]("n_tokens") == 0L &&
+      nullRow.getAs[String]("input_text") == null &&
+      nullRow.getAs[String]("target_text") == null)
+    val texts = Tables.load(spark, sf001, "documents").limit(100)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val sentinelRe = "<X_(\\d+)>".r
+    var sawMasked = false
+    texts.foreach { case (id, text) =>
+      val r = out(id)
+      val input = r.getAs[String]("input_text")
+      val target = r.getAs[String]("target_text")
+      val nMasked = r.getAs[Long]("n_masked")
+      assert(target.endsWith("<Z>"))
+      // sentinels number 0..n_masked-1 in document order in BOTH texts
+      val inSent = sentinelRe.findAllMatchIn(input).map(_.group(1).toInt).toSeq
+      val tgtSent = sentinelRe.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(inSent == (0 until nMasked.toInt) && tgtSent == inSent)
+      if (nMasked > 0) sawMasked = true
+      // splicing each target span back over its sentinel reconstructs the doc
+      val spans = target.stripSuffix("<Z>").trim match {
+        case "" => Map.empty[Int, String]
+        case body => sentinelRe.split(body + " ").zipWithIndex.drop(1)
+          .map { case (s, i) => (i - 1) -> s.trim }.toMap
+      }
+      val rebuilt = sentinelRe.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(spans(m.group(1).toInt)))
+      assert(rebuilt == text, s"doc $id reconstruction")
+    }
+    assert(sawMasked, "fixture produced no masked spans — rate axis untested")
+  }
+
   test("packSequences: chunks tile the stream exactly, docs split at boundaries") {
     val docs = Tables.load(spark, sf001, "documents")
     val l = 64L
