@@ -278,6 +278,51 @@ object Sharding {
       .select(col(idCol), col("skey"), col("n_tokens"), col("tokens_before"))
   }
 
+  /** Multi-epoch training order — [[shuffleOrder]]'s permutation for
+    * EVERY epoch of a training run in ONE corpus pass: epoch e orders by
+    * `hash60("<saltPrefix><e>" | id)` (exactly shuffleOrder's key with
+    * that salt, so each epoch independently equals a shuffleOrder call),
+    * and `global_step = e·N + seq` concatenates the epochs into the
+    * contiguous 1..epochs·N schedule a trainer consumes. Distinct salts
+    * give distinct permutations; within an epoch every doc appears once.
+    *
+    * Plan: the corpus explodes ×epochs map-side (epochs is a small
+    * constant); the only global window runs over the per-(epoch, bucket)
+    * count table — ≤ epochs·2¹⁶ rows at ANY corpus size (the
+    * [[shuffleOrder]] value-range-bucket argument, partitioned by epoch);
+    * within-bucket row_numbers parallelize across epochs·2¹⁶ buckets.
+    * N is one memoized driver count (a literal in the plan, the Lloyd-
+    * trainer convention). One exchange on (epoch, bucket) for the big
+    * table; never a global sort. */
+  def epochOrder(docs: DataFrame, epochs: Int = 3, saltPrefix: String = "ep",
+      idCol: String = "doc_id"): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1: $epochs")
+    import graft.queries.intDiv
+    val n = graft.core.Caches.memo(docs, "epochOrder.count")(
+      java.lang.Long.valueOf(docs.count())).longValue
+    val base = docs.select(col(idCol),
+        explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .withColumn("skey", graft.functions.TextMetrics.hash60(
+        concat_ws("|", concat(lit(saltPrefix), col("epoch").cast(StringType)),
+          col(idCol).cast(StringType))))
+      .withColumn("bucket", intDiv(col("skey"), 1L << 44))
+    val hub = graft.core.Caches.persist(base)
+    val offsets = hub.groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_total")).over(
+          Window.partitionBy(col("epoch")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("epoch"), col("bucket"), col("bucket_offset"))
+    val within = Window.partitionBy(col("epoch"), col("bucket"))
+      .orderBy(col("skey"), col(idCol))
+    hub.join(broadcast(offsets), Seq("epoch", "bucket"))
+      .withColumn("seq",
+        col("bucket_offset") + row_number().over(within).cast(LongType))
+      .select(col("epoch"), col(idCol), col("skey"), col("seq"),
+        (col("epoch") * lit(n) + col("seq")).as("global_step"))
+  }
+
   /** T5-style span corruption — the denoising-objective pair builder
     * (Raffel et al. 2020 §3.1.4: replace random token spans with
     * sentinels; the model reconstructs them). Deterministic, engine-

@@ -2026,6 +2026,30 @@ object Corpus {
       |FROM k ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q147 — multi-epoch training order: 3 epochs of q130's salt-keyed
+  // permutation built in one pass, with the contiguous global step
+  // schedule. The oracle unions per-epoch row_numbers over the same
+  // md5-prefix keys — any divergence in any epoch's permutation or in
+  // the N literal shifts global_step everywhere.
+  def q147_epoch_order(s: SparkSession, dir: String): DataFrame =
+    Sharding.epochOrder(docs(s, dir), epochs = 3, saltPrefix = "ep")
+      .orderBy(col("epoch"), col("seq"))
+
+  private val q147_sql =
+    """WITH h AS (
+      |  SELECT e.epoch, d.doc_id,
+      |    CAST(('0x' || substr(md5('ep' || CAST(e.epoch AS VARCHAR) || '|' ||
+      |      CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+      |  FROM documents d, (SELECT CAST(i AS BIGINT) AS epoch FROM range(0, 3) t(i)) e),
+      |r AS (SELECT epoch, doc_id, skey,
+      |        CAST(row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id)
+      |          AS BIGINT) AS seq
+      |      FROM h)
+      |SELECT epoch, doc_id, skey, seq,
+      |  epoch * (SELECT count(*) FROM documents) + seq AS global_step
+      |FROM r ORDER BY epoch, seq""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q146 — T5-style span corruption on the real corpus text: 3-token
   // spans masked at 3/20 by the salted md5-prefix hash, sentinels
   // numbered in document order. The oracle re-derives the entire pair
@@ -2253,7 +2277,8 @@ object Corpus {
     "q143_perceptron_quality" -> (q143_perceptron_quality _),
     "q144_c4_filter" -> (q144_c4_filter _),
     "q145_code_score" -> (q145_code_score _),
-    "q146_span_corruption" -> (q146_span_corruption _)
+    "q146_span_corruption" -> (q146_span_corruption _),
+    "q147_epoch_order" -> (q147_epoch_order _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2324,6 +2349,7 @@ object Corpus {
     "q143_perceptron_quality" -> q143_sql,
     "q144_c4_filter" -> q144_sql,
     "q145_code_score" -> q145_sql,
-    "q146_span_corruption" -> q146_sql
+    "q146_span_corruption" -> q146_sql,
+    "q147_epoch_order" -> q147_sql
   )
 }

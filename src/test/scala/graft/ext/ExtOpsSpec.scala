@@ -922,6 +922,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(byDefault.values.map(_._2).max > 0, "fixture should span multiple shards")
   }
 
+  test("epochOrder: per-epoch permutations, distinct orders, contiguous global steps") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val n = docs.count()
+    val out = Sharding.epochOrder(docs, epochs = 3).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("seq"), r.getAs[Long]("global_step")))
+    assert(out.length == 3 * n)
+    // every epoch: each doc exactly once, seq is 1..N
+    (0L to 2L).foreach { e =>
+      val ep = out.filter(_._1 == e)
+      assert(ep.map(_._2).distinct.length == n)
+      assert(ep.map(_._3).sorted.toSeq == (1L to n).toSeq, s"epoch $e seq range")
+    }
+    // distinct salts → distinct permutations (overwhelming probability)
+    def order(e: Long) = out.filter(_._1 == e).sortBy(_._3).map(_._2).toSeq
+    assert(order(0) != order(1) && order(1) != order(2))
+    // epoch 0 equals shuffleOrder with the same salt
+    val solo = Sharding.shuffleOrder(docs, salt = "ep0").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq"))).sortBy(_._2).map(_._1)
+    assert(order(0) == solo.toSeq)
+    // global steps tile 1..3N with no gaps
+    assert(out.map(_._4).sorted.toSeq == (1L to 3 * n).toSeq)
+  }
+
   test("spanCorruption: target reconstructs input; tail never masked; null/empty total") {
     val docs = Tables.load(spark, sf001, "documents").limit(100)
       .union(Seq((-1L, null.asInstanceOf[String], "x", "s", 0L))
