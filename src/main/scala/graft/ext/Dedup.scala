@@ -990,6 +990,43 @@ object Dedup {
       .drop("__graft_nd_hit")
   }
 
+  /** Persist a [[minhashBandKeys]] blocklist as a self-describing
+    * parquet index — the dedup trainer→server handoff
+    * ([[graft.ext.Learn.linearModelSave]] /
+    * [[graft.ext.Similarity.kmeansModelSave]] precedent, here for the
+    * near-dup gate): build the index ONCE from the reference corpus,
+    * serve it to any number of ingest streams without re-shingling the
+    * corpus at every stream start. Layout: (kind, value) rows — the
+    * band keys under kind `band_key` (distributed write: the key set is
+    * corpus-scale; the dictionary-encoded kind column compresses away)
+    * plus three parameter rows (`n`, `num_hashes`, `rows_per_band`), so
+    * a serve site can never band differently than the index was built —
+    * the geometry rides WITH the keys. */
+  def bandIndexSave(corpus: DataFrame, path: String, n: Int,
+      numHashes: Int = 128, rowsPerBand: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import corpus.sparkSession.implicits._
+    val keys = minhashBandKeys(corpus, n, numHashes, rowsPerBand, idCol, textCol)
+      .select(lit("band_key").as("kind"), col("bk").as("value"))
+    val meta = Seq(("n", n.toLong), ("num_hashes", numHashes.toLong),
+      ("rows_per_band", rowsPerBand.toLong)).toDF("kind", "value")
+    keys.unionByName(meta).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[bandIndexSave]] index → (band-key DataFrame with column
+    * `bk` — [[flagNearDupsAgainst]]'s shape, uncollected — plus the
+    * build geometry (n, numHashes, rowsPerBand)). */
+  def bandIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Int, Int, Int) = {
+    val df = spark.read.parquet(path)
+    val meta = df.filter(col("kind") =!= "band_key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def param(k: String) = meta.getOrElse(k,
+      sys.error(s"band index at $path is missing parameter row '$k'")).toInt
+    (df.filter(col("kind") === "band_key").select(col("value").as("bk")),
+      param("n"), param("num_hashes"), param("rows_per_band"))
+  }
+
   /** LSH banding: signature split into `bands` groups of `rowsPerBand`,
     * each band hashed to one bucket key; docs sharing any (band, bucket)
     * become a candidate pair. */

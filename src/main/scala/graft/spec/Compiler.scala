@@ -144,16 +144,26 @@ object Compiler {
       gated(p, graft.ext.TextAnalysis.flagBlockedDomains(df, keys),
         "blocked_domain")
     }
+    // Side input comes either from `corpus_path` (shingle the reference
+    // corpus at stage build) or from `index_path` (a prebuilt
+    // [[graft.ext.Dedup.bandIndexSave]] dump — build once, serve many
+    // streams; the banding geometry rides with the keys, so config
+    // n/num_hashes/rows_per_band are ignored and can't diverge).
     case "near_dup_gate" => df => {
-      val corpusPath = p.config.getOrElse("corpus_path",
-        sys.error("near_dup_gate needs config.corpus_path (parquet with doc_id + text)"))
-      val n = p.config.getOrElse("n", "8").toInt
-      val numHashes = p.config.getOrElse("num_hashes", "128").toInt
-      val rowsPerBand = p.config.getOrElse("rows_per_band", "4").toInt
-      val corpus = df.sparkSession.read.parquet(corpusPath)
-      val bandKeys = graft.ext.Dedup
-        .minhashBandKeys(corpus, n, numHashes, rowsPerBand)
-        .collect().map(_.getLong(0)).toSeq
+      val (bandKeys, n, numHashes, rowsPerBand) = p.config.get("index_path") match {
+        case Some(ip) =>
+          val (keys, n0, h0, r0) = graft.ext.Dedup.bandIndexLoad(df.sparkSession, ip)
+          (keys.collect().map(_.getLong(0)).toSeq, n0, h0, r0)
+        case None =>
+          val corpusPath = p.config.getOrElse("corpus_path",
+            sys.error("near_dup_gate needs config.corpus_path or config.index_path"))
+          val n = p.config.getOrElse("n", "8").toInt
+          val numHashes = p.config.getOrElse("num_hashes", "128").toInt
+          val rowsPerBand = p.config.getOrElse("rows_per_band", "4").toInt
+          val corpus = df.sparkSession.read.parquet(corpusPath)
+          (graft.ext.Dedup.minhashBandKeys(corpus, n, numHashes, rowsPerBand)
+            .collect().map(_.getLong(0)).toSeq, n, numHashes, rowsPerBand)
+      }
       gated(p, graft.ext.Dedup.flagNearDups(df, bandKeys, n, numHashes,
         rowsPerBand), "near_dup_candidate")
     }

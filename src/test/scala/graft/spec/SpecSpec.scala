@@ -632,6 +632,38 @@ class SpecSpec extends SparkSpec {
     assert(streamOut.toSeq == batchOut)
   }
 
+  test("near_dup_gate from a saved band index == rebuilding from the corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndindex")
+    val corpusPath = dir.resolve("corpus").toString
+    val indexPath = dir.resolve("index").toString
+    def doc(i: Int) = (1 to 12).map(t => s"w${i}_$t").mkString(" ")
+    val corpus = (1 to 4).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    corpus.write.parquet(corpusPath)
+    graft.ext.Dedup.bandIndexSave(corpus, indexPath, n = 3)
+    // the index round-trips its geometry and exactly the built key set
+    val (keys, n, h, r) = graft.ext.Dedup.bandIndexLoad(spark, indexPath)
+    assert((n, h, r) == ((3, 128, 4)))
+    val direct = graft.ext.Dedup.minhashBandKeys(corpus, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(keys.collect().map(_.getLong(0)).toSet == direct)
+    // gate through index_path behaves identically to corpus_path
+    def gateSpec(cfg: String) = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: near_dup_gate
+         |      config: {$cfg}
+         |output: {type: stdout}
+         |""".stripMargin)
+    val rows = Seq(doc(2), (1 to 12).map(t => s"fresh_$t").mkString(" "))
+    val viaIndex = texts(Compiler.pipeline(
+      gateSpec(s"""index_path: "$indexPath""""))(rows.toDF("text")))
+    val viaCorpus = texts(Compiler.pipeline(
+      gateSpec(s"""corpus_path: "$corpusPath", n: "3""""))(rows.toDF("text")))
+    assert(viaIndex == viaCorpus && viaIndex == rows.tail)
+  }
+
   test("exact_dup_gate spec: drops exact corpus copies, batch == stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
