@@ -450,6 +450,72 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Persist a trained IVF index — the ANN trainer→server handoff
+    * ([[kmeansModelSave]] precedent, extended from the model to the
+    * whole index): `path/centroids` holds the nCells × dims Lloyd
+    * centroids (tiny, one file), `path/postings` holds every corpus
+    * vector under its argmax-cosine cell, WRITTEN PARTITIONED BY CELL —
+    * the layout IS the index: a serve-time probe of `nProbe` cells
+    * touches only those directories (dynamic partition pruning against
+    * the broadcast query side), so the corpus fraction read per query
+    * batch is ≈ nProbe/nCells at any corpus size, without re-training
+    * or re-assigning anything. Assignment uses exactly [[ivfTopK]]'s
+    * argmax expression, so a serve against the saved index returns
+    * bit-identical top-k to an [[ivfTopK]] run with the same geometry
+    * (equivalence-tested). */
+  def ivfIndexSave(base: DataFrame, path: String, nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import base.sparkSession.implicits._
+    val centroids = lloydCentroids(base, nCells, idCol, vecCol)
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    def topCells(vec: Column, m: Int): Column =
+      slice(reverse(array_sort(cellScores(vec, centroids))), 1, m)
+    graft.core.Tables.spread(base)
+      .select(col(idCol).as("vid"), col(vecCol).as("bv"),
+        element_at(topCells(col(vecCol), 1), 1).getField("cell").as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** Load an [[ivfIndexSave]] index → (centroids cell-ordered — empty
+    * cells keep their zero row, preserving the cell-id space — and the
+    * postings frame (vid, bv, cell) with `cell` a PARTITION column, so
+    * any filter or join on it prunes at the file listing). */
+  def ivfIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Double]], DataFrame) = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    require(rows.nonEmpty, s"no centroids at $path/centroids")
+    (rows.map(_._2), spark.read.parquet(s"$path/postings"))
+  }
+
+  /** Approximate top-k served from a SAVED index — [[ivfTopK]]'s probe
+    * and re-rank stages with the train/assign stages replaced by the
+    * [[ivfIndexSave]] dump: queries probe their `nProbe` best cells
+    * against the loaded centroid literals (map-only), and the postings
+    * join is a broadcast-probe whose cell keys dynamically prune the
+    * partitioned postings scan — the unprobed corpus is never READ, not
+    * just never scored. Bit-identical to [[ivfTopK]] at the same
+    * geometry. */
+  def ivfServeTopK(queries: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (centroids, postings) = ivfIndexLoad(spark, path)
+    def topCells(vec: Column, m: Int): Column =
+      slice(reverse(array_sort(cellScores(vec, centroids))), 1, m)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        explode(topCells(col(vecCol), nProbe)).as("probe"))
+      .select(col("qid"), col("qv"), col("probe").getField("cell").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    broadcast(q).join(postings, Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cosine", foldCosine(col("qv"), col("bv")))
+      .select(col("qid"), col("vid"), col("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** The candidate stage of [[ivfTopK]] — train, assign, probe — emitting
     * the (qid, vid) pairs that co-locate in a probed cell, WITHOUT any
     * scoring. Shared machinery for [[ivfRecallBand]], which scores the

@@ -621,6 +621,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
+  test("ivfServeTopK from a saved index == ivfTopK, and the probe prunes partitions") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") < 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    Similarity.ivfIndexSave(e, dir, nCells = 8)
+    // the postings layout is one directory per cell
+    val cellDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.matches("cell=\\d+")))
+    val served = Similarity.ivfServeTopK(q, spark, dir, k = 5, nProbe = 4)
+    val direct = Similarity.ivfTopK(q, e, 5, nCells = 8, nProbe = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(rows(served) == rows(direct), "served top-k must equal the in-session IVF")
+    // the serve plan reads the postings through a dynamic partition filter:
+    // unprobed cells are pruned at the FILE level, not post-scan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the postings scan:\n${plan.take(2000)}")
+  }
+
   test("all six graft SQL functions resolve and compute via spark.sql") {
     graft.functions.GraftExtensions.functions
       .foreach(org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, _))
