@@ -278,6 +278,50 @@ object Sharding {
       .select(col(idCol), col("skey"), col("n_tokens"), col("tokens_before"))
   }
 
+  /** Curriculum training order — the easy/high-quality-first schedule:
+    * rows are exact-quantile-binned on `valueCol` ([[Stats.quantileBins]]
+    * — the histogram plan, never a global-sort ntile), bins are consumed
+    * HIGHEST VALUE FIRST (`cur_bin` 1 = the top quantile), and within a
+    * bin the order is [[shuffleOrder]]'s salt-keyed pseudo-random
+    * permutation — curriculum learning orders the phases, not the
+    * documents inside a phase. `curriculum_step` is the contiguous
+    * 1..N consumption order. Rows with a null `valueCol` have no
+    * quantile and are excluded (the quantileBins contract).
+    *
+    * The whole schedule is ONE exclusive-prefix shape: global order =
+    * (cur_bin, skey, id) = (cur_bin, value-range bucket, skey, id)
+    * since the bucket is the skey's high bits — so ONE global window
+    * over the (cur_bin, bucket) count table (≤ bins·2¹⁶ rows at any
+    * corpus size) gives every row's offset, and within-bucket
+    * row_numbers parallelize. No global sort anywhere. */
+  def curriculumOrder(df: DataFrame, valueCol: String, bins: Int = 4,
+      salt: String = "cur", idCol: String = "doc_id"): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1: $bins")
+    import graft.queries.intDiv
+    val binned = Stats.quantileBins(df.select(col(idCol), col(valueCol)),
+        valueCol, bins, Seq(idCol))
+      .withColumn("cur_bin", lit(bins + 1L) - col("bucket"))
+    val skey = graft.functions.TextMetrics.hash60(
+      concat_ws("|", lit(salt), col(idCol).cast(StringType)))
+    val hub = graft.core.Caches.persist(
+      binned.select(col(idCol), col(valueCol), col("cur_bin"), skey.as("skey"))
+        .withColumn("bucket", intDiv(col("skey"), 1L << 44)))
+    val offsets = hub.groupBy(col("cur_bin"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_total"))
+      .withColumn("offset",
+        coalesce(sum(col("bucket_total")).over(
+          Window.orderBy(col("cur_bin"), col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("cur_bin"), col("bucket"), col("offset"))
+    val within = Window.partitionBy(col("cur_bin"), col("bucket"))
+      .orderBy(col("skey"), col(idCol))
+    hub.join(broadcast(offsets), Seq("cur_bin", "bucket"))
+      .withColumn("curriculum_step",
+        col("offset") + row_number().over(within).cast(LongType))
+      .select(col(idCol), col(valueCol), col("cur_bin"), col("skey"),
+        col("curriculum_step"))
+  }
+
   /** Multi-epoch training order — [[shuffleOrder]]'s permutation for
     * EVERY epoch of a training run in ONE corpus pass: epoch e orders by
     * `hash60("<saltPrefix><e>" | id)` (exactly shuffleOrder's key with

@@ -2026,6 +2026,31 @@ object Corpus {
       |FROM k ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q148 — curriculum order: documents quantile-binned on n_chars
+  // (longest/highest-value quartile first), salt-shuffled within a bin,
+  // with the contiguous consumption schedule. The oracle spells the same
+  // thing as ntile + one global row_number over (cur_bin, skey, id) —
+  // the histogram/prefix plan must reproduce that single-sort semantics
+  // exactly.
+  def q148_curriculum_order(s: SparkSession, dir: String): DataFrame =
+    Sharding.curriculumOrder(docs(s, dir), "n_chars", bins = 4, salt = "cur")
+      .orderBy(col("curriculum_step"))
+
+  private val q148_sql =
+    """WITH b AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |c AS (SELECT doc_id, n_chars, 5 - bucket AS cur_bin,
+      |        CAST(('0x' || substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |          AS BIGINT) AS skey
+      |      FROM b)
+      |SELECT doc_id, n_chars, cur_bin, skey,
+      |  CAST(row_number() OVER (ORDER BY cur_bin, skey, doc_id) AS BIGINT)
+      |    AS curriculum_step
+      |FROM c ORDER BY curriculum_step""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q147 — multi-epoch training order: 3 epochs of q130's salt-keyed
   // permutation built in one pass, with the contiguous global step
   // schedule. The oracle unions per-epoch row_numbers over the same
@@ -2278,7 +2303,8 @@ object Corpus {
     "q144_c4_filter" -> (q144_c4_filter _),
     "q145_code_score" -> (q145_code_score _),
     "q146_span_corruption" -> (q146_span_corruption _),
-    "q147_epoch_order" -> (q147_epoch_order _)
+    "q147_epoch_order" -> (q147_epoch_order _),
+    "q148_curriculum_order" -> (q148_curriculum_order _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2350,6 +2376,7 @@ object Corpus {
     "q144_c4_filter" -> q144_sql,
     "q145_code_score" -> q145_sql,
     "q146_span_corruption" -> q146_sql,
-    "q147_epoch_order" -> q147_sql
+    "q147_epoch_order" -> q147_sql,
+    "q148_curriculum_order" -> q148_sql
   )
 }

@@ -944,6 +944,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(byDefault.values.map(_._2).max > 0, "fixture should span multiple shards")
   }
 
+  test("curriculumOrder: top bin first, shuffled within bins, contiguous steps") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val out = Sharding.curriculumOrder(docs, "n_chars", bins = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("cur_bin"), r.getAs[Long]("curriculum_step")))
+    val n = docs.count()
+    assert(out.length == n)
+    assert(out.map(_._4).sorted.toSeq == (1L to n).toSeq, "steps tile 1..N")
+    // bins consumed in order, highest values first
+    val byStep = out.sortBy(_._4)
+    assert(byStep.map(_._3).toSeq == byStep.map(_._3).sorted.toSeq,
+      "bin phases never interleave")
+    val bin1Max = out.filter(_._3 == 1L).map(_._2).min
+    val bin4Min = out.filter(_._3 == 4L).map(_._2).max
+    assert(bin1Max >= bin4Min, "bin 1 holds the longest docs")
+    // within a bin the order is NOT the value order (it's the salt shuffle)
+    val bin1 = byStep.filter(_._3 == 1L).map(_._2).toSeq
+    assert(bin1 != bin1.sorted && bin1 != bin1.sorted.reverse,
+      "within-bin order must be the shuffle, not the value sort")
+  }
+
   test("epochOrder: per-epoch permutations, distinct orders, contiguous global steps") {
     val docs = Tables.load(spark, sf001, "documents")
     val n = docs.count()
