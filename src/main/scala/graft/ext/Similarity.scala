@@ -450,6 +450,54 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Contrastive training-pair mining — the (anchor, positive, negatives)
+    * builder for embedding-model training: each anchor's POSITIVE is its
+    * exact top-1 cosine neighbor when that neighbor clears
+    * `posMinCosine` (hard positives — below the bar the anchor emits no
+    * positive row), and its `negPerAnchor` NEGATIVES are deterministic
+    * uniform draws from the whole base corpus — draw j picks the vector
+    * at rank `hash60(salt:anchor:j) mod N + 1` of [[Sharding.shuffleOrder]]'s
+    * salt-keyed permutation, so the negative set is a pure function of
+    * (salt, anchor, corpus) reproducible across engines and runs — never
+    * `rand()`. A draw that lands on the anchor itself is dropped
+    * (self-pairs teach nothing; expected loss 1/N per draw).
+    *
+    * Output: (anchor_id, role 'pos'|'neg', draw — 0 for the positive,
+    * j for negatives, other_id, cosine — exact for positives, null for
+    * negatives, scoring every random negative would be a hidden
+    * |anchors|·k cosine pass the trainer doesn't need).
+    *
+    * Scale: the positive side is the EXACT dual ([[bruteForceTopK]]) —
+    * right for anchor BATCHES (the operator's contract: anchors are a
+    * training batch, not the corpus); at corpus-scale anchors swap in
+    * [[ivfTopK]]/[[annLshTopK]] — same output shape. The negative side
+    * is one explode (k slim rows per anchor) + one shuffle join against
+    * the rank table (corpus-scale but narrow; the rank table itself is
+    * the no-global-sort prefix shape). */
+  def contrastivePairs(anchors: DataFrame, base: DataFrame,
+      negPerAnchor: Int, posMinCosine: Double, salt: String = "cp",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(negPerAnchor >= 1, s"negPerAnchor must be >= 1: $negPerAnchor")
+    val n = graft.core.Caches.memo(base, "contrastivePairs.count")(
+      java.lang.Long.valueOf(base.count())).longValue
+    val pos = bruteForceTopK(anchors, base, 1, idCol, vecCol)
+      .filter(col("cosine") >= lit(posMinCosine))
+      .select(col("qid").as("anchor_id"), lit("pos").as("role"),
+        lit(0L).as("draw"), col("vid").as("other_id"), col("cosine"))
+    val ranks = Sharding.shuffleOrder(base, salt = s"$salt:rank", idCol)
+      .select(col(idCol).as("other_id"), col("seq"))
+    val draws = anchors.select(col(idCol).as("anchor_id"),
+        explode(sequence(lit(1L), lit(negPerAnchor.toLong))).as("draw"))
+      .withColumn("seq", pmod(graft.functions.TextMetrics.hash60(
+        concat_ws(":", lit(salt), col("anchor_id").cast(StringType),
+          col("draw").cast(StringType))), lit(n)) + lit(1L))
+    val negs = draws.join(ranks, Seq("seq"))
+      .filter(col("other_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), lit("neg").as("role"), col("draw"),
+        col("other_id"), lit(null).cast(DoubleType).as("cosine"))
+    pos.unionByName(negs)
+  }
+
   /** Persist a trained IVF index — the ANN trainer→server handoff
     * ([[kmeansModelSave]] precedent, extended from the model to the
     * whole index): `path/centroids` holds the nCells × dims Lloyd

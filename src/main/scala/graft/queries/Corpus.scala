@@ -2026,6 +2026,65 @@ object Corpus {
       |FROM k ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q149 — contrastive pair mining: anchors vec_id < 32, exact top-1
+  // positives over the 0.2 cosine bar, 4 hash-drawn uniform negatives
+  // per anchor picked by rank in the salt-keyed corpus permutation. The
+  // oracle recomputes the exact top-1 (q40's spelling) and replays the
+  // same rank/draw arithmetic — one disagreement in any draw or the
+  // permutation moves a negative and breaks the hash.
+  def q149_contrastive_pairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.contrastivePairs(e.filter(col("vec_id") < 32), e,
+        negPerAnchor = 4, posMinCosine = 0.2)
+      .orderBy(col("anchor_id"), col("role"), col("draw"), col("other_id"))
+  }
+
+  private val q149_sql =
+    """WITH ex AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, (x, i) -> i - 1)) AS idx,
+      |    unnest(list_transform(embedding,
+      |      (x, i) -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT))) AS xi
+      |  FROM embeddings),
+      |n2 AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+      |dots AS (
+      |  SELECT q.vec_id AS qid, b.vec_id AS vid, CAST(sum(q.xi * b.xi) AS BIGINT) AS dot
+      |  FROM ex q JOIN ex b ON q.idx = b.idx
+      |  WHERE q.vec_id < 32 GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT qid, vid,
+      |    CASE WHEN qn.n2 = 0 OR bn.n2 = 0 THEN 0.0
+      |      ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(bn.n2 AS DOUBLE)))
+      |    END AS cosine
+      |  FROM dots JOIN n2 qn ON qid = qn.vec_id JOIN n2 bn ON vid = bn.vec_id
+      |  WHERE qid <> vid),
+      |pos AS (
+      |  SELECT qid AS anchor_id, 'pos' AS role, CAST(0 AS BIGINT) AS draw,
+      |    vid AS other_id, cosine
+      |  FROM (SELECT cos.*, row_number() OVER (PARTITION BY qid
+      |          ORDER BY cosine DESC, vid) AS rk FROM cos)
+      |  WHERE rk = 1 AND cosine >= 0.2),
+      |ranks AS (
+      |  SELECT vec_id AS other_id,
+      |    CAST(row_number() OVER (ORDER BY
+      |      CAST(('0x' || substr(md5('cp:rank|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+      |      vec_id) AS BIGINT) AS seq
+      |  FROM embeddings),
+      |draws AS (
+      |  SELECT e.vec_id AS anchor_id, CAST(j AS BIGINT) AS draw,
+      |    CAST(('0x' || substr(md5('cp:' || CAST(e.vec_id AS VARCHAR) || ':' ||
+      |      CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % (SELECT count(*) FROM embeddings) + 1 AS seq
+      |  FROM embeddings e, range(1, 5) t(j) WHERE e.vec_id < 32),
+      |negs AS (
+      |  SELECT d.anchor_id, 'neg' AS role, d.draw, r.other_id,
+      |    CAST(NULL AS DOUBLE) AS cosine
+      |  FROM draws d JOIN ranks r USING (seq)
+      |  WHERE r.other_id <> d.anchor_id)
+      |SELECT * FROM (SELECT * FROM pos UNION ALL SELECT * FROM negs)
+      |ORDER BY anchor_id, role, draw, other_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q148 — curriculum order: documents quantile-binned on n_chars
   // (longest/highest-value quartile first), salt-shuffled within a bin,
   // with the contiguous consumption schedule. The oracle spells the same
@@ -2304,7 +2363,8 @@ object Corpus {
     "q145_code_score" -> (q145_code_score _),
     "q146_span_corruption" -> (q146_span_corruption _),
     "q147_epoch_order" -> (q147_epoch_order _),
-    "q148_curriculum_order" -> (q148_curriculum_order _)
+    "q148_curriculum_order" -> (q148_curriculum_order _),
+    "q149_contrastive_pairs" -> (q149_contrastive_pairs _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2377,6 +2437,7 @@ object Corpus {
     "q145_code_score" -> q145_sql,
     "q146_span_corruption" -> q146_sql,
     "q147_epoch_order" -> q147_sql,
-    "q148_curriculum_order" -> q148_sql
+    "q148_curriculum_order" -> q148_sql,
+    "q149_contrastive_pairs" -> q149_sql
   )
 }

@@ -621,6 +621,31 @@ class ExtOpsSpec extends SparkSpec {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
+  test("contrastivePairs: deterministic negatives, no self-pairs, threshold gates positives") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    val anchors = e.filter(col("vec_id") < 8)
+    def run(minCos: Double) =
+      Similarity.contrastivePairs(anchors, e, negPerAnchor = 3, posMinCosine = minCos)
+        .collect().map(r => (r.getAs[Long]("anchor_id"), r.getAs[String]("role"),
+          r.getAs[Long]("draw"), r.getAs[Long]("other_id")))
+    val out = run(-1.0)
+    // every anchor gets a positive at the permissive bar, and ≤3 negatives
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.size == 8)
+    byAnchor.foreach { case (a, rows) =>
+      assert(rows.count(_._2 == "pos") == 1, s"anchor $a positives")
+      val negs = rows.filter(_._2 == "neg")
+      assert(negs.length >= 2 && negs.length <= 3, s"anchor $a negatives")
+      assert(rows.forall(_._4 != a), s"anchor $a self-pair")
+    }
+    // rerun is bit-identical (pure function of salt/corpus)
+    assert(run(-1.0).sortBy(x => (x._1, x._2, x._3)).toSeq ==
+      out.sortBy(x => (x._1, x._2, x._3)).toSeq)
+    // an impossible bar keeps the negatives and drops every positive
+    val strict = run(2.0)
+    assert(strict.forall(_._2 == "neg") && strict.nonEmpty)
+  }
+
   test("ivfServeTopK from a saved index == ivfTopK, and the probe prunes partitions") {
     val e = Tables.load(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") < 16)
