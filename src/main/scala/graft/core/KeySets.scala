@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence for the ingest gates' 60/64-bit key blocklists — the
+  * build-once/serve-many handoff shared by the gate family (the
+  * [[graft.ext.Dedup.bandIndexSave]] layout, factored): a parquet of
+  * (kind, value) rows where `kind` names the family that BUILT the set
+  * (an exact-dup fingerprint index can never silently serve a
+  * contamination gate — load validates the kind) and `param:*` rows
+  * carry the build parameters (e.g. the gram width), so the serve side
+  * can never gate with different geometry than the build. Distributed
+  * write — key sets are corpus-scale; the dictionary-encoded kind
+  * column compresses away.
+  */
+object KeySets {
+
+  /** Write `keys` (single long column) under `kind`, with `params`
+    * riding along as `param:<name>` rows. */
+  def save(keys: DataFrame, path: String, kind: String,
+      params: Map[String, Long] = Map.empty): Unit = {
+    require(!kind.startsWith("param:"), s"reserved kind prefix: $kind")
+    import keys.sparkSession.implicits._
+    val k = keys.select(lit(kind).as("kind"),
+      col(keys.columns.head).cast("long").as("value"))
+    val meta = params.toSeq.sortBy(_._1)
+      .map { case (n, v) => (s"param:$n", v) }.toDF("kind", "value")
+    k.unionByName(meta).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[save]] dump, validating it was built by `expectKind` →
+    * (key frame with single column `value`, build params). */
+  def load(spark: SparkSession, path: String,
+      expectKind: String): (DataFrame, Map[String, Long]) = {
+    val df = spark.read.parquet(path)
+    val kinds = df.select(col("kind")).distinct().collect()
+      .map(_.getString(0)).filterNot(_.startsWith("param:")).toSet
+    require(kinds == Set(expectKind),
+      s"key set at $path was built as ${kinds.mkString(",")}, not $expectKind")
+    val params = df.filter(col("kind").startsWith("param:"))
+      .collect().map(r => r.getString(0).stripPrefix("param:") -> r.getLong(1))
+      .toMap
+    (df.filter(col("kind") === expectKind).select(col("value")), params)
+  }
+
+  /** [[load]] + collect into the sorted literal the stateless gates
+    * embed ([[graft.functions.ArraySets.sortedLongContains]] binary-
+    * search contract — the gate sorts; this just hands over the Seq). */
+  def loadCollected(spark: SparkSession, path: String,
+      expectKind: String): (Seq[Long], Map[String, Long]) = {
+    val (keys, params) = load(spark, path, expectKind)
+    (keys.collect().map(_.getLong(0)).toSeq, params)
+  }
+}

@@ -1405,6 +1405,17 @@ object Dedup {
     corpus.filter(col(textCol).isNotNull)
       .select(TextAnalysis.hash60(col(textCol)).as("fp60")).distinct()
 
+  /** [[graft.core.KeySets]] kind tag of the exact-dup fingerprint index. */
+  val ExactDupKind = "exact_dup_fp60"
+
+  /** Persist [[corpusFpKeys]] as a [[graft.core.KeySets]] index — the
+    * exact-dup gate's build-once/serve-many handoff (the
+    * [[bandIndexSave]] story for the cheapest gate: skip re-hashing the
+    * reference corpus at every stream start). */
+  def fpIndexSave(corpus: DataFrame, path: String,
+      textCol: String = "text"): Unit =
+    graft.core.KeySets.save(corpusFpKeys(corpus, textCol), path, ExactDupKind)
+
   /** Incremental exact dedup — the R-S (delta-vs-corpus) form of
     * [[exactDedup]], completing the family's against-forms
     * ([[repeatedSpansAgainst]], [[nearDupJaccardAcross]]): the SURVIVORS

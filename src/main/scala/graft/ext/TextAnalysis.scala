@@ -504,6 +504,18 @@ object TextAnalysis {
       .select(explode(Dedup.wordShingleArray(col(textCol), n)).as("sh"))
       .select(hash60(col("sh")).as("gk")).distinct()
 
+  /** [[graft.core.KeySets]] kind tag of the contamination gram index. */
+  val ContaminationKind = "contamination_gram"
+
+  /** Persist [[benchGramKeys]] as a [[graft.core.KeySets]] index with
+    * the gram width riding along — the contamination gate's build-once/
+    * serve-many handoff: a serve site can never shingle at a different
+    * `n` than the index was built. */
+  def benchGramIndexSave(bench: DataFrame, path: String, n: Int,
+      textCol: String = "text"): Unit =
+    graft.core.KeySets.save(benchGramKeys(bench, n, textCol), path,
+      ContaminationKind, Map("n" -> n.toLong))
+
   /** Ingest-time CONTAMINATION gate — the streaming-stateless row flag
     * of the contamination family, as [[Dedup.flagNearDups]] is to the
     * near-dup family: `contaminated` ⟺ the document shares at least one

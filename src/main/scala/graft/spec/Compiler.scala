@@ -116,22 +116,40 @@ object Compiler {
     // `action: drop` (default) filters gated rows out; `action: flag`
     // keeps the audit column. Null text passes a drop-gate (the total-
     // pass convention — a null payload is not evidence of contamination).
+    // Each gate's side input comes either from its corpus/bench path
+    // (hash the reference set at stage build) or from `index_path` — a
+    // prebuilt [[graft.core.KeySets.save]] dump (build once, serve many
+    // streams; the kind tag stops a foreign family's index from being
+    // served, and build params like the gram width ride with the keys).
     case "contamination_gate" => df => {
-      val benchPath = p.config.getOrElse("bench_path",
-        sys.error("contamination_gate needs config.bench_path (parquet with a text column)"))
-      val n = p.config.getOrElse("n", "8").toInt
-      val bench = df.sparkSession.read.parquet(benchPath)
-      val keys = graft.ext.TextAnalysis.benchGramKeys(bench, n)
-        .collect().map(_.getLong(0)).toSeq
+      val (keys, n) = p.config.get("index_path") match {
+        case Some(ip) =>
+          val (ks, params) = graft.core.KeySets.loadCollected(
+            df.sparkSession, ip, graft.ext.TextAnalysis.ContaminationKind)
+          (ks, params.getOrElse("n",
+            sys.error(s"contamination index at $ip is missing param n")).toInt)
+        case None =>
+          val benchPath = p.config.getOrElse("bench_path",
+            sys.error("contamination_gate needs config.bench_path or config.index_path"))
+          val n = p.config.getOrElse("n", "8").toInt
+          val bench = df.sparkSession.read.parquet(benchPath)
+          (graft.ext.TextAnalysis.benchGramKeys(bench, n)
+            .collect().map(_.getLong(0)).toSeq, n)
+      }
       gated(p, graft.ext.TextAnalysis.flagContaminated(df, keys, n),
         "contaminated")
     }
     case "exact_dup_gate" => df => {
-      val corpusPath = p.config.getOrElse("corpus_path",
-        sys.error("exact_dup_gate needs config.corpus_path (parquet with a text column)"))
-      val corpus = df.sparkSession.read.parquet(corpusPath)
-      val keys = graft.ext.Dedup.corpusFpKeys(corpus)
-        .collect().map(_.getLong(0)).toSeq
+      val keys = p.config.get("index_path") match {
+        case Some(ip) => graft.core.KeySets.loadCollected(
+          df.sparkSession, ip, graft.ext.Dedup.ExactDupKind)._1
+        case None =>
+          val corpusPath = p.config.getOrElse("corpus_path",
+            sys.error("exact_dup_gate needs config.corpus_path or config.index_path"))
+          val corpus = df.sparkSession.read.parquet(corpusPath)
+          graft.ext.Dedup.corpusFpKeys(corpus)
+            .collect().map(_.getLong(0)).toSeq
+      }
       gated(p, graft.ext.Dedup.flagExactDups(df, keys), "exact_dup")
     }
     case "domain_blocklist_gate" => df => {

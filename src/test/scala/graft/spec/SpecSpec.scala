@@ -664,6 +664,48 @@ class SpecSpec extends SparkSpec {
     assert(viaIndex == viaCorpus && viaIndex == rows.tail)
   }
 
+  test("exact_dup and contamination gates from saved key indexes == rebuilt; kinds don't cross") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-keyidx")
+    val corpusPath = dir.resolve("corpus").toString
+    val fpIdx = dir.resolve("fp_idx").toString
+    val gramIdx = dir.resolve("gram_idx").toString
+    def doc(i: Int) = (1 to 10).map(t => s"w${i}_$t").mkString(" ")
+    val corpus = (1 to 3).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    corpus.write.parquet(corpusPath)
+    graft.ext.Dedup.fpIndexSave(corpus, fpIdx)
+    graft.ext.TextAnalysis.benchGramIndexSave(corpus, gramIdx, n = 4)
+    def gate(typ: String, cfg: String) = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: $typ
+         |      config: {$cfg}
+         |output: {type: stdout}
+         |""".stripMargin)
+    val rows = Seq(doc(2), "entirely fresh words nothing shared with anything")
+    // exact-dup: index == corpus rebuild
+    val viaFpIdx = texts(Compiler.pipeline(
+      gate("exact_dup_gate", s"""index_path: "$fpIdx""""))(rows.toDF("text")))
+    val viaCorpus = texts(Compiler.pipeline(
+      gate("exact_dup_gate", s"""corpus_path: "$corpusPath""""))(rows.toDF("text")))
+    assert(viaFpIdx == viaCorpus && viaFpIdx == rows.tail)
+    // contamination: index carries n, gate result matches the rebuild
+    val contaminated = doc(2).split(" ").take(5).mkString(" ") + " plus new tail"
+    val cRows = Seq(contaminated, rows(1))
+    val viaGramIdx = texts(Compiler.pipeline(
+      gate("contamination_gate", s"""index_path: "$gramIdx""""))(cRows.toDF("text")))
+    val viaBench = texts(Compiler.pipeline(
+      gate("contamination_gate", s"""bench_path: "$corpusPath", n: "4""""))(cRows.toDF("text")))
+    assert(viaGramIdx == viaBench && viaGramIdx == cRows.tail)
+    // a foreign family's index is rejected at stage build
+    val cross = intercept[Exception] {
+      Compiler.pipeline(gate("exact_dup_gate",
+        s"""index_path: "$gramIdx""""))(rows.toDF("text"))
+    }
+    assert(cross.getMessage.contains("not exact_dup_fp60"))
+  }
+
   test("exact_dup_gate spec: drops exact corpus copies, batch == stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
