@@ -278,6 +278,65 @@ object Sharding {
       .select(col(idCol), col("skey"), col("n_tokens"), col("tokens_before"))
   }
 
+  /** Token-budget MIXTURE — "build a B-token training mix at these
+    * source weights": source s gets the integer quota
+    * `B·w_s div Σw + (B mod Σw)·w_s div Σw` (exact integer split of the
+    * budget, never floats), and fills it with the PREFIX of its own
+    * salt-shuffled document stream ([[shuffledTokenBudget]]'s greedy
+    * boundary rule per source: the doc whose interval STARTS under the
+    * quota is kept whole). Sources absent from `weights` contribute
+    * nothing; a quota larger than a source's total token mass takes the
+    * whole source (under-delivery is visible in the output, not
+    * silently rebalanced — weight renormalization is a POLICY the
+    * caller owns). Deterministic per (salt, weights, corpus) — never a
+    * sample-by-rand.
+    *
+    * Plan: the [[shuffledTokenBudget]] prefix machinery partitioned by
+    * source — per-(source, bucket) token totals, ONE global window over
+    * that ≤|sources|·2¹⁶-row table, within-bucket running sums in
+    * parallel, then a map-only quota filter against the weight
+    * literals. No global sort, no driver collect. */
+  def tokenBudgetMixture(docs: DataFrame, budget: Long,
+      weights: Map[String, Long], salt: String = "mix",
+      idCol: String = "doc_id", srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive: $weights")
+    import graft.queries.intDiv
+    val wSum = weights.values.sum
+    val quota = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast(LongType)) { case (acc, (s, w)) =>
+        when(col(srcCol) === s, lit(budget / wSum * w + budget % wSum * w / wSum))
+          .otherwise(acc)
+      }
+    val skey = graft.functions.TextMetrics.hash60(
+      concat_ws("|", lit(salt), col(idCol).cast(StringType)))
+    val hub = graft.core.Caches.persist(
+      docs.filter(col(srcCol).isin(weights.keys.toSeq: _*))
+        .select(col(idCol), col(srcCol),
+          size(split(col(textCol), " ", -1)).cast(LongType).as("n_tokens"),
+          skey.as("skey"))
+        .withColumn("bucket", intDiv(col("skey"), 1L << 44)))
+    val offsets = hub.groupBy(col(srcCol), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_total")).over(
+          Window.partitionBy(col(srcCol)).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(srcCol), col("bucket"), col("bucket_offset"))
+    val within = Window.partitionBy(col(srcCol), col("bucket"))
+      .orderBy(col("skey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hub.join(broadcast(offsets), Seq(srcCol, "bucket"))
+      .withColumn("tokens_before",
+        col("bucket_offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+      .withColumn("quota", quota)
+      .filter(col("tokens_before") < col("quota"))
+      .select(col(idCol), col(srcCol), col("skey"), col("n_tokens"),
+        col("tokens_before"), col("quota"))
+  }
+
   /** Curriculum training order — the easy/high-quality-first schedule:
     * rows are exact-quantile-binned on `valueCol` ([[Stats.quantileBins]]
     * — the histogram plan, never a global-sort ntile), bins are consumed

@@ -2026,6 +2026,38 @@ object Corpus {
       |FROM k ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q150 — token-budget mixture: a 3000-token mix at weights
+  // src1:5 src3:3 src7:2 src12:1 (Σ=11). At sf0.01 src1's quota ≈ its
+  // whole token mass, exercising the take-the-whole-source edge while
+  // the other three take real prefixes. The oracle re-derives the
+  // integer quota split and the per-source exclusive prefix sum under
+  // the same (skey, id) order.
+  def q150_token_mixture(s: SparkSession, dir: String): DataFrame =
+    Sharding.tokenBudgetMixture(docs(s, dir), budget = 3000L,
+        weights = Map("src1" -> 5L, "src3" -> 3L, "src7" -> 2L, "src12" -> 1L))
+      .orderBy(col("doc_id"))
+
+  private val q150_sql =
+    """WITH w AS (SELECT * FROM (VALUES ('src1', 5), ('src3', 3),
+      |                                 ('src7', 2), ('src12', 1)) t(source, wt)),
+      |q AS (SELECT source,
+      |        CAST(3000 // 11 * wt + (3000 % 11) * wt // 11 AS BIGINT) AS quota
+      |      FROM w),
+      |d AS (SELECT doc_id, source,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |        CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |          AS BIGINT) AS skey
+      |      FROM documents WHERE source IN ('src1', 'src3', 'src7', 'src12')),
+      |r AS (SELECT d.*, q.quota,
+      |        coalesce(CAST(sum(n_tokens) OVER (PARTITION BY d.source
+      |          ORDER BY skey, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |          AS tokens_before
+      |      FROM d JOIN q USING (source))
+      |SELECT doc_id, source, skey, n_tokens, tokens_before, quota
+      |FROM r WHERE tokens_before < quota ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q149 — contrastive pair mining: anchors vec_id < 32, exact top-1
   // positives over the 0.2 cosine bar, 4 hash-drawn uniform negatives
   // per anchor picked by rank in the salt-keyed corpus permutation. The
@@ -2364,7 +2396,8 @@ object Corpus {
     "q146_span_corruption" -> (q146_span_corruption _),
     "q147_epoch_order" -> (q147_epoch_order _),
     "q148_curriculum_order" -> (q148_curriculum_order _),
-    "q149_contrastive_pairs" -> (q149_contrastive_pairs _)
+    "q149_contrastive_pairs" -> (q149_contrastive_pairs _),
+    "q150_token_mixture" -> (q150_token_mixture _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2438,6 +2471,7 @@ object Corpus {
     "q146_span_corruption" -> q146_sql,
     "q147_epoch_order" -> q147_sql,
     "q148_curriculum_order" -> q148_sql,
-    "q149_contrastive_pairs" -> q149_sql
+    "q149_contrastive_pairs" -> q149_sql,
+    "q150_token_mixture" -> q150_sql
   )
 }

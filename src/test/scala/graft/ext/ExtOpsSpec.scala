@@ -969,6 +969,33 @@ class ExtOpsSpec extends SparkSpec {
     assert(byDefault.values.map(_._2).max > 0, "fixture should span multiple shards")
   }
 
+  test("tokenBudgetMixture: quotas split the budget exactly, prefixes respect them") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val weights = Map("src0" -> 3L, "src2" -> 1L)
+    val out = Sharding.tokenBudgetMixture(docs, budget = 1000L, weights = weights)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("tokens_before"), r.getAs[Long]("quota")))
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc.keySet == weights.keySet, "only weighted sources contribute")
+    // integer quota split: 1000/4*3=750, 1000/4*1=250
+    assert(bySrc("src0").head._4 == 750L && bySrc("src2").head._4 == 250L)
+    val srcSizes = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (s, rows) =>
+      // every kept doc STARTS under the quota; mass before each start is exact
+      assert(rows.forall(r => r._3 < r._4), s"$s start-under-quota")
+      // delivered mass reaches the quota unless the source ran dry
+      val delivered = rows.map(_._2).sum
+      val quota = rows.head._4
+      assert(delivered >= quota || rows.length.toLong == srcSizes(s),
+        s"$s under-delivered: $delivered < $quota without exhausting the source")
+    }
+    // deterministic: rerun identical
+    val again = Sharding.tokenBudgetMixture(docs, 1000L, weights)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("tokens_before")))
+    assert(again.sorted.toSeq == out.map(r => (r._1, r._3)).sorted.toSeq)
+  }
+
   test("curriculumOrder: top bin first, shuffled within bins, contiguous steps") {
     val docs = Tables.load(spark, sf001, "documents")
     val out = Sharding.curriculumOrder(docs, "n_chars", bins = 4).collect()
