@@ -36,7 +36,10 @@ object KeySets {
     val df = spark.read.parquet(path)
     val kinds = df.select(col("kind")).distinct().collect()
       .map(_.getString(0)).filterNot(_.startsWith("param:")).toSet
-    require(kinds == Set(expectKind),
+    // subset, not equality: a legitimately empty reference corpus writes
+    // only param rows, and an empty blocklist must load as an empty Seq
+    // (the gate then passes everything — correct for an empty corpus)
+    require(kinds.subsetOf(Set(expectKind)),
       s"key set at $path was built as ${kinds.mkString(",")}, not $expectKind")
     val params = df.filter(col("kind").startsWith("param:"))
       .collect().map(r => r.getString(0).stripPrefix("param:") -> r.getLong(1))

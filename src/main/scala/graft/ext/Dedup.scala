@@ -1019,7 +1019,18 @@ object Dedup {
   def bandIndexLoad(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, Int, Int, Int) = {
     val df = spark.read.parquet(path)
-    val meta = df.filter(col("kind") =!= "band_key")
+    // kind validation BEFORE any collect (the KeySets discipline): a
+    // foreign family's dump must fail fast on its kind tag — the old
+    // "everything non-band_key is metadata" read would pull that dump's
+    // corpus-scale keys onto the driver before noticing
+    val paramNames = Seq("n", "num_hashes", "rows_per_band")
+    val kinds = df.select(col("kind")).distinct().collect()
+      .map(_.getString(0)).toSet
+    val foreign = kinds -- paramNames.toSet - "band_key"
+    require(foreign.isEmpty,
+      s"index at $path is not a bandIndexSave dump (unexpected kinds: " +
+        s"${foreign.mkString(",")})")
+    val meta = df.filter(col("kind").isin(paramNames: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def param(k: String) = meta.getOrElse(k,
       sys.error(s"band index at $path is missing parameter row '$k'")).toInt

@@ -556,7 +556,15 @@ object Similarity {
         explode(topCells(col(vecCol), nProbe)).as("probe"))
       .select(col("qid"), col("qv"), col("probe").getField("cell").as("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
-    broadcast(q).join(postings, Seq("cell"))
+    // Same size-gated broadcast as [[ivfTopK]]: an oversized query set
+    // must degrade to a planned join, never a driver-OOM collect. Past
+    // the bound the dynamic partition pruning of the postings scan may
+    // not fire (DPP needs the broadcast side) — the serve correctly
+    // falls back to reading all cells, trading pruning for survival.
+    val probeBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes *
+      BigInt(math.max(1, nProbe))
+    val qSide = if (probeBytes <= BigInt(256L << 20)) broadcast(q) else q
+    qSide.join(postings, Seq("cell"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cosine", foldCosine(col("qv"), col("bv")))
       .select(col("qid"), col("vid"), col("cosine"))
@@ -1098,6 +1106,30 @@ object Similarity {
     }: _*)
   }
 
+  /** Flattened per-query ADC distance table over `__u` (the unit-vector
+    * column): entry s·ksub+c = c·c − 2·q_s·c — the query-constant
+    * q_s·q_s dropped, rank-preserving. Shared by [[pqShortlist]] and
+    * [[pqServeTopK]] so the in-session and served ADC stages can never
+    * diverge. */
+  private def adcDtab(cb: Array[Array[Array[Double]]]): Column = {
+    val m = cb.length; val subdim = cb(0)(0).length
+    array((0 until m).flatMap { s =>
+      val sub = slice(col("__u"), s * subdim + 1, subdim)
+      cb(s).indices.map { c =>
+        val cc = cb(s)(c).map(x => x * x).sum
+        lit(cc) - lit(2.0) * ArrayMath.dotDouble(sub, ArrayMath.doubleArrayLit(cb(s)(c)))
+      }
+    }: _*)
+  }
+
+  /** ADC score of a `code` array against a `dtab` column: m array
+    * lookups per candidate pair — no per-pair vector math. */
+  private def adcScore(m: Int, ksub: Int): Column =
+    (0 until m).map(s =>
+      element_at(col("dtab"),
+        (lit(s * ksub) + element_at(col("code"), s + 1) + 1).cast(IntegerType)))
+      .reduce(_ + _)
+
   /** IVF-PQ approximate top-k — the memory-bandwidth scale path for ANN
     * over a corpus whose raw vectors no longer fit hot storage:
     *
@@ -1127,7 +1159,6 @@ object Similarity {
       refine: Int, dims: Int, idCol: String, vecCol: String): DataFrame = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val (centroids, cb) = trainIvfPq(base, nCells, m, ksub, dims, idCol, vecCol)
-    val subdim = dims / m
     def topCells(vec: Column, n: Int): Column =
       slice(reverse(array_sort(cellScores(vec, centroids))), 1, n)
 
@@ -1144,30 +1175,19 @@ object Similarity {
         element_at(topCells(col(vecCol), 1), 1).getField("cell").as("cell"),
         pqCodeCols(col("__u"), cb).as("code"))
     // query side: probed cells + the per-query ADC distance table
-    // (flattened m·ksub doubles; entry s·ksub+c = c·c − 2·q_s·c — the
-    // query-constant q_s·q_s dropped, rank-preserving)
-    val dtab = array((0 until m).flatMap { s =>
-      val sub = slice(col("__u"), s * subdim + 1, subdim)
-      cb(s).indices.map { c =>
-        val cc = cb(s)(c).map(x => x * x).sum
-        lit(cc) - lit(2.0) * ArrayMath.dotDouble(sub, ArrayMath.doubleArrayLit(cb(s)(c)))
-      }
-    }: _*)
+    // ([[adcDtab]] — flattened m·ksub doubles)
     val q = withUnit(queries.filter(col(vecCol).isNotNull), vecCol, "__u")
       .select(col(idCol).as("qid"), col("__u"),
         explode(transform(topCells(col(vecCol), nProbe), _.getField("cell")))
           .as("cell"))
-      .withColumn("dtab", dtab)
+      .withColumn("dtab", adcDtab(cb))
       .select(col("qid"), col("cell"), col("dtab")) // unit vec dropped pre-join
     // ADC score: m array lookups per candidate pair. The shortlist stream
     // carries (qid, vid, adc) ONLY — the query vector would otherwise ride
     // the dedup and window shuffles once per CANDIDATE (dims floats × the
     // probed fraction of the corpus); both vectors join back onto the
     // |Q|·refine-row shortlist instead, after the ADC cut.
-    val adc = (0 until m).map(s =>
-      element_at(col("dtab"),
-        (lit(s * ksub) + element_at(col("code"), s + 1) + 1).cast(IntegerType)))
-      .reduce(_ + _)
+    val adc = adcScore(m, ksub)
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
     // BROADCAST the query side (|Q|·nProbe rows of m·ksub doubles — the
     // query set is small by this operator's contract, see class doc): the
@@ -1249,6 +1269,111 @@ object Similarity {
     val ann = pairs.join(broadcast(shortlist), Seq("qid", "vid"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
     topKRecallBand(ann, exact, minRecall)
+  }
+
+  /** Persist a trained IVF-PQ index — the last trained artifact to gain
+    * the trainer→server handoff ([[ivfIndexSave]] precedent, extended to
+    * the compressed-code family): `path/model` holds the coarse IVF
+    * centroids (tagged subspace −1) and the m×ksub PQ codebooks (tagged
+    * by subspace) as one tiny (s, cell, centroid) parquet — geometry
+    * m/ksub/nCells/subdim is IMPLIED by the shapes, so a serve site can
+    * never decode with different geometry than the build; `path/postings`
+    * holds every corpus vector's (vid, code, bv) under its argmax-cosine
+    * cell, WRITTEN PARTITIONED BY CELL — serve-time probes touch only
+    * the probed cell directories (dynamic partition pruning), and the
+    * raw vector rides the SAME layout so the exact refine stage prunes
+    * identically. Encoding uses exactly [[pqShortlist]]'s expressions
+    * (shared [[pqCodeCols]]/[[adcDtab]]), so [[pqServeTopK]] against the
+    * saved index is bit-identical to an in-session [[pqTopK]] at the
+    * same geometry (equivalence-tested; DOUBLE round-trips parquet
+    * exactly). */
+  def pqIndexSave(base: DataFrame, path: String, m: Int = 8, ksub: Int = 16,
+      nCells: Int = 16, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import base.sparkSession.implicits._
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val (centroids, cb) = trainIvfPq(base, nCells, m, ksub, dims, idCol, vecCol)
+    val modelRows =
+      centroids.toSeq.zipWithIndex.map { case (c, i) => (-1, i, c.toSeq) } ++
+        (for (s <- 0 until m; c <- 0 until ksub) yield (s, c, cb(s)(c).toSeq))
+    modelRows.toDF("s", "cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/model")
+    def topCells(vec: Column, n: Int): Column =
+      slice(reverse(array_sort(cellScores(vec, centroids))), 1, n)
+    withUnit(graft.core.Tables.spread(base).filter(col(vecCol).isNotNull),
+        vecCol, "__u")
+      .select(col(idCol).as("vid"), col(vecCol).as("bv"),
+        pqCodeCols(col("__u"), cb).as("code"),
+        element_at(topCells(col(vecCol), 1), 1).getField("cell").as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** Load a [[pqIndexSave]] index → (IVF centroids cell-ordered — empty
+    * hash cells keep their empty row, preserving the cell-id space
+    * exactly as [[ivfIndexLoad]] does — PQ codebooks, and the postings
+    * frame (vid, bv, code, cell) with `cell` a PARTITION column). */
+  def pqIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+    val rows = spark.read.parquet(s"$path/model").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val cents = rows.filter(_._1 == -1).sortBy(_._2).map(_._3)
+    require(cents.nonEmpty, s"no IVF centroids at $path/model")
+    val subspaces = rows.map(_._1).filter(_ >= 0)
+    require(subspaces.nonEmpty, s"no PQ codebooks at $path/model")
+    val m = subspaces.max + 1
+    val ksub = rows.filter(_._1 == 0).map(_._2).max + 1
+    val cb = Array.fill(m, ksub)(Array.empty[Double])
+    rows.filter(_._1 >= 0).foreach { case (s, c, v) => cb(s)(c) = v }
+    (cents, cb, spark.read.parquet(s"$path/postings"))
+  }
+
+  /** IVF-PQ approximate top-k served from a SAVED index — [[pqTopK]]'s
+    * probe/ADC/refine stages with the train/encode stages replaced by
+    * the [[pqIndexSave]] dump: queries probe their `nProbe` best cells
+    * against the loaded centroid literals and ADC-score the saved codes
+    * (m array lookups per candidate — [[adcDtab]]/[[adcScore]], the
+    * exact expressions [[pqShortlist]] runs), with both postings reads —
+    * the code scan AND the raw-vector refine scan — dynamically pruned
+    * to the probed/shortlisted cells. Bit-identical to [[pqTopK]] at the
+    * same geometry. Size-gated broadcasts as [[ivfServeTopK]]: an
+    * oversized query set degrades to a planned join (pruning may then
+    * not fire) instead of a driver-OOM collect. */
+  def pqServeTopK(queries: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int, nProbe: Int = 4, refine: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(refine >= k, s"refine=$refine must be at least k=$k")
+    val (centroids, cb, postings) = pqIndexLoad(spark, path)
+    val m = cb.length; val ksub = cb(0).length
+    def topCells(vec: Column, n: Int): Column =
+      slice(reverse(array_sort(cellScores(vec, centroids))), 1, n)
+    val q = withUnit(queries.filter(col(vecCol).isNotNull), vecCol, "__u")
+      .select(col(idCol).as("qid"), col("__u"),
+        explode(transform(topCells(col(vecCol), nProbe), _.getField("cell")))
+          .as("cell"))
+      .withColumn("dtab", adcDtab(cb))
+      .select(col("qid"), col("cell"), col("dtab"))
+    val probeBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes *
+      BigInt(math.max(1, nProbe))
+    val qSide = if (probeBytes <= BigInt(256L << 20)) broadcast(q) else q
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+    // the shortlist KEEPS the cell key: the refine join below equi-joins
+    // on (cell, vid), so the broadcast shortlist's cells prune the second
+    // postings read the same way the probe pruned the first
+    val shortlist = qSide
+      .join(postings.select(col("cell"), col("vid"), col("code")), Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), col("cell"), adcScore(m, ksub).as("adc"))
+      .withColumn("ra", row_number().over(wAdc))
+      .filter(col("ra") <= refine)
+      .select(col("qid"), col("vid"), col("cell"))
+    val wCos = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    postings.select(col("cell"), col("vid"), col("bv"))
+      .join(broadcast(shortlist), Seq("cell", "vid"))
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))),
+        Seq("qid"))
+      .select(col("qid"), col("vid"), foldCosine(col("qv"), col("bv")).as("cosine"))
+      .withColumn("rk", row_number().over(wCos))
+      .filter(col("rk") <= k)
   }
 
   /** L2 normalization to fixed point — the preprocessing step that turns

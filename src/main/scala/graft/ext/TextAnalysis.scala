@@ -1669,8 +1669,15 @@ object TextAnalysis {
 
   /** Terminal-punctuation line test shared with the oracle (Java∩RE2:
     * no lookaround, explicit class). A line "ends in terminal
-    * punctuation" iff its trimmed form ends with `.`, `!`, `?` or `"`. */
-  val TerminalPunctRe = "[.!?\"]$"
+    * punctuation" iff its trimmed form ends with `.`, `!`, `?` or `"`.
+    * Anchored with `\z` (true end of input), not `$`: Java's unanchored
+    * `$` matches BEFORE a final line terminator (`\r`, ` `, ...)
+    * while RE2's does not, so on CRLF text — where splitting on `\n`
+    * leaves a trailing `\r` — the two engines would disagree. `\z` means
+    * the same thing in both; [[c4Filter]] additionally strips the
+    * trailing `\r` itself so a CRLF line with real terminal punctuation
+    * is KEPT (not silently rejected by the residue byte). */
+  val TerminalPunctRe = "[.!?\"]\\z"
 
   /** C4-style heuristic line+document quality filter (Raffel et al. 2020
     * §2.2's rule set, the pass web pipelines run between markup stripping
@@ -1700,9 +1707,13 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val lines = split(t, "\n", -1)
+    // line rules test the \r-stripped trimmed form (CRLF text splits on
+    // \n leaving a trailing \r — line-terminator residue, not content);
+    // rtrim first so "foo. \r" also cleans to "foo."
+    def cleaned(l: Column) = trim(rtrim(l, "\r"))
     val kept = filter(lines, l =>
-      trim(l).rlike(TerminalPunctRe) &&
-        size(split(trim(l), " +", -1)) >= lit(minWordsPerLine) &&
+      cleaned(l).rlike(TerminalPunctRe) &&
+        size(split(cleaned(l), " +", -1)) >= lit(minWordsPerLine) &&
         !lower(l).contains("javascript"))
     val keepDoc = when(t.isNull, lit(false)).otherwise(
       size(kept) >= lit(minKeptLines) &&

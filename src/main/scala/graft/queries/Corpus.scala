@@ -2010,8 +2010,8 @@ object Corpus {
       |k AS (SELECT doc_id, text,
       |        string_split(text, chr(10)) AS ls,
       |        list_filter(string_split(text, chr(10)), l ->
-      |          regexp_matches(trim(l), '[.!?"]$')
-      |          AND len(string_split_regex(trim(l), ' +')) >= 5
+      |          regexp_matches(trim(rtrim(l, chr(13))), '[.!?"]$')
+      |          AND len(string_split_regex(trim(rtrim(l, chr(13))), ' +')) >= 5
       |          AND NOT contains(lower(l), 'javascript')) AS kept
       |      FROM p)
       |SELECT doc_id,
@@ -2181,9 +2181,12 @@ object Corpus {
     """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w,
       |              len(string_split(text, ' ')) AS n
       |            FROM documents WHERE text IS NOT NULL),
-      |tok AS (SELECT doc_id, n, CAST(i AS BIGINT) AS pos0,
-      |          w[CAST(i + 1 AS INT)] AS tok, i // 3 AS span_id
-      |        FROM ws, range(0, 100000) t(i) WHERE i < n),
+      |tok0 AS (SELECT doc_id, n, w,
+      |           CAST(unnest(range(0, n)) AS BIGINT) AS pos0
+      |         FROM ws),
+      |tok AS (SELECT doc_id, n, pos0,
+      |          w[CAST(pos0 + 1 AS INT)] AS tok, pos0 // 3 AS span_id
+      |        FROM tok0),
       |m AS (SELECT *,
       |        (span_id + 1) * 3 <= n AS is_full,
       |        (span_id + 1) * 3 <= n AND

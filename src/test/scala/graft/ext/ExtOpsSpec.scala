@@ -668,6 +668,36 @@ class ExtOpsSpec extends SparkSpec {
       s"expected dynamic partition pruning on the postings scan:\n${plan.take(2000)}")
   }
 
+  test("pqServeTopK from a saved index == pqTopK, and both postings reads prune") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") < 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+    Similarity.pqIndexSave(e, dir, m = 8, ksub = 16, nCells = 8)
+    // the model dump carries both families: 8 IVF rows + 8·16 codebook rows
+    val model = spark.read.parquet(s"$dir/model")
+    assert(model.filter(col("s") === -1).count() == 8)
+    assert(model.filter(col("s") >= 0).count() == 8 * 16)
+    // postings layout: one directory per cell, codes + raw vectors inside
+    val cellDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.matches("cell=\\d+")))
+    val served = Similarity.pqServeTopK(q, spark, dir, k = 5, nProbe = 4,
+      refine = 64)
+    val direct = Similarity.pqTopK(q, e, 5, m = 8, ksub = 16, nCells = 8,
+      nProbe = 4, refine = 64)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(rows(served) == rows(direct),
+      "served IVF-PQ top-k must equal the in-session pqTopK")
+    // the serve plan prunes the partitioned postings dynamically — the
+    // ADC scan via the probe broadcast, the refine scan via the
+    // shortlist broadcast (two dynamicpruning sites)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the postings scans:\n${plan.take(2000)}")
+  }
+
   test("all six graft SQL functions resolve and compute via spark.sql") {
     graft.functions.GraftExtensions.functions
       .foreach(org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, _))
