@@ -181,18 +181,64 @@ object Bpe {
     merges.toSeq
   }
 
+  /** The per-document BPE token array: words re-derive their merges
+    * independently through the codegen'd [[graft.functions.BpeApply]]
+    * with the merge list folded in as an expression constant. Shared by
+    * [[tokenize]] and [[tokenizeTotal]] so the two faces cannot drift. */
+  private def bpeTokensCol(textCol: String, merges: Seq[(String, String)]) = {
+    val words = filter(split(col(textCol), " ", -1), w => w =!= "")
+    flatten(transform(words, w => TextMetrics.bpeApply(charSymbols(w), merges)))
+  }
+
   /** Tokenize a corpus with a trained merge list: adds `bpe_tokens`
     * (ARRAY<STRING>, [[EndOfWord]] markers fused into their tokens) and
-    * `n_bpe_tokens`. Map-only. */
+    * `n_bpe_tokens`. Map-only. Null-text rows are dropped (the query
+    * surface's historical contract — q108); ingest stages use
+    * [[tokenizeTotal]]. */
   def tokenize(docs: DataFrame, merges: Seq[(String, String)],
-      textCol: String = "text"): DataFrame = {
-    val words = filter(split(col(textCol), " ", -1), w => w =!= "")
-    val tokensPerWord = transform(words, w =>
-      TextMetrics.bpeApply(charSymbols(w), merges))
+      textCol: String = "text"): DataFrame =
     docs.filter(col(textCol).isNotNull)
-      .withColumn("bpe_tokens", flatten(tokensPerWord))
+      .withColumn("bpe_tokens", bpeTokensCol(textCol, merges))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast(LongType))
+
+  /** [[tokenize]] as a TOTAL pass — the ingest-stage face (YAML
+    * `bpe_tokenize`): every input row appears once; null text keeps
+    * null `bpe_tokens`/`n_bpe_tokens` (the additive-stage convention —
+    * a null payload is annotated as unknown, never dropped by a
+    * metadata stage). Identical token arrays to [[tokenize]] on
+    * non-null rows (shared expression). */
+  def tokenizeTotal(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("bpe_tokens",
+        when(col(textCol).isNotNull, bpeTokensCol(textCol, merges)))
+      .withColumn("n_bpe_tokens",
+        when(col(textCol).isNotNull, size(col("bpe_tokens")).cast(LongType)))
+
+  /** Persist a trained merge table ([[train]] output) as a parquet model
+    * dump (rank, left, right, pair_count) — the tokenizer's
+    * trainer→server handoff ([[graft.ext.Learn.linearModelSave]] /
+    * [[graft.ext.Similarity.kmeansModelSave]] precedent): a production
+    * vocabulary is a train-once-offline artifact (see the training
+    * envelope above), and the YAML `bpe_tokenize` stage serves it to
+    * any number of ingest pipelines without retraining. Vocab-scale
+    * rows — driver-sized by the trainer's own contract. */
+  def modelSave(spark: SparkSession,
+      merges: Seq[(Int, String, String, Long)], path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "pair_count")
+      .repartition(1).write.mode("overwrite").parquet(path)
   }
+
+  /** Load a [[modelSave]] dump, RANK-ORDERED — merges only tokenize
+    * correctly in training order, so the order is restored here, never
+    * trusted to file layout. */
+  def modelLoad(spark: SparkSession,
+      path: String): Seq[(Int, String, String, Long)] =
+    spark.read.parquet(path)
+      .select(col("rank"), col("left"), col("right"), col("pair_count"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
 
   /** The merge table as a DataFrame (rank, left, right, pair_count) —
     * the query-surface form of [[train]]. */

@@ -101,6 +101,50 @@ object Similarity {
       .agg(count(lit(1)).as("n_close"), max(col("cos")).as("max_cos"))
   }
 
+  /** The fixed-point bench vectors as a driver literal for
+    * [[flagSemanticContaminated]] — the gate family's side-input collect
+    * (bounded by the bench set's smallness premise, exactly like the
+    * centroid/blocklist/band-key literals; null vectors are excluded —
+    * the batch dual never scores them either). */
+  def collectBenchFp(bench: DataFrame,
+      vecCol: String = "embedding"): Seq[Array[Long]] =
+    bench.filter(col(vecCol).isNotNull)
+      .select(fixedPointVec(col(vecCol)).as("x")).collect()
+      .map(_.getSeq[Long](0).toArray).toSeq
+
+  /** Stateless embedding-space contamination flag — the ingest/streaming
+    * dual of [[semanticContamination]] (modern eval-leak sweeps gate at
+    * ingest with exactly the threshold the batch sweep audited): pure
+    * Column expressions against embedded fixed-point bench literals —
+    * one codegen dot + threshold per bench vector (the [[kmeansServe]]
+    * shape), no join, no shuffle, no state, so the SAME code scores a
+    * batch frame or any streaming micro-batch. Scoring is the batch
+    * dual's exact expression family (integer dot over sqrt·sqrt of
+    * integer norms), so the flag decision is bit-identical to
+    * [[semanticContamination]]'s threshold filter at the same bench +
+    * threshold. Adds `semantic_contaminated`; null vectors get a null
+    * flag (the drop-gates' total-pass convention); an empty bench set
+    * flags nothing. */
+  def flagSemanticContaminated(df: DataFrame, benchFp: Seq[Array[Long]],
+      minCosine: Double, vecCol: String = "embedding"): DataFrame = {
+    // quantize ONCE into real columns (the flagNearDups __graft_nd_hs /
+    // kmeansServe __graft_km_x rationale: inlining would re-run the
+    // transform once per bench vector)
+    val x = col("__graft_sc_x")
+    val n2 = col("__graft_sc_n2")
+    val hit = benchFp.map { b =>
+      val bn2 = b.map(v => v * v).sum
+      val cos = when(n2 === 0 || lit(bn2) === 0L, lit(0.0)).otherwise(
+        ArrayMath.dotLong(x, ArrayMath.longArrayLit(b)).cast(DoubleType) /
+          (sqrt(n2.cast(DoubleType)) * sqrt(lit(bn2).cast(DoubleType))))
+      cos >= lit(minCosine)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    df.withColumn("__graft_sc_x", fixedPointVec(col(vecCol)))
+      .withColumn("__graft_sc_n2", intDot(x, x))
+      .withColumn("semantic_contaminated", when(col(vecCol).isNotNull, hit))
+      .drop("__graft_sc_x", "__graft_sc_n2")
+  }
+
   /** Brute-force exact top-k neighbors per query (self-match excluded),
     * deterministic tie-break on vid. */
   def bruteForceTopK(queries: DataFrame, base: DataFrame, k: Int,

@@ -210,6 +210,41 @@ object Compiler {
         .filter(col("text").isNull || col("margin") >= minMargin)
         .select(cols: _*)
     }
+    // embedding-space contamination gate — the semantic dual of
+    // `contamination_gate` (modern eval-leak sweeps run BOTH: n-gram
+    // overlap catches verbatim leaks, embedding cosine catches
+    // paraphrased ones): the benchmark embeddings load once at stage
+    // build and embed as fixed-point literals, so the stage is map-only
+    // — |bench| codegen dots per row, no join, no state, batch ==
+    // stream. Decisions are bit-identical to the batch sweep
+    // ([[graft.ext.Similarity.semanticContamination]]) at the same
+    // bench + threshold. Null vectors pass a drop-gate (total-pass
+    // convention).
+    case "semantic_gate" => df => {
+      val benchPath = p.config.getOrElse("bench_path",
+        sys.error("semantic_gate needs config.bench_path (parquet with an embedding column)"))
+      val minCos = p.config.getOrElse("min_cosine", "0.8").toDouble
+      val vecCol = p.config.getOrElse("vec_col", "embedding")
+      val benchVecCol = p.config.getOrElse("bench_vec_col", vecCol)
+      val bench = graft.ext.Similarity.collectBenchFp(
+        df.sparkSession.read.parquet(benchPath), benchVecCol)
+      gated(p, graft.ext.Similarity.flagSemanticContaminated(df, bench,
+        minCos, vecCol), "semantic_contaminated")
+    }
+    // tokenizes every row's text with a batch-trained BPE vocabulary
+    // ([[graft.ext.Bpe.modelSave]] dump): the merge list loads once at
+    // stage build and folds into the codegen'd BpeApply expression as a
+    // constant, so the stage is a map-only projection — no join, no
+    // state, batch == stream. Always additive like kmeans_serve (token
+    // arrays/counts are payload metadata, not a drop decision); null
+    // text rows pass with null tokens.
+    case "bpe_tokenize" => df => {
+      val modelPath = p.config.getOrElse("model_path",
+        sys.error("bpe_tokenize needs config.model_path (a Bpe.modelSave dump)"))
+      val merges = graft.ext.Bpe.modelLoad(df.sparkSession, modelPath)
+        .map(m => (m._2, m._3))
+      graft.ext.Bpe.tokenizeTotal(df, merges)
+    }
     // scores every row's `embedding` (config.vec_col overrides) against a
     // batch-trained centroid dump ([[graft.ext.Similarity.kmeansModelSave]])
     // — always additive (a cluster id is routing/audit metadata, not a

@@ -21,7 +21,8 @@ object SpecLoader {
     // ingest gates (extension set): map-only flags against batch-trained
     // side inputs — blocklist/band-key/centroid loads happen at stage
     // build, so the stages run unchanged on batch AND streaming frames
-    "contamination_gate", "exact_dup_gate", "near_dup_gate", "kmeans_serve")
+    "contamination_gate", "exact_dup_gate", "near_dup_gate", "kmeans_serve",
+    "bpe_tokenize", "semantic_gate")
   val sinkTypes = Set("stdout", "kafka", "parquet", "csv", "json", "orc", "xml",
     "upsert_parquet")
 

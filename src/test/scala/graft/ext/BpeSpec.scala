@@ -91,6 +91,31 @@ class BpeSpec extends SparkSpec {
     assert(out(2) == Seq("x"))
   }
 
+  test("model save/load round-trips and tokenizes identically; total form keeps null rows") {
+    val merges = Bpe.train(fixtureDocs, nMerges = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpemodel")
+    val path = dir.resolve("model").toString
+    Bpe.modelSave(spark, merges, path)
+    // bit-exact round-trip, rank order restored regardless of file layout
+    assert(Bpe.modelLoad(spark, path) == merges)
+    val pairs = merges.map { case (_, a, b, _) => (a, b) }
+    val loaded = Bpe.modelLoad(spark, path).map { case (_, a, b, _) => (a, b) }
+    val doc = Seq((1L, "low lower newest")).toDF("doc_id", "text")
+    assert(Bpe.tokenize(doc, loaded).select("bpe_tokens").head.getSeq[String](0) ==
+      Bpe.tokenize(doc, pairs).select("bpe_tokens").head.getSeq[String](0))
+    // tokenizeTotal: same tokens on non-null rows, null row KEPT with
+    // null tokens (the additive-stage convention)
+    val withNull = Seq((1L, "low lower newest"), (2L, null))
+      .toDF("doc_id", "text")
+    val total = Bpe.tokenizeTotal(withNull, loaded)
+      .select("doc_id", "bpe_tokens", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(total.size == 2, "total pass keeps every row")
+    assert(total(1L).getSeq[String](1) ==
+      Bpe.tokenize(doc, pairs).select("bpe_tokens").head.getSeq[String](0))
+    assert(total(2L).isNullAt(1) && total(2L).isNullAt(2))
+  }
+
   test("tokenize round-trips: concatenated tokens minus markers rebuild the text") {
     val merges = Bpe.train(fixtureDocs, nMerges = 6)
       .map { case (_, a, b, _) => (a, b) }

@@ -798,6 +798,36 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(2L)._2 > 0.9 && out(2L)._2 < 1.0)
   }
 
+  test("flagSemanticContaminated == semanticContamination threshold decisions; null passes") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    val bench = e.filter(col("vec_id") % 97 === 0)
+    val minCos = 0.4
+    // batch-dual flags: the ids semanticContamination emits at the bar
+    val expect = Similarity.semanticContamination(e, bench, minCos)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = Similarity.flagSemanticContaminated(e,
+        Similarity.collectBenchFp(bench), minCos)
+      .filter(col("semantic_contaminated"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect,
+      s"gate/batch divergence: only-gate=${(got -- expect).take(5)} " +
+        s"only-batch=${(expect -- got).take(5)}")
+    // null vector → null flag (total pass through a drop-gate)
+    val withNull = Seq((1L, Array(1.0f, 0.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val flags = Similarity.flagSemanticContaminated(withNull,
+        Similarity.collectBenchFp(Seq((9L, Array(1.0f, 0.0f)))
+          .toDF("vec_id", "embedding")), 0.9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(flags(1L).getAs[Boolean]("semantic_contaminated"))
+    assert(flags(2L).isNullAt(flags(2L).fieldIndex("semantic_contaminated")))
+    // empty bench flags nothing
+    val none = Similarity.flagSemanticContaminated(withNull, Seq.empty, 0.9)
+      .filter(coalesce(col("semantic_contaminated"), lit(false))).count()
+    assert(none == 0L)
+    graft.core.Caches.unpersistAll()
+  }
+
   test("zero-norm embedding scores cosine 0.0, never NaN, never rank 1") {
     val base = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),

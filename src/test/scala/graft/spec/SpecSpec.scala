@@ -861,6 +861,94 @@ class SpecSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("bpe_tokenize spec: tokenizes with a saved vocabulary, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpetok")
+    val modelPath = dir.resolve("model").toString
+    val train = Seq((1L, "low low low low low"), (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    graft.ext.Bpe.modelSave(spark,
+      graft.ext.Bpe.train(train, nMerges = 5), modelPath)
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: bpe_tokenize
+         |      config: {model_path: "$modelPath"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    val rows = Seq("low lower newest", "widest low")
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select("text", "bpe_tokens", "n_bpe_tokens").collect()
+        .map(r => (r.getString(0), r.getSeq[String](1).toSeq, r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val batchOut = toks(Compiler.pipeline(spec)(rows.toDF("text")))
+    assert(batchOut.map(_._1) == rows.sorted)
+    // the trained merges actually apply: "newest" fuses to n-e-w-est</w>
+    assert(batchOut.head._2.contains("est</w>"))
+    assert(batchOut.forall(r => r._3 == r._2.length.toLong))
+    val ms = MemoryStream[String]
+    val out = Compiler.pipeline(spec)(ms.toDF().withColumnRenamed("value", "text"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("bpetok_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    assert(toks(spark.table("bpetok_stream")) == batchOut)
+  }
+
+  test("semantic_gate spec: drops embedding-contaminated rows at ingest, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-semgate")
+    val benchPath = dir.resolve("bench").toString
+    Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .write.parquet(benchPath)
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: semantic_gate
+         |      config: {bench_path: "$benchPath", min_cosine: "0.9"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    // 1 = exact bench copy (drop), 2 = near-paraphrase (drop), 3 =
+    // orthogonal (keep), 4 = null vector (keep — total pass)
+    val rows = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.95f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)), (4L, null.asInstanceOf[Array[Float]]))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val batchOut = ids(Compiler.pipeline(spec)(rows.toDF("vec_id", "embedding")))
+    assert(batchOut == Seq(3L, 4L), s"gate kept: $batchOut")
+    // the audit face keeps every row and exposes the flag
+    val flagSpec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: semantic_gate
+         |      config: {bench_path: "$benchPath", min_cosine: "0.9", action: flag}
+         |output: {type: stdout}
+         |""".stripMargin)
+    assert(ids(Compiler.pipeline(flagSpec)(rows.toDF("vec_id", "embedding"))) ==
+      Seq(1L, 2L, 3L, 4L))
+    val ms = MemoryStream[(Long, Array[Float])]
+    val out = Compiler.pipeline(spec)(ms.toDF().toDF("vec_id", "embedding"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("semgate_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows.toIndexedSeq: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    assert(ids(spark.table("semgate_stream")) == batchOut)
+  }
+
   test("http_server address parsing: defaults, IPv6 brackets, rejects") {
     import graft.sources.HttpIngest.{parseAddress => pa}
     assert(pa("0.0.0.0:4195") == ("0.0.0.0", 4195))
