@@ -367,7 +367,25 @@ object Similarity {
     * coarse-quantize-then-verify path; this operator's banding is the
     * right tool when the threshold sits well above the background
     * similarity (e.g. ≥ 0.8 near-copy mining, r ≥ 0.8: each plane then
-    * trims ~38%). */
+    * trims ~38%).
+    *
+    * DENSE PATH (round 14, measured at 10× bench scale): a banded
+    * candidate ROW costs ~100× a codegen'd 64-dim dot (shuffle + distinct
+    * + two verify joins vs one fused multiply-add loop — measured 142 s
+    * banded vs 3.8 s for the full |B|² scan at |B| = 20k), and at the
+    * auto rule's own geometry the candidate volume is a sizable fraction
+    * of |B|²/2 — so whenever the rep set fits the broadcast envelope the
+    * banded plan can never win. Auto-geometry calls therefore run the
+    * EXACT broadcast-scan dual (one map-only |reps|² codegen pass, no
+    * shuffle, recall 1, precision 1, the dual's own scores — strictly
+    * better output than banding) while the rep count is at or under
+    * `spark.graft.similarity.pairsDenseMaxBase` (default 2¹⁷ ≈ 70 MB of
+    * broadcast fixed-point arrays at 64 dims); past the bound — corpora
+    * where no side can broadcast and brute force is off the table anyway
+    * — the banded path runs unchanged. EXPLICIT geometry always bands
+    * (the caller asked for that plan — tests and recall probes rely on
+    * it). Path choice is observable via [[lastPairsPath]] (the
+    * [[Dedup.lastVerifyPath]] pattern). */
   def annLshPairs(base: DataFrame, minCosine: Double,
       planesPerBand: Int = 0, bands: Int = 0, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -376,17 +394,15 @@ object Similarity {
         s"(got planesPerBand=$planesPerBand bands=$bands): the bands rule " +
         "compensates recall for the plane count, so fixing one without the " +
         "other silently breaks the recall contract")
-    val (p, b) =
-      if (planesPerBand > 0) (planesPerBand, bands)
-      else {
-        val n = graft.core.Caches.memo(base, "count")(
-          java.lang.Long.valueOf(base.count())).longValue
-        val pp = math.max(4,
-          math.ceil(math.log(math.max(1.0, n / 128.0)) / math.log(2.0)).toInt)
-        (pp, math.ceil(16.0 * math.pow(1.0 / 0.63, pp - 4)).toInt)
-      }
-    val codes = srpCodes(col("v"),
-      srpCoefs(b * p, dims), p, b)
+    val auto = planesPerBand == 0
+    val n =
+      if (!auto) 0L
+      else graft.core.Caches.memo(base, "count")(
+        java.lang.Long.valueOf(base.count())).longValue
+    val denseMax = base.sparkSession.conf
+      .getOption("spark.graft.similarity.pairsDenseMaxBase")
+      .map(_.toLong).getOrElse(1L << 17)
+    val dense = auto && n <= denseMax
 
     // 1. exact-copy collapse on the raw vector (null vectors excluded: the
     // all-pairs dual never scores them either).
@@ -407,38 +423,77 @@ object Similarity {
     // expansion side: corpus-vector-free (see Dedup.slimGroups rationale)
     val groups = graft.core.Caches.persist(
       g0.select(col("rep"), col("members"), wcos.as("wcos")))
-    // rep hub: codes + fixed-point array + norm; three consumers (band
-    // explode + both verify sides).
-    val hub = graft.core.Caches.persist(
-      g0.select(col("rep").as("id"), array(codes: _*).as("codes"),
-        col("x"), col("n2")))
 
-    // 2. candidates: reps sharing any (band, code). shuffle_hash pin: the
-    // banded side is |reps|·bands rows behind a Generate the estimator
-    // cannot size — never let it broadcast (see Dedup.lshCandidates).
-    val banded = hub.select(col("id"), posexplode(col("codes")).as(Seq("band", "code")))
-    val cand = banded.select(col("band"), col("code"), col("id").as("i"))
-      .join(banded.select(col("band"), col("code"), col("id").as("j")).hint("shuffle_hash"),
-        Seq("band", "code"))
-      .filter(col("i") < col("j"))
-      .select(col("i"), col("j"))
-      .distinct()
+    val pairCos = when(col("n2i") === 0 || col("n2j") === 0, lit(0.0)).otherwise(
+      intDot(col("xi"), col("xj")).cast(DoubleType) /
+        (sqrt(col("n2i").cast(DoubleType)) * sqrt(col("n2j").cast(DoubleType))))
 
-    // 3. exact fixed-point verify (same expression family as the dual).
-    val verified = cand
-      .join(hub.select(col("id").as("i"), col("x").as("xi"), col("n2").as("n2i"))
-        .hint("shuffle_hash"), Seq("i"))
-      .join(hub.select(col("id").as("j"), col("x").as("xj"), col("n2").as("n2j"))
-        .hint("shuffle_hash"), Seq("j"))
-      .withColumn("cosine",
-        when(col("n2i") === 0 || col("n2j") === 0, lit(0.0)).otherwise(
-          intDot(col("xi"), col("xj")).cast(DoubleType) /
-            (sqrt(col("n2i").cast(DoubleType)) * sqrt(col("n2j").cast(DoubleType)))))
-      .filter(col("cosine") >= minCosine)
-      .select(col("i"), col("j"), col("cosine"))
+    val verified = if (dense) {
+      notePairsPath("dense")
+      // exact broadcast-scan dual over the collapsed reps: the i side
+      // broadcasts (≤ denseMax reps of fixed-point arrays), the j side
+      // streams once — |reps|²/2 fused dot loops, zero shuffles, and the
+      // threshold filter runs inside the scan so only true pairs surface.
+      val slim = graft.core.Caches.persist(
+        g0.select(col("rep"), col("x"), col("n2")))
+      broadcast(slim.select(col("rep").as("i"), col("x").as("xi"),
+          col("n2").as("n2i")))
+        .crossJoin(slim.select(col("rep").as("j"), col("x").as("xj"),
+          col("n2").as("n2j")))
+        .filter(col("i") < col("j"))
+        .withColumn("cosine", pairCos)
+        .filter(col("cosine") >= minCosine)
+        .select(col("i"), col("j"), col("cosine"))
+    } else {
+      notePairsPath("banded")
+      val (p, b) =
+        if (!auto) (planesPerBand, bands)
+        else {
+          val pp = math.max(4,
+            math.ceil(math.log(math.max(1.0, n / 128.0)) / math.log(2.0)).toInt)
+          (pp, math.ceil(16.0 * math.pow(1.0 / 0.63, pp - 4)).toInt)
+        }
+      val codes = srpCodes(col("v"), srpCoefs(b * p, dims), p, b)
+      // rep hub: codes + fixed-point array + norm; three consumers (band
+      // explode + both verify sides).
+      val hub = graft.core.Caches.persist(
+        g0.select(col("rep").as("id"), array(codes: _*).as("codes"),
+          col("x"), col("n2")))
+
+      // 2. candidates: reps sharing any (band, code). shuffle_hash pin: the
+      // banded side is |reps|·bands rows behind a Generate the estimator
+      // cannot size — never let it broadcast (see Dedup.lshCandidates).
+      val banded = hub.select(col("id"), posexplode(col("codes")).as(Seq("band", "code")))
+      val cand = banded.select(col("band"), col("code"), col("id").as("i"))
+        .join(banded.select(col("band"), col("code"), col("id").as("j")).hint("shuffle_hash"),
+          Seq("band", "code"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"))
+        .distinct()
+
+      // 3. exact fixed-point verify (same expression family as the dual).
+      cand
+        .join(hub.select(col("id").as("i"), col("x").as("xi"), col("n2").as("n2i"))
+          .hint("shuffle_hash"), Seq("i"))
+        .join(hub.select(col("id").as("j"), col("x").as("xj"), col("n2").as("n2j"))
+          .hint("shuffle_hash"), Seq("j"))
+        .withColumn("cosine", pairCos)
+        .filter(col("cosine") >= minCosine)
+        .select(col("i"), col("j"), col("cosine"))
+    }
 
     Dedup.expandRepPairs(verified, groups, "cosine", col("wcos"),
       keptReps = Some(groups.filter(col("wcos") >= minCosine).select(col("rep"))))
+  }
+
+  /** Last [[annLshPairs]] path choice ("dense" | "banded") — the
+    * [[Dedup.lastVerifyPath]] observability pattern, for tests and scale
+    * probes. */
+  private[graft] val lastPairsPath =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+  private def notePairsPath(p: String): Unit = {
+    lastPairsPath.set(p)
+    System.err.println(s"[graft] Similarity.annLshPairs path=$p")
   }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path

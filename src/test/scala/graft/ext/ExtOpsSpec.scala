@@ -346,15 +346,37 @@ class ExtOpsSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
-  test("annLshPairs auto-geometry: floor keeps (4,16); one-sided explicit params rejected") {
+  test("annLshPairs paths: auto goes dense == exact dual; forced-banded auto == explicit (4,16)") {
     val e = Tables.load(spark, sf001, "embeddings")
-    // <= 2^11 vectors: the auto rule must produce the historical plans —
-    // same pair set as the explicit (4,16) call
+    // auto under the dense bound: the exact broadcast dual — pair set ==
+    // the all-pairs exact at the threshold (recall 1, precision 1)
     val auto = Similarity.annLshPairs(e, 0.4)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val fixed = Similarity.annLshPairs(e, 0.4, planesPerBand = 4, bands = 16)
-      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(auto == fixed)
+    assert(Similarity.lastPairsPath.get() == "dense",
+      s"expected dense, saw ${Similarity.lastPairsPath.get()}")
+    val exact = Similarity.exactCosinePairs(e, e)
+      .filter(col("qid") < col("vid") && col("cosine") >= 0.4)
+      .select(col("qid"), col("vid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == exact, "dense path must equal the exact dual's pair set")
+    graft.core.Caches.unpersistAll()
+    // past the dense bound (forced via the tunable) the auto rule must
+    // produce the historical banded plans — same pair set as the
+    // explicit (4,16) call at <= 2^11 vectors
+    val key = "spark.graft.similarity.pairsDenseMaxBase"
+    try {
+      spark.conf.set(key, "0")
+      val banded = Similarity.annLshPairs(e, 0.4)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(Similarity.lastPairsPath.get() == "banded",
+        s"expected banded, saw ${Similarity.lastPairsPath.get()}")
+      graft.core.Caches.unpersistAll()
+      val fixed = Similarity.annLshPairs(e, 0.4, planesPerBand = 4, bands = 16)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == fixed)
+      assert(Similarity.lastPairsPath.get() == "banded",
+        "explicit geometry must always band")
+    } finally spark.conf.unset(key)
     intercept[IllegalArgumentException](
       Similarity.annLshPairs(e, 0.4, planesPerBand = 6))
     intercept[IllegalArgumentException](
@@ -575,8 +597,15 @@ class ExtOpsSpec extends SparkSpec {
       .select(col("qid").as("i"), col("vid").as("j"), col("cosine"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(exact.nonEmpty, "fixture must contain embedding near-dup pairs")
-    val lsh = Similarity.annLshPairs(e, 0.4)
-      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Double]("cosine")).toMap
+    // force the BANDED path: this test is the banding family's precision/
+    // recall gate (the dense path is exact by construction and pinned in
+    // the paths test above)
+    val key = "spark.graft.similarity.pairsDenseMaxBase"
+    val lsh = try {
+      spark.conf.set(key, "0")
+      Similarity.annLshPairs(e, 0.4)
+        .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Double]("cosine")).toMap
+    } finally spark.conf.unset(key)
     // precision 1: every emitted pair is a true pair, with the dual's score
     lsh.foreach { case (k, c) =>
       assert(exact.contains(k), s"false positive pair $k")
