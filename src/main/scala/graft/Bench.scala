@@ -123,7 +123,16 @@ object Bench {
         }
       }
       val cold = run()
-      var warm = (1 to 2).flatMap(_ => run())
+      // A FAILED cold run (watchdog timeout, error) leaves any hubs it
+      // already persisted in the cache, so a warm run after it records a
+      // meaningless number riding a dead run's leftovers — the r13 sf1
+      // q50 artifact: cold was watchdog-killed at the 120 s budget
+      // (recorded −1, excluded from totals) and the published "warm"
+      // 30.7 s ran over the killed run's persisted hub, hiding a true
+      // ~205 s cost. A query whose cold run fails now reports −1 for
+      // BOTH faces; the second sweep pass retries it from scratch.
+      var warm = if (cold.isEmpty) Seq.empty[Double]
+        else (1 to 2).flatMap(_ => run())
       // Occasionally BOTH warm runs of one query land on multi-second
       // GC/JIT stalls (observed: a 1.5 s-warm query reporting 6 s, both
       // warm runs ≥6 s, unreproducible in isolation). When the best warm

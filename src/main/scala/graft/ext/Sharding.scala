@@ -503,6 +503,62 @@ object Sharding {
   /** The exclusive-prefix-sum step both operators share: per-`bucket`
     * totals of `perRow` get a running offset via the ONLY global window —
     * over the tiny bucket table, |rows|/grain smaller than the input. */
+  /** Greedy SCORE-ORDERED token budget — "fill a B-token budget with the
+    * highest-scoring documents first": documents lay out in
+    * (score desc, id asc) order and are kept while the running token
+    * total BEFORE them is under `budget` (the greedy whole-doc boundary
+    * rule shared by the budget family). This is the classifier-score
+    * selection step of modern curation stacks (quality-classifier
+    * top-score picks at a fixed token budget) — the selection dual of
+    * [[curriculumOrder]] (which orders the whole corpus) and
+    * [[shuffledTokenBudget]] (which samples uniformly). `scoreCol` must
+    * be integral (the fixed-point convention every scoring operator here
+    * follows — margins, lm-quality, code scores); null scores rank below
+    * every real score (kept only if budget remains, ordered by id);
+    * null-text docs carry null tokens and consume nothing.
+    *
+    * Plan: one memoized (min, max) scalar job grains the score axis into
+    * ≤2¹⁶ value-range buckets (descending score → ascending bucket), so
+    * the only global window at ANY corpus size runs over the ≤2¹⁶-row
+    * bucket-total table — the [[shuffleOrder]] no-global-sort shape with
+    * the score as the range key; within-bucket token prefix sums run in
+    * parallel and selection is a map-only filter against the budget
+    * literal. Output: (idCol, score, n_tokens, tokens_before), one row
+    * per KEPT document. */
+  def tokenBudgetByScore(docs: DataFrame, budget: Long, scoreCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import graft.queries.intDiv
+    val mm = graft.core.Caches.memo(
+      docs.select(col(scoreCol).cast(LongType).as("s"))
+        .withColumn("__graft_memo", lit(s"scoreRange:$scoreCol")),
+      "scoreRange") {
+      val r = docs.agg(min(col(scoreCol).cast(LongType)).as("mn"),
+        max(col(scoreCol).cast(LongType)).as("mx")).collect()(0)
+      if (r.isNullAt(1)) Array(0L, 0L)
+      else Array(r.getLong(0), r.getLong(1))
+    }
+    val (mn, mx) = (mm(0), mm(1))
+    require(mx - mn >= 0,
+      s"score range [$mn, $mx] overflows Long — rescale the fixed point")
+    val grain = math.max(1L, (mx - mn) / 65536L + 1L)
+    // descending score → ascending bucket; nulls after every real bucket
+    val hub = graft.core.Caches.persist(
+      docs.select(col(idCol), col(scoreCol).cast(LongType).as("score"),
+          size(split(col(textCol), " ", -1)).cast(LongType).as("n_tokens"))
+        .withColumn("bucket", when(col("score").isNull, lit(65537L))
+          .otherwise(intDiv(lit(mx) - col("score"), grain))))
+    val offsets = bucketOffsets(hub, sum(col("n_tokens")))
+    val within = Window.partitionBy(col("bucket"))
+      .orderBy(col("score").desc_nulls_last, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hub.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("tokens_before",
+        col("bucket_offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+      .filter(col("tokens_before") < budget)
+      .select(col(idCol), col("score"), col("n_tokens"), col("tokens_before"))
+  }
+
   private def bucketOffsets(rows: DataFrame,
       perRow: org.apache.spark.sql.Column): DataFrame =
     rows.groupBy(col("bucket"))

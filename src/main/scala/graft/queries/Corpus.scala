@@ -2058,6 +2058,77 @@ object Corpus {
       |FROM r WHERE tokens_before < quota ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q151 — score-ordered token budget: fill a 30000-token budget with
+  // the highest-value documents first (value proxy: n_chars — any
+  // fixed-point classifier score plugs into the same machinery). The
+  // oracle spells the same selection as ONE window cumsum over
+  // (score DESC NULLS LAST, doc_id) — the value-range-bucket prefix
+  // plan must reproduce that single-sort semantics exactly, including
+  // the greedy whole-doc boundary and null-token docs consuming nothing.
+  def q151_token_budget_by_score(s: SparkSession, dir: String): DataFrame =
+    Sharding.tokenBudgetByScore(docs(s, dir), budget = 30000L,
+        scoreCol = "n_chars")
+      .orderBy(col("doc_id"))
+
+  private val q151_sql =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT doc_id, score, n_tokens,
+      |        CAST(coalesce(sum(n_tokens) OVER (
+      |          ORDER BY score DESC NULLS LAST, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS tokens_before
+      |      FROM t)
+      |SELECT doc_id, score, n_tokens, tokens_before
+      |FROM r WHERE tokens_before < 30000 ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q152 — semantic contamination GATE decisions (the q142 batch sweep's
+  // ingest dual, oracle-gated on the full corpus): every embedding row
+  // flagged iff some bench vector (vec_id % 97 = 0 — bench ⊂ corpus, so
+  // bench members flag themselves at cos 1.0, the gate's contract)
+  // clears cosine 0.4 under the exact fixed-point recipe. The oracle
+  // re-derives the whole decision; one flag flip anywhere breaks the
+  // hash.
+  def q152_semantic_gate_flags(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val bench = e.filter(col("vec_id") % 97 === 0)
+    Similarity.flagSemanticContaminated(e,
+        Similarity.collectBenchFp(bench), minCosine = 0.4)
+      .select(col("vec_id"), col("semantic_contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q152_sql =
+    """WITH ex AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, (x, i) -> i - 1)) AS idx,
+      |    unnest(list_transform(embedding,
+      |      (x, i) -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT))) AS xi
+      |  FROM embeddings),
+      |n2 AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+      |dots AS (
+      |  SELECT c.vec_id AS cid, b.vec_id AS bid,
+      |    CAST(sum(c.xi * b.xi) AS BIGINT) AS dot
+      |  FROM ex c JOIN ex b ON c.idx = b.idx AND b.vec_id % 97 = 0
+      |  GROUP BY 1, 2),
+      |flag AS (
+      |  SELECT cid AS vec_id, max(CASE WHEN
+      |      (CASE WHEN cn.n2 = 0 OR bn.n2 = 0 THEN 0.0
+      |        ELSE CAST(dot AS DOUBLE)
+      |          / (sqrt(CAST(cn.n2 AS DOUBLE)) * sqrt(CAST(bn.n2 AS DOUBLE)))
+      |      END) >= 0.4 THEN 1 ELSE 0 END) AS hit
+      |  FROM dots JOIN n2 cn ON cid = cn.vec_id JOIN n2 bn ON bid = bn.vec_id
+      |  GROUP BY 1)
+      |SELECT e.vec_id,
+      |  CASE WHEN e.embedding IS NULL THEN NULL
+      |       ELSE coalesce(f.hit, 0) = 1 END AS semantic_contaminated
+      |FROM embeddings e LEFT JOIN flag f USING (vec_id)
+      |ORDER BY e.vec_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q149 — contrastive pair mining: anchors vec_id < 32, exact top-1
   // positives over the 0.2 cosine bar, 4 hash-drawn uniform negatives
   // per anchor picked by rank in the salt-keyed corpus permutation. The
@@ -2400,7 +2471,9 @@ object Corpus {
     "q147_epoch_order" -> (q147_epoch_order _),
     "q148_curriculum_order" -> (q148_curriculum_order _),
     "q149_contrastive_pairs" -> (q149_contrastive_pairs _),
-    "q150_token_mixture" -> (q150_token_mixture _)
+    "q150_token_mixture" -> (q150_token_mixture _),
+    "q151_token_budget_by_score" -> (q151_token_budget_by_score _),
+    "q152_semantic_gate_flags" -> (q152_semantic_gate_flags _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2475,6 +2548,8 @@ object Corpus {
     "q147_epoch_order" -> q147_sql,
     "q148_curriculum_order" -> q148_sql,
     "q149_contrastive_pairs" -> q149_sql,
-    "q150_token_mixture" -> q150_sql
+    "q150_token_mixture" -> q150_sql,
+    "q151_token_budget_by_score" -> q151_sql,
+    "q152_semantic_gate_flags" -> q152_sql
   )
 }

@@ -301,6 +301,34 @@ class ExtOpsSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("tokenBudgetByScore: highest-score-first greedy prefix, ties on id, nulls last") {
+    graft.core.Caches.unpersistAll()
+    // hand corpus: scores force the order 4, 2=3 (tie → id), 1, null(5);
+    // token counts 4:3, 2:4, 3:4, 1:2, 5:null-text (consumes nothing)
+    val docs = Seq(
+      (1L, Some(10L), "a b"),           // 2 tokens, kept only at big budgets
+      (2L, Some(50L), "a b c d"),       // tie with 3 → id order 2 then 3
+      (3L, Some(50L), "a b c d"),
+      (4L, Some(90L), "a b c"),         // highest score, first
+      (5L, None: Option[Long], null.asInstanceOf[String])
+    ).toDF("doc_id", "score0", "text")
+    def kept(b: Long) = Sharding.tokenBudgetByScore(docs, b, "score0")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("tokens_before")).toMap
+    // budget 4: doc 4 (before=0) and doc 2 (before=3, crosses — kept whole)
+    assert(kept(4L) == Map(4L -> 0L, 2L -> 3L))
+    // budget 8: + doc 3 (before=7, crosses)
+    assert(kept(8L) == Map(4L -> 0L, 2L -> 3L, 3L -> 7L))
+    // budget 14: everything incl. doc 1 (before=11) and the null-score
+    // null-text doc (before=13, consumes nothing, ranked last)
+    assert(kept(14L) == Map(4L -> 0L, 2L -> 3L, 3L -> 7L, 1L -> 11L, 5L -> 13L))
+    // deterministic rerun
+    assert(kept(8L) == kept(8L))
+    intercept[IllegalArgumentException] {
+      Sharding.tokenBudgetByScore(docs, 0L, "score0") }
+    graft.core.Caches.unpersistAll()
+  }
+
   test("second-half ops: degenerate inputs (empty sides, all-null, bad params)") {
     graft.core.Caches.unpersistAll()
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
