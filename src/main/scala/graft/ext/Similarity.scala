@@ -127,22 +127,23 @@ object Similarity {
     * flags nothing. */
   def flagSemanticContaminated(df: DataFrame, benchFp: Seq[Array[Long]],
       minCosine: Double, vecCol: String = "embedding"): DataFrame = {
-    // quantize ONCE into real columns (the flagNearDups __graft_nd_hs /
-    // kmeansServe __graft_km_x rationale: inlining would re-run the
-    // transform once per bench vector)
-    val x = col("__graft_sc_x")
-    val n2 = col("__graft_sc_n2")
-    val hit = benchFp.map { b =>
-      val bn2 = b.map(v => v * v).sum
-      val cos = when(n2 === 0 || lit(bn2) === 0L, lit(0.0)).otherwise(
-        ArrayMath.dotLong(x, ArrayMath.longArrayLit(b)).cast(DoubleType) /
-          (sqrt(n2.cast(DoubleType)) * sqrt(lit(bn2).cast(DoubleType))))
-      cos >= lit(minCosine)
-    }.reduceOption(_ || _).getOrElse(lit(false))
-    df.withColumn("__graft_sc_x", fixedPointVec(col(vecCol)))
-      .withColumn("__graft_sc_n2", intDot(x, x))
-      .withColumn("semantic_contaminated", when(col(vecCol).isNotNull, hit))
-      .drop("__graft_sc_x", "__graft_sc_n2")
+    // ONE codegen'd expression over a flattened bench literal
+    // ([[graft.functions.SemanticHit]]): the per-bench-vector expression
+    // tree this replaces generated code linear in the bench count and
+    // fell out of codegen past ~200 vectors (the 10× smoke finding) —
+    // the nested-loop expression is constant-size at any driver-sized
+    // bench set, with bit-identical decisions.
+    val dimsSet = benchFp.map(_.length).toSet
+    require(dimsSet.size <= 1,
+      s"bench vectors must share one dimensionality, got $dimsSet")
+    val hit =
+      if (benchFp.isEmpty) when(col(vecCol).isNotNull, lit(false))
+      else graft.functions.SemanticHits.anyHit(
+        fixedPointVec(col(vecCol)),
+        benchFp.flatten.toArray,
+        benchFp.map(b => b.map(v => v * v).sum).toArray,
+        benchFp.length, minCosine)
+    df.withColumn("semantic_contaminated", hit)
   }
 
   /** Brute-force exact top-k neighbors per query (self-match excluded),
