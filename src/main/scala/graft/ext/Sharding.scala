@@ -503,6 +503,84 @@ object Sharding {
   /** The exclusive-prefix-sum step both operators share: per-`bucket`
     * totals of `perRow` get a running offset via the ONLY global window —
     * over the tiny bucket table, |rows|/grain smaller than the input. */
+  /** Fixed-size token CHUNKING with overlap — the retrieval/embedding
+    * prep step (RAG indexing, long-doc embedding, context-window
+    * packing): each document splits into windows of `chunkTokens`
+    * whitespace tokens advancing by `chunkTokens − overlapTokens`, the
+    * final window starting at the last stride position that still adds
+    * new tokens (no trailing windows fully contained in their
+    * predecessor; a document at or under `chunkTokens` is one chunk).
+    * Null-text docs have no chunks and drop (the tokenize-surface
+    * contract, q108).
+    *
+    * Output: (idCol, chunk_idx, start_token 0-based, n_chunk_tokens,
+    * chunk_text). Map-only — one split + one bounded posexplode per
+    * document, no shuffle; linear at any corpus size (the token array is
+    * a materialized column, so per-chunk slices read an attribute, not a
+    * re-split — the §4 capture rule's cheap-capture form). */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens): $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("__ws", split(col(textCol), " ", -1))
+      .withColumn("__n", size(col("__ws")).cast(LongType))
+      .withColumn("__last",
+        greatest(lit(0L), ceil((col("__n") - lit(chunkTokens.toLong))
+          .cast(DoubleType) / lit(stride.toDouble)).cast(LongType)))
+      .select(col(idCol), col("__ws"), col("__n"),
+        posexplode(transform(sequence(lit(0L), col("__last")),
+          i => i * lit(stride.toLong))).as(Seq("chunk_idx", "start_token")))
+      .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("start_token"),
+        least(lit(chunkTokens.toLong), col("__n") - col("start_token"))
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__ws"),
+          (col("start_token") + 1).cast(IntegerType), lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  /** Fill-in-the-middle (FIM) transformation — the code-model training
+    * rewrite (Bavarian et al. 2022: move a random middle span to the
+    * end behind sentinels, so an autoregressive model learns infilling):
+    * two deterministic character cut points from the engine-portable
+    * md5-prefix hash — `lo = h(salt:id:a) mod (n+1)`,
+    * `hi = lo + (h(salt:id:b) mod (n−lo+1))` — split the text into
+    * prefix/middle/suffix, emitted in PSM order as
+    * `<PRE>prefix<SUF>suffix<MID>middle`. A pure function of
+    * (salt, id, text): reproducible across engines, runs, and
+    * partitionings — never `rand()`. Total pass: null-text docs keep
+    * null cuts and a null rewrite.
+    *
+    * Output: (idCol, n_chars, lo, hi, fim_text). Map-only projection —
+    * two hashes + three substrings per row, no shuffle; fused into the
+    * scan at any corpus size. */
+  def fimTransform(docs: DataFrame, salt: String = "fim",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast(LongType)
+    def h(tag: String) = graft.functions.TextMetrics.hash60(
+      concat_ws(":", lit(salt), col(idCol).cast(StringType), lit(tag)))
+    val lo = pmod(h("a"), n + 1L)
+    val hi = lo + pmod(h("b"), n - lo + 1L)
+    docs
+      .withColumn("n_chars_fim", n)
+      .withColumn("lo", lo)
+      .withColumn("hi", hi)
+      .withColumn("fim_text",
+        concat(lit("<PRE>"), t.substr(lit(1), col("lo").cast(IntegerType)),
+          lit("<SUF>"),
+          t.substr((col("hi") + 1).cast(IntegerType),
+            (col("n_chars_fim") - col("hi")).cast(IntegerType)),
+          lit("<MID>"),
+          t.substr((col("lo") + 1).cast(IntegerType),
+            (col("hi") - col("lo")).cast(IntegerType))))
+      .select(col(idCol), col("n_chars_fim").as("n_chars"), col("lo"),
+        col("hi"), col("fim_text"))
+  }
+
   /** Greedy SCORE-ORDERED token budget — "fill a B-token budget with the
     * highest-scoring documents first": documents lay out in
     * (score desc, id asc) order and are kept while the running token

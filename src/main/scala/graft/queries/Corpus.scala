@@ -2129,6 +2129,55 @@ object Corpus {
       |ORDER BY e.vec_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q153 — fixed-size token chunking with overlap (RAG/embedding prep):
+  // 64-token windows advancing by 48 (16-token overlap), final window at
+  // the last stride position that still adds tokens. The oracle
+  // re-derives the window rule and every chunk's text relationally — a
+  // boundary disagreement on any document breaks the hash.
+  def q153_chunk_documents(s: SparkSession, dir: String): DataFrame =
+    Sharding.chunkDocuments(docs(s, dir), chunkTokens = 64, overlapTokens = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q153_sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT doc_id, ws, n, CAST(i AS BIGINT) AS chunk_idx,
+      |        CAST(i * 48 AS BIGINT) AS start_token
+      |      FROM w, range(0, 100000) t(i)
+      |      WHERE i = 0 OR (i - 1) * 48 + 64 < n)
+      |SELECT doc_id, chunk_idx, start_token,
+      |  CAST(least(64, n - start_token) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(list_slice(ws, CAST(start_token + 1 AS BIGINT),
+      |    CAST(start_token + 64 AS BIGINT)), ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q154 — fill-in-the-middle transform (code-model training rewrite):
+  // two hash-deterministic character cuts split each doc into
+  // prefix/middle/suffix, emitted PSM as <PRE>p<SUF>s<MID>m. The oracle
+  // replays the md5-prefix cut arithmetic and the three substrings —
+  // one cut-point disagreement anywhere shifts the whole rewrite.
+  def q154_fim_transform(s: SparkSession, dir: String): DataFrame =
+    Sharding.fimTransform(docs(s, dir))
+      .orderBy(col("doc_id"))
+
+  private val q154_sql =
+    """WITH h AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+      |    CAST(('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR) || ':a'), 1, 15)) AS BIGINT) AS ha,
+      |    CAST(('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR) || ':b'), 1, 15)) AS BIGINT) AS hb
+      |  FROM documents),
+      |c AS (SELECT doc_id, text, n, ha % (n + 1) AS lo, hb FROM h),
+      |d AS (SELECT doc_id, text, n, lo, lo + hb % (n - lo + 1) AS hi FROM c)
+      |SELECT doc_id, n AS n_chars, lo, hi,
+      |  '<PRE>' || substr(text, 1, CAST(lo AS INT)) || '<SUF>' ||
+      |  substr(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT)) || '<MID>' ||
+      |  substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)) AS fim_text
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q149 — contrastive pair mining: anchors vec_id < 32, exact top-1
   // positives over the 0.2 cosine bar, 4 hash-drawn uniform negatives
   // per anchor picked by rank in the salt-keyed corpus permutation. The
@@ -2473,7 +2522,9 @@ object Corpus {
     "q149_contrastive_pairs" -> (q149_contrastive_pairs _),
     "q150_token_mixture" -> (q150_token_mixture _),
     "q151_token_budget_by_score" -> (q151_token_budget_by_score _),
-    "q152_semantic_gate_flags" -> (q152_semantic_gate_flags _)
+    "q152_semantic_gate_flags" -> (q152_semantic_gate_flags _),
+    "q153_chunk_documents" -> (q153_chunk_documents _),
+    "q154_fim_transform" -> (q154_fim_transform _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2550,6 +2601,8 @@ object Corpus {
     "q149_contrastive_pairs" -> q149_sql,
     "q150_token_mixture" -> q150_sql,
     "q151_token_budget_by_score" -> q151_sql,
-    "q152_semantic_gate_flags" -> q152_sql
+    "q152_semantic_gate_flags" -> q152_sql,
+    "q153_chunk_documents" -> q153_sql,
+    "q154_fim_transform" -> q154_sql
   )
 }

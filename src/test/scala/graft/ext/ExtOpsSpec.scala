@@ -329,6 +329,66 @@ class ExtOpsSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("chunkDocuments: window boundaries, overlap, full coverage, null drop") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b c"),                           // fits one chunk
+      (3L, null.asInstanceOf[String])          // no chunks
+    ).toDF("doc_id", "text")
+    val out = Sharding.chunkDocuments(docs, chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_token"), r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk_text")))
+      .sortBy(x => (x._1, x._2))
+    // stride 3: starts 0, 3, 6 — last window still adds t10; no trailing
+    // window fully inside its predecessor
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 3L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 6L, 4L, "t7 t8 t9 t10")))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 3L, "a b c")))
+    assert(!out.exists(_._1 == 3L), "null-text docs have no chunks")
+    // coverage: stripping each window's overlap prefix rebuilds the stream
+    val rebuilt = out.filter(_._1 == 1L).map(_._5.split(" ").toSeq)
+      .reduce((a, b) => a ++ b.drop(1)).mkString(" ")
+    assert(rebuilt == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+    intercept[IllegalArgumentException] {
+      Sharding.chunkDocuments(docs, chunkTokens = 4, overlapTokens = 4) }
+    intercept[IllegalArgumentException] {
+      Sharding.chunkDocuments(docs, chunkTokens = 0) }
+  }
+
+  test("fimTransform: PSM splice rebuilds the text; cuts in range; deterministic") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""),                         // n=0: lo=hi=0, empty pieces
+      (3L, null.asInstanceOf[String])   // total pass with nulls
+    ).toDF("doc_id", "text")
+    val out = Sharding.fimTransform(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 3, "total pass")
+    val r1 = out(1L)
+    val (n, lo, hi) = (r1.getAs[Long]("n_chars"), r1.getAs[Long]("lo"),
+      r1.getAs[Long]("hi"))
+    assert(0 <= lo && lo <= hi && hi <= n)
+    // <PRE>p<SUF>s<MID>m --> p + m + s == original
+    val fim = r1.getAs[String]("fim_text")
+    val pre = fim.stripPrefix("<PRE>").takeWhile(_ != '<') // no '<' in fixture
+    val suf = fim.substring(fim.indexOf("<SUF>") + 5, fim.indexOf("<MID>"))
+    val mid = fim.substring(fim.indexOf("<MID>") + 5)
+    assert(pre + mid + suf == "the quick brown fox jumps over the lazy dog")
+    assert(pre.length == lo && mid.length == hi - lo)
+    assert(out(2L).getAs[String]("fim_text") == "<PRE><SUF><MID>")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("fim_text")) &&
+      out(3L).isNullAt(out(3L).fieldIndex("lo")))
+    // pure function of (salt, id, text): rerun is bit-identical, a new
+    // salt moves the cuts
+    def runs(salt: String) = Sharding.fimTransform(docs, salt).collect()
+      .map(_.toString).sorted.toSeq
+    assert(runs("fim") == runs("fim"))
+    assert(runs("fim2") != runs("fim"))
+  }
+
   test("second-half ops: degenerate inputs (empty sides, all-null, bad params)") {
     graft.core.Caches.unpersistAll()
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
