@@ -211,6 +211,10 @@ class SpecSpec extends SparkSpec {
     val route = SpecLoader.loadFile("examples/embedding_route_batch.yml")
     assert(route.pipeline.map(_.typ) == Seq("kmeans_serve"))
     assert(route.pipeline.head.config.get("model_path").nonEmpty)
+    val tok = SpecLoader.loadFile("examples/tokenize_semantic_stream.yml")
+    assert(tok.pipeline.map(_.typ) == Seq("semantic_gate", "bpe_tokenize"))
+    assert(tok.pipeline.head.config.get("bench_path").nonEmpty)
+    assert(tok.pipeline.last.config.get("model_path").nonEmpty)
   }
 
   test("kafka source/sink option building (kafka_in.yml / kafka_out.yml)") {
