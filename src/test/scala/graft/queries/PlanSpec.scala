@@ -54,6 +54,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-14 map-only operators plan without a single exchange") {
+    // chunking, FIM, BPE-serve, and the semantic gate all claim "fused
+    // into the scan at any corpus size" — an accidental shuffle in any
+    // of them would dominate a 100 TB ingest
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    for ((name, df) <- Seq(
+        "chunkDocuments" -> graft.ext.Sharding.chunkDocuments(docs, 64, 16),
+        "fimTransform" -> graft.ext.Sharding.fimTransform(docs),
+        "bpeTokenizeTotal" -> graft.ext.Bpe.tokenizeTotal(docs, Seq(("a", "b"))))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name plans a shuffle:\n$p")
+    }
+    val e = graft.core.Tables.load(spark, sf001, "embeddings")
+    val gate = graft.ext.Similarity.flagSemanticContaminated(e,
+      Seq(Array.fill(64)(1L)), 0.9)
+    assert(!plan(gate).contains("Exchange"),
+      s"semantic gate plans a shuffle:\n${plan(gate)}")
+  }
+
+  test("tokenBudgetByScore's only single-partition work is the bucket-total table") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    val df = graft.ext.Sharding.tokenBudgetByScore(docs, 30000L, "n_chars")
+    df.collect() // materialize hub + AQE final plan
+    val p = plan(df)
+    // the quantileBins rule: every SinglePartition exchange must sit above
+    // a completed aggregate (the <=2^16-row bucket table), never a row scan
+    val singles = "Exchange SinglePartition".r.findAllMatchIn(p).map(_.start).toList
+    for (s <- singles)
+      assert(p.substring(s).contains("HashAggregate"),
+        s"SinglePartition exchange not over the bucket table in:\n$p")
+    graft.core.Caches.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
   test("profile computes every column's stats in ONE aggregate pass (Expand, one scan)") {
     val orders = graft.core.Tables.load(spark, sf001, "orders")
     val p = plan(graft.ext.Stats.profile(orders, Seq(
