@@ -222,21 +222,103 @@ object Sharding {
     * output `repartitionByRange`/sort WITHIN partitions on (skey, id) —
     * embarrassingly parallel once `seq` exists. */
   def shuffleOrder(docs: DataFrame, salt: String = "",
-      idCol: String = "doc_id"): DataFrame = {
-    import graft.queries.intDiv
-    val skey = graft.functions.TextMetrics.hash60(
+      idCol: String = "doc_id"): DataFrame =
+    if (orderDense(docs)) {
+      // dense dual: ONE global window over the slim (id, skey)
+      // projection — a single-partition sort is the CHEAPER plan while
+      // the source fits the dense bound (the exchange carries two thin
+      // columns), and the bucket machinery's two extra exchanges + hub
+      // persist are pure scheduling overhead there. Identical output.
+      val w = Window.orderBy(col("skey"), col(idCol))
+      docs.select(col(idCol), orderKey(salt, idCol).as("skey"))
+        .withColumn("seq", row_number().over(w).cast(LongType))
+    } else {
+      val hub = shuffleHub(docs, salt, idCol)
+      val offsets = bucketOffsets(hub, count(lit(1)))
+      val within = Window.partitionBy(col("bucket")).orderBy(col("skey"), col(idCol))
+      hub.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("seq",
+          col("bucket_offset") + row_number().over(within).cast(LongType))
+        .select(col(idCol), col("skey"), col("seq"))
+    }
+
+  /** Path gate for [[shuffleOrder]]'s dense dual, on the optimizer's
+    * FREE source-size estimate (the [[Similarity]] probeBytes
+    * precedent — no job): under
+    * `spark.graft.sharding.orderDenseMaxBytes` (default 256 MB of
+    * source stats — the slim (id, skey) sort input is far smaller than
+    * the source rows the stat measures) a single global window wins;
+    * past it the value-range-bucket parallel prefix runs, since a
+    * single-partition sort of a corpus-scale table is the bottleneck
+    * the bucket shape exists to avoid. */
+  private def orderDense(docs: DataFrame): Boolean =
+    docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(docs.sparkSession.conf
+        .getOption("spark.graft.sharding.orderDenseMaxBytes")
+        .map(_.toLong).getOrElse(256L << 20))
+
+  private def orderKey(salt: String, idCol: String): Column =
+    graft.functions.TextMetrics.hash60(
       concat_ws("|", lit(salt), col(idCol).cast(StringType)))
-    // two consumers (bucket counts + final join) → persist: the hash and
-    // bucketing run once
-    val hub = graft.core.Caches.persist(
-      docs.select(col(idCol), skey.as("skey"))
+
+  /** The (id, skey, bucket) hub [[shuffleOrder]]'s bucket path and
+    * [[shuffleOrderAt]] rank over — persisted so the hash and bucketing
+    * run once; an identical plan from a second caller dedupes against
+    * the same cache entry (Spark's CacheManager keys on the canonical
+    * plan). */
+  private[ext] def shuffleHub(docs: DataFrame, salt: String,
+      idCol: String): DataFrame = {
+    import graft.queries.intDiv
+    graft.core.Caches.persist(
+      docs.select(col(idCol), orderKey(salt, idCol).as("skey"))
         .withColumn("bucket", intDiv(col("skey"), 1L << 44)))
-    val offsets = bucketOffsets(hub, count(lit(1)))
+  }
+
+  /** Rows of [[shuffleOrder]]'s permutation at GIVEN 1-based positions —
+    * "which doc sits at rank `seq`?" for a small set of seqs (any frame
+    * carrying a `seq` column; rider columns pass through) — equal,
+    * row-for-row, to `seqs JOIN shuffleOrder USING (seq)` (equality-
+    * tested); positions outside [1, N] match nothing. Output: the seqs
+    * frame's columns plus `idCol`.
+    *
+    * Dense sources (the [[shuffleOrder]] gate) rank via the dense dual
+    * and broadcast-hash-join the seqs — fewest stages. Past the bound
+    * the corpus is NEVER ranked: the seqs are mapped to their
+    * containing value-range bucket by a two-level offset lookup (a
+    * 2⁸-row super-bucket range probe, then an equi-join into that
+    * super's ≤2⁸ buckets — both broadcasts, so the locate scales in
+    * |seqs|·2⁸ comparisons, never |seqs|·2¹⁶), and only the TOUCHED
+    * buckets' rows are window-ranked — the exchange carries
+    * ≈|seqs|·|corpus|/2¹⁶ slim rows, not the corpus. */
+  def shuffleOrderAt(docs: DataFrame, seqs: DataFrame, salt: String = "",
+      idCol: String = "doc_id"): DataFrame = {
+    if (orderDense(docs))
+      return shuffleOrder(docs, salt, idCol)
+        .join(broadcast(seqs), Seq("seq")).drop("skey")
+    import graft.queries.intDiv
+    val hub = shuffleHub(docs, salt, idCol)
+    val offsets = graft.core.Caches.persist(
+      bucketOffsets(hub, count(lit(1))))
+    val sup = offsets.groupBy(intDiv(col("bucket"), 256L).as("sb"))
+      .agg(min(col("bucket_offset")).as("sb_off"),
+        sum(col("bucket_total")).as("sb_tot"))
+    val located = seqs
+      .join(broadcast(sup),
+        col("seq") > col("sb_off") && col("seq") <= col("sb_off") + col("sb_tot"))
+      .drop("sb_off", "sb_tot")
+      .join(broadcast(offsets.withColumn("sb", intDiv(col("bucket"), 256L))),
+        Seq("sb"))
+      .filter(col("seq") > col("bucket_offset") &&
+        col("seq") <= col("bucket_offset") + col("bucket_total"))
+      .withColumn("rk", col("seq") - col("bucket_offset"))
+      .drop("sb", "bucket_offset", "bucket_total")
     val within = Window.partitionBy(col("bucket")).orderBy(col("skey"), col(idCol))
-    hub.join(broadcast(offsets), Seq("bucket"))
-      .withColumn("seq",
-        col("bucket_offset") + row_number().over(within).cast(LongType))
-      .select(col(idCol), col("skey"), col("seq"))
+    val ranked = hub
+      .join(broadcast(located.select(col("bucket")).distinct()), Seq("bucket"))
+      .withColumn("rk", row_number().over(within).cast(LongType))
+      .select(col("bucket"), col("rk"), col(idCol))
+    ranked.join(broadcast(located), Seq("bucket", "rk"))
+      .drop("rk", "bucket")
   }
 
   /** Token-budget PREFIX of the shuffled corpus — "take a simple random
@@ -645,6 +727,6 @@ object Sharding {
         coalesce(sum(col("bucket_total")).over(
           Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("bucket"), col("bucket_offset"))
+      .select(col("bucket"), col("bucket_offset"), col("bucket_total"))
 
 }

@@ -567,34 +567,61 @@ object Similarity {
     * negatives, scoring every random negative would be a hidden
     * |anchors|·k cosine pass the trainer doesn't need).
     *
-    * Scale: the positive side is the EXACT dual ([[bruteForceTopK]]) —
-    * right for anchor BATCHES (the operator's contract: anchors are a
-    * training batch, not the corpus); at corpus-scale anchors swap in
-    * [[ivfTopK]]/[[annLshTopK]] — same output shape. The negative side
-    * is one explode (k slim rows per anchor) + one shuffle join against
-    * the rank table (corpus-scale but narrow; the rank table itself is
-    * the no-global-sort prefix shape). */
+    * Scale: the positive side is the exact dual's scoring in ONE FUSED
+    * SCAN — anchors broadcast ([[exactCosinePairs]]'s envelope: anchors
+    * are a training batch, not the corpus; at corpus-scale anchors swap
+    * in [[ivfTopK]]/[[annLshTopK]], same output shape), the corpus
+    * streams once, and the top-1 is a `max(struct(cosine, -vid))`
+    * aggregation — the partial (map-side) combine reduces every
+    * partition to ≤|anchors| structs before the exchange, so the wire
+    * carries |anchors|·|partitions| rows where the window form
+    * ([[bruteForceTopK]]) exchanged and sorted all |anchors|·|corpus|
+    * scored pairs. `max(struct(cosine, -vid))` IS "ORDER BY cosine
+    * DESC, vid ASC LIMIT 1": struct ordering compares fields left to
+    * right, and cosine is never null/NaN here (the n2=0 guard yields
+    * 0.0). The negative side resolves the |anchors|·k drawn ranks with
+    * [[Sharding.shuffleOrderAt]] — dense corpora rank in one slim global
+    * window, and past the dense bound only the touched permutation
+    * buckets are ranked, never the corpus. N is the memoized corpus
+    * count (shared key with every other operator's count memo — warm
+    * sessions pay no job). */
   def contrastivePairs(anchors: DataFrame, base: DataFrame,
       negPerAnchor: Int, posMinCosine: Double, salt: String = "cp",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(negPerAnchor >= 1, s"negPerAnchor must be >= 1: $negPerAnchor")
-    val n = graft.core.Caches.memo(base, "contrastivePairs.count")(
-      java.lang.Long.valueOf(base.count())).longValue
-    val pos = bruteForceTopK(anchors, base, 1, idCol, vecCol)
-      .filter(col("cosine") >= lit(posMinCosine))
+    val q = anchors.select(col(idCol).as("qid"), fixedPointVec(col(vecCol)).as("qx"))
+      .withColumn("qn2", intDot(col("qx"), col("qx")))
+    // no Tables.spread here: the map-side combine makes the scan's own
+    // split count the only parallelism that matters (a corpus-scale
+    // source has natural splits; a one-file bench corpus does
+    // |anchors|·|corpus| dot loops serially faster than one exchange)
+    val b = base
+      .select(col(idCol).as("vid"), fixedPointVec(col(vecCol)).as("bx"))
+      .withColumn("bn2", intDot(col("bx"), col("bx")))
+    val cosine = when(col("qn2") === 0 || col("bn2") === 0, lit(0.0)).otherwise(
+      intDot(col("qx"), col("bx")).cast(DoubleType) /
+        (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("bn2").cast(DoubleType))))
+    val pos = broadcast(q).crossJoin(b)
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), cosine.as("cosine"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.ArgExtremum.maxScoreMinId(
+        col("cosine"), col("vid")).as("top"))
+      .filter(col("top").getField("score") >= lit(posMinCosine))
       .select(col("qid").as("anchor_id"), lit("pos").as("role"),
-        lit(0L).as("draw"), col("vid").as("other_id"), col("cosine"))
-    val ranks = Sharding.shuffleOrder(base, salt = s"$salt:rank", idCol)
-      .select(col(idCol).as("other_id"), col("seq"))
+        lit(0L).as("draw"), col("top").getField("id").as("other_id"),
+        col("top").getField("score").as("cosine"))
+    val n = graft.core.Caches.memo(base, "count")(
+      java.lang.Long.valueOf(base.count())).longValue
     val draws = anchors.select(col(idCol).as("anchor_id"),
         explode(sequence(lit(1L), lit(negPerAnchor.toLong))).as("draw"))
       .withColumn("seq", pmod(graft.functions.TextMetrics.hash60(
         concat_ws(":", lit(salt), col("anchor_id").cast(StringType),
           col("draw").cast(StringType))), lit(n)) + lit(1L))
-    val negs = draws.join(ranks, Seq("seq"))
-      .filter(col("other_id") =!= col("anchor_id"))
+    val negs = Sharding.shuffleOrderAt(base, draws, salt = s"$salt:rank", idCol)
+      .filter(col(idCol) =!= col("anchor_id"))
       .select(col("anchor_id"), lit("neg").as("role"), col("draw"),
-        col("other_id"), lit(null).cast(DoubleType).as("cosine"))
+        col(idCol).as("other_id"), lit(null).cast(DoubleType).as("cosine"))
     pos.unionByName(negs)
   }
 

@@ -2188,7 +2188,11 @@ object Corpus {
     val e = emb(s, dir)
     Similarity.contrastivePairs(e.filter(col("vec_id") < 32), e,
         negPerAnchor = 4, posMinCosine = 0.2)
-      .orderBy(col("anchor_id"), col("role"), col("draw"), col("other_id"))
+      // same global order as orderBy (one sorted partition) without the
+      // range-exchange + its sampling job — the output is oracle-sized
+      .coalesce(1)
+      .sortWithinPartitions(col("anchor_id"), col("role"), col("draw"),
+        col("other_id"))
   }
 
   private val q149_sql =

@@ -39,6 +39,46 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("SPARK_GRAFT_Q149_PROBE")) {
+      // q149 stage breakdown: positive pass vs rank table vs full operator
+      import graft.ext.{Similarity, Sharding}
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+        }
+      })
+      def tj[A](name: String)(f: => A): A = {
+        val (j0, s0) = (jobs.get, stages.get)
+        val r = t(name)(f)
+        println(s"[scratch]   jobs=${jobs.get - j0} stages=${stages.get - s0}")
+        r
+      }
+      val e = Tables.load(spark, dir, "embeddings")
+      println("[scratch] |e| = " + e.count())
+      val anchors = e.filter(col("vec_id") < 32)
+      for (r <- 1 to 3) {
+        spark.catalog.clearCache(); graft.core.Caches.unpersistAll()
+        val full = tj(s"run$r construct (incl. shuffleOrderCount)") {
+          Similarity.contrastivePairs(anchors, e, 4, 0.2)
+        }
+        tj(s"run$r full exec") { full.count() }
+        tj(s"run$r pos-only") {
+          Similarity.contrastivePairs(anchors, e, 4, 0.2)
+            .filter(col("role") === "pos").count()
+        }
+        tj(s"run$r neg-only") {
+          Similarity.contrastivePairs(anchors, e, 4, 0.2)
+            .filter(col("role") === "neg").count()
+        }
+        tj(s"run$r shuffleOrderAt(128 seqs)") {
+          val seqs = spark.range(1, 129).select(col("id").as("seq"))
+          Sharding.shuffleOrderAt(e, seqs, "cp:rank", "vec_id").count()
+        }
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("SPARK_GRAFT_PQ_SWEEP")) {
       // q122 PQ-recall parameter sweep at a given corpus (SPARK_GRAFT_SF_DIR)
       import graft.ext.Similarity

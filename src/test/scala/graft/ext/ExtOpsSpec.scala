@@ -282,6 +282,69 @@ class ExtOpsSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("shuffleOrder: dense and bucket paths emit the identical permutation") {
+    graft.core.Caches.unpersistAll()
+    val docs = Tables.load(spark, sf001, "documents")
+    val dense = graft.ext.Sharding.shuffleOrder(docs, "dual")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq")).toMap
+    graft.core.Caches.unpersistAll()
+    spark.conf.set("spark.graft.sharding.orderDenseMaxBytes", "0")
+    try {
+      val bucketed = graft.ext.Sharding.shuffleOrder(docs, "dual")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq")).toMap
+      assert(dense == bucketed)
+    } finally {
+      spark.conf.unset("spark.graft.sharding.orderDenseMaxBytes")
+      graft.core.Caches.unpersistAll()
+    }
+  }
+
+  test("shuffleOrderAt: equals seqs JOIN shuffleOrder on both paths; riders pass through") {
+    graft.core.Caches.unpersistAll()
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    val n = docs.count()
+    val seqs = Seq((1L, "a"), (2L, "b"), (n, "z"), (n / 2, "m"), (n + 7, "gone"))
+      .toDF("seq", "tag")
+    val expect = graft.ext.Sharding.shuffleOrder(docs, "at")
+      .join(seqs, Seq("seq"))
+      .select(col("seq"), col("tag"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(expect.size == 4, "out-of-range position must match nothing")
+    def got(): Set[(Long, String, Long)] =
+      graft.ext.Sharding.shuffleOrderAt(docs, seqs, "at")
+        .select(col("seq"), col("tag"), col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got() == expect)
+    graft.core.Caches.unpersistAll()
+    spark.conf.set("spark.graft.sharding.orderDenseMaxBytes", "0")
+    try assert(got() == expect)
+    finally {
+      spark.conf.unset("spark.graft.sharding.orderDenseMaxBytes")
+      graft.core.Caches.unpersistAll()
+    }
+  }
+
+  test("ArgExtremum.maxScoreMinId: window dual, tie to min id, null skip, cross-partition merge") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9),   // tie at 0.9 → id 11
+      (2L, 20L, -0.3), (2L, 21L, -0.7),                 // negatives fine
+      (3L, 30L, 0.0), (3L, 31L, 0.0))                   // tie at 0.0 → id 30
+      .toDF("g", "id", "s")
+      .union(Seq((4L, Option.empty[Long], Option(1.0)),
+        (4L, Option(40L), Option.empty[Double]))
+        .toDF("g", "id", "s"))                           // all-null group → NULL
+      .repartition(7)                                    // force partial+merge
+    val got = rows.groupBy(col("g"))
+      .agg(graft.functions.ArgExtremum.maxScoreMinId(col("s"), col("id")).as("t"))
+      .select(col("g"), col("t").getField("score"), col("t").getField("id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> (0.9, 11L), 2L -> (-0.3, 20L), 3L -> (0.0, 30L),
+      4L -> null))
+  }
+
   test("shuffledTokenBudget: a same-salt shuffleOrder prefix whose mass covers the budget") {
     graft.core.Caches.unpersistAll()
     val docs = Tables.load(spark, sf001, "documents")
