@@ -17,15 +17,21 @@ import org.apache.spark.sql.functions._
 object KeySets {
 
   /** Write `keys` (single long column) under `kind`, with `params`
-    * riding along as `param:<name>` rows. */
+    * riding along as `param:<name>` rows and an always-present
+    * `family:<kind>` tag row — the tag is what lets an EMPTY key set
+    * (a legitimately empty reference corpus) still prove which family
+    * built it, so a foreign dump that happens to contain only param
+    * rows can never load as someone else's empty blocklist. */
   def save(keys: DataFrame, path: String, kind: String,
       params: Map[String, Long] = Map.empty): Unit = {
-    require(!kind.startsWith("param:"), s"reserved kind prefix: $kind")
+    require(!kind.startsWith("param:") && !kind.startsWith("family:"),
+      s"reserved kind prefix: $kind")
     import keys.sparkSession.implicits._
     val k = keys.select(lit(kind).as("kind"),
       col(keys.columns.head).cast("long").as("value"))
-    val meta = params.toSeq.sortBy(_._1)
-      .map { case (n, v) => (s"param:$n", v) }.toDF("kind", "value")
+    val meta = (params.toSeq.sortBy(_._1)
+      .map { case (n, v) => (s"param:$n", v) } :+ (s"family:$kind", 0L))
+      .toDF("kind", "value")
     k.unionByName(meta).write.mode("overwrite").parquet(path)
   }
 
@@ -34,13 +40,22 @@ object KeySets {
   def load(spark: SparkSession, path: String,
       expectKind: String): (DataFrame, Map[String, Long]) = {
     val df = spark.read.parquet(path)
-    val kinds = df.select(col("kind")).distinct().collect()
-      .map(_.getString(0)).filterNot(_.startsWith("param:")).toSet
-    // subset, not equality: a legitimately empty reference corpus writes
-    // only param rows, and an empty blocklist must load as an empty Seq
-    // (the gate then passes everything — correct for an empty corpus)
+    val tags = df.select(col("kind")).distinct().collect()
+      .map(_.getString(0)).toSet
+    val kinds = tags.filterNot(t =>
+      t.startsWith("param:") || t.startsWith("family:"))
+    // key rows: subset, not equality — an empty blocklist must load as
+    // an empty Seq (the gate then passes everything — correct for an
+    // empty corpus). The family TAG is checked by equality: it is
+    // present in every dump, so a dump from a different family can't
+    // pass the gate by being empty of key rows.
     require(kinds.subsetOf(Set(expectKind)),
       s"key set at $path was built as ${kinds.mkString(",")}, not $expectKind")
+    val families = tags.filter(_.startsWith("family:"))
+      .map(_.stripPrefix("family:"))
+    require(families == Set(expectKind),
+      s"key set at $path carries family tag ${families.mkString(",")}, " +
+        s"not $expectKind — refusing a foreign (or pre-tag) dump")
     val params = df.filter(col("kind").startsWith("param:"))
       .collect().map(r => r.getString(0).stripPrefix("param:") -> r.getLong(1))
       .toMap

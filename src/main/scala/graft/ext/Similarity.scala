@@ -104,11 +104,15 @@ object Similarity {
   /** The fixed-point bench vectors as a driver literal for
     * [[flagSemanticContaminated]] — the gate family's side-input collect
     * (bounded by the bench set's smallness premise, exactly like the
-    * centroid/blocklist/band-key literals; null vectors are excluded —
-    * the batch dual never scores them either). */
+    * centroid/blocklist/band-key literals; null vectors AND vectors
+    * containing a null component are excluded — the batch dual never
+    * scores either (the HOF-fold null-out contract), and a partially-
+    * null vector surviving into the flattened literal would NPE the
+    * stage build or poison the geometry). */
   def collectBenchFp(bench: DataFrame,
       vecCol: String = "embedding"): Seq[Array[Long]] =
-    bench.filter(col(vecCol).isNotNull)
+    bench.filter(col(vecCol).isNotNull &&
+        forall(col(vecCol), x => x.isNotNull))
       .select(fixedPointVec(col(vecCol)).as("x")).collect()
       .map(_.getSeq[Long](0).toArray).toSeq
 
@@ -1479,25 +1483,37 @@ object Similarity {
           .as("cell"))
       .withColumn("dtab", adcDtab(cb))
       .select(col("qid"), col("cell"), col("dtab"))
-    val probeBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes *
-      BigInt(math.max(1, nProbe))
-    val qSide = if (probeBytes <= BigInt(256L << 20)) broadcast(q) else q
+    val qStatBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bcMax = BigInt(256L << 20)
+    val probeBytes = qStatBytes * BigInt(math.max(1, nProbe))
+    val qSide = if (probeBytes <= bcMax) broadcast(q) else q
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
     // the shortlist KEEPS the cell key: the refine join below equi-joins
     // on (cell, vid), so the broadcast shortlist's cells prune the second
     // postings read the same way the probe pruned the first
-    val shortlist = qSide
+    val shortlist0 = qSide
       .join(postings.select(col("cell"), col("vid"), col("code")), Seq("cell"))
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"), col("cell"), adcScore(m, ksub).as("adc"))
       .withColumn("ra", row_number().over(wAdc))
       .filter(col("ra") <= refine)
       .select(col("qid"), col("vid"), col("cell"))
+    // the refine-side broadcasts get the SAME size gate as the probe: the
+    // shortlist is |Q|·refine slim rows (gated by the query stat scaled
+    // to refine — each shortlist row is far narrower than the query row
+    // the stat measures, so this over-counts, i.e. degrades early), and
+    // the query-vector frame is the raw query stat. Past the bound the
+    // refine degrades to planned joins (pruning may then not fire) —
+    // never a driver-OOM collect.
+    val shortlist =
+      if (qStatBytes * BigInt(math.max(1, refine)) <= bcMax)
+        broadcast(shortlist0) else shortlist0
+    val qVecs0 = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val qVecs = if (qStatBytes <= bcMax) broadcast(qVecs0) else qVecs0
     val wCos = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
     postings.select(col("cell"), col("vid"), col("bv"))
-      .join(broadcast(shortlist), Seq("cell", "vid"))
-      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))),
-        Seq("qid"))
+      .join(shortlist, Seq("cell", "vid"))
+      .join(qVecs, Seq("qid"))
       .select(col("qid"), col("vid"), foldCosine(col("qv"), col("bv")).as("cosine"))
       .withColumn("rk", row_number().over(wCos))
       .filter(col("rk") <= k)

@@ -24,7 +24,10 @@ import org.apache.spark.sql.types._
   * n2x and each dot are exact BIGINT folds; cos = 0.0 when either norm
   * is zero, else dot/(√n2x·√bn2) in double; hit ⟺ any cos ≥ minCosine.
   * A null input vector — or a vector containing a null component (the
-  * HOF-fold null-out contract) — yields a null flag.
+  * HOF-fold null-out contract) — yields a null flag, and so does an
+  * input whose length differs from the bench dimensionality: geometry
+  * drift must fail loudly like the rest of the fixed-point family,
+  * never truncate to a quietly wrong cosine.
   */
 object SemanticHits {
 
@@ -32,11 +35,18 @@ object SemanticHits {
     * (ARRAY<BIGINT>); benchFlat: nBench·dims flattened fixed-point bench
     * components; benchN2: the nBench exact squared norms. */
   def anyHit(x: Column, benchFlat: Array[Long], benchN2: Array[Long],
-      nBench: Int, minCosine: Double): Column =
+      nBench: Int, minCosine: Double): Column = {
+    require(nBench > 0 && benchFlat.length % nBench == 0,
+      s"benchFlat length ${benchFlat.length} is not a multiple of " +
+        s"nBench=$nBench — a ragged or mis-flattened bench literal " +
+        "would score against garbage geometry")
+    require(benchN2.length == nBench,
+      s"benchN2 carries ${benchN2.length} norms for nBench=$nBench")
     Bridge.column(SemanticHit(Bridge.expression(x),
       Bridge.expression(ArrayMath.longArrayLit(benchFlat)),
       Bridge.expression(ArrayMath.longArrayLit(benchN2)),
       nBench, minCosine))
+  }
 }
 
 case class SemanticHit(first: Expression, second: Expression,
@@ -67,6 +77,10 @@ case class SemanticHit(first: Expression, second: Expression,
     val n2s = na.asInstanceOf[ArrayData]
     val xLen = x.numElements()
     val dims = flat.numElements() / nBench
+    // geometry drift fails loudly-as-null, never a silent truncated dot:
+    // a dot over min(xLen, dims) with n2x folded over all of xLen is a
+    // quietly wrong cosine (the fixed-point family's contract is exact)
+    if (xLen != dims) return null
     var n2x = 0L
     var i = 0
     while (i < xLen) {
@@ -76,10 +90,9 @@ case class SemanticHit(first: Expression, second: Expression,
     var b = 0
     while (b < nBench) {
       val bn2 = n2s.getLong(b)
-      val n = math.min(xLen, dims)
       var dot = 0L
       var j = 0
-      while (j < n) { dot += x.getLong(j) * flat.getLong(b * dims + j); j += 1 }
+      while (j < dims) { dot += x.getLong(j) * flat.getLong(b * dims + j); j += 1 }
       val cos =
         if (n2x == 0L || bn2 == 0L) 0.0
         else dot.toDouble / (math.sqrt(n2x.toDouble) * math.sqrt(bn2.toDouble))
@@ -103,16 +116,16 @@ case class SemanticHit(first: Expression, second: Expression,
       int $dims = $flat.numElements() / $nBench;
       long $n2x = 0L;
       boolean $hit = false;
-      for (int $i = 0; $i < $xLen; $i++) {
+      if ($xLen != $dims) { ${ev.isNull} = true; }
+      for (int $i = 0; !${ev.isNull} && $i < $xLen; $i++) {
         ${if (checkNulls) s"if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""}
         long $v = $x.getLong($i); $n2x += $v * $v;
       }
       if (!${ev.isNull}) {
         for (int $b = 0; $b < $nBench && !$hit; $b++) {
           long $bn2 = $n2s.getLong($b);
-          int $n = java.lang.Math.min($xLen, $dims);
           long $dot = 0L;
-          for (int $j = 0; $j < $n; $j++) {
+          for (int $j = 0; $j < $dims; $j++) {
             $dot += $x.getLong($j) * $flat.getLong($b * $dims + $j);
           }
           double $cos = ($n2x == 0L || $bn2 == 0L) ? 0.0

@@ -282,6 +282,21 @@ class ExtOpsSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("KeySets: empty dump loads empty for its OWN family, rejects a foreign reader") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ks").toString + "/dump"
+    graft.core.KeySets.save(Seq.empty[Long].toDF("k"), path, "fam_a",
+      Map("n" -> 4L))
+    val (keys, params) = graft.core.KeySets.loadCollected(spark, path, "fam_a")
+    assert(keys.isEmpty && params == Map("n" -> 4L))
+    // a dump holding only param/family rows must NOT load as some OTHER
+    // family's legitimately-empty blocklist (it would pass everything)
+    val e = intercept[IllegalArgumentException] {
+      graft.core.KeySets.load(spark, path, "fam_b")
+    }
+    assert(e.getMessage.contains("family"))
+  }
+
   test("shuffleOrder: dense and bucket paths emit the identical permutation") {
     graft.core.Caches.unpersistAll()
     val docs = Tables.load(spark, sf001, "documents")
