@@ -601,27 +601,39 @@ object Sharding {
     * a materialized column, so per-chunk slices read an attribute, not a
     * re-split — the §4 capture rule's cheap-capture form). */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      carryInput: Boolean = false): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens must be in [0, chunkTokens): $overlapTokens")
     val stride = chunkTokens - overlapTokens
-    docs.filter(col(textCol).isNotNull)
+    val exploded = docs.filter(col(textCol).isNotNull)
       .withColumn("__ws", split(col(textCol), " ", -1))
       .withColumn("__n", size(col("__ws")).cast(LongType))
       .withColumn("__last",
         greatest(lit(0L), ceil((col("__n") - lit(chunkTokens.toLong))
           .cast(DoubleType) / lit(stride.toDouble)).cast(LongType)))
-      .select(col(idCol), col("__ws"), col("__n"),
+      .select(col("*"),
         posexplode(transform(sequence(lit(0L), col("__last")),
           i => i * lit(stride.toLong))).as(Seq("chunk_idx", "start_token")))
-      .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
-        col("start_token"),
-        least(lit(chunkTokens.toLong), col("__n") - col("start_token"))
-          .as("n_chunk_tokens"),
-        concat_ws(" ", slice(col("__ws"),
-          (col("start_token") + 1).cast(IntegerType), lit(chunkTokens)))
-          .as("chunk_text"))
+    val nChunk = least(lit(chunkTokens.toLong), col("__n") - col("start_token"))
+    val chunkText = concat_ws(" ", slice(col("__ws"),
+      (col("start_token") + 1).cast(IntegerType), lit(chunkTokens)))
+    if (!carryInput)
+      exploded.select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("start_token"), nChunk.as("n_chunk_tokens"),
+        chunkText.as("chunk_text"))
+    else {
+      // pipeline-stage face: the doc stream BECOMES a chunk stream —
+      // every input column rides along, `textCol` is replaced by the
+      // chunk's text (so downstream text stages keep working), and the
+      // chunk coordinates are additive audit columns
+      val keep = docs.columns.toIndexedSeq.map(c =>
+        if (c == textCol) chunkText.as(textCol) else col(c))
+      exploded.select(keep ++ Seq(
+        col("chunk_idx").cast(LongType).as("chunk_idx"), col("start_token"),
+        nChunk.as("n_chunk_tokens")): _*)
+    }
   }
 
   /** Fill-in-the-middle (FIM) transformation — the code-model training
@@ -640,27 +652,40 @@ object Sharding {
     * two hashes + three substrings per row, no shuffle; fused into the
     * scan at any corpus size. */
   def fimTransform(docs: DataFrame, salt: String = "fim",
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      carryInput: Boolean = false): DataFrame = {
     val t = col(textCol)
     val n = length(t).cast(LongType)
     def h(tag: String) = graft.functions.TextMetrics.hash60(
       concat_ws(":", lit(salt), col(idCol).cast(StringType), lit(tag)))
     val lo = pmod(h("a"), n + 1L)
     val hi = lo + pmod(h("b"), n - lo + 1L)
-    docs
+    val cut = docs
       .withColumn("n_chars_fim", n)
-      .withColumn("lo", lo)
-      .withColumn("hi", hi)
-      .withColumn("fim_text",
-        concat(lit("<PRE>"), t.substr(lit(1), col("lo").cast(IntegerType)),
+      .withColumn("__fim_lo", lo)
+      .withColumn("__fim_hi", hi)
+      .withColumn("__fim_text",
+        concat(lit("<PRE>"), t.substr(lit(1), col("__fim_lo").cast(IntegerType)),
           lit("<SUF>"),
-          t.substr((col("hi") + 1).cast(IntegerType),
-            (col("n_chars_fim") - col("hi")).cast(IntegerType)),
+          t.substr((col("__fim_hi") + 1).cast(IntegerType),
+            (col("n_chars_fim") - col("__fim_hi")).cast(IntegerType)),
           lit("<MID>"),
-          t.substr((col("lo") + 1).cast(IntegerType),
-            (col("hi") - col("lo")).cast(IntegerType))))
-      .select(col(idCol), col("n_chars_fim").as("n_chars"), col("lo"),
-        col("hi"), col("fim_text"))
+          t.substr((col("__fim_lo") + 1).cast(IntegerType),
+            (col("__fim_hi") - col("__fim_lo")).cast(IntegerType))))
+    if (!carryInput)
+      cut.select(col(idCol), col("n_chars_fim").as("n_chars"),
+        col("__fim_lo").as("lo"), col("__fim_hi").as("hi"),
+        col("__fim_text").as("fim_text"))
+    else {
+      // pipeline-stage face: `textCol` becomes the PSM rewrite (the FIM
+      // text IS the training text downstream stages pack/shard), the
+      // cut points stay as audit columns, every other column rides
+      // along. Null-text rows keep a null rewrite (total pass).
+      val keep = docs.columns.toIndexedSeq.map(c =>
+        if (c == textCol) col("__fim_text").as(textCol) else col(c))
+      cut.select(keep ++ Seq(col("__fim_lo").as("fim_lo"),
+        col("__fim_hi").as("fim_hi")): _*)
+    }
   }
 
   /** Greedy SCORE-ORDERED token budget — "fill a B-token budget with the

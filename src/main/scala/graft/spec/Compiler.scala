@@ -245,6 +245,40 @@ object Compiler {
         .map(m => (m._2, m._3))
       graft.ext.Bpe.tokenizeTotal(df, merges)
     }
+    // fixed-size token chunking with overlap ([[graft.ext.Sharding
+    // .chunkDocuments]]'s stage face): the doc stream becomes a chunk
+    // stream — `text` is replaced by each chunk's text so downstream
+    // stages keep working, chunk coordinates ride as audit columns.
+    // Stateless one-to-many projection (a bounded posexplode), so
+    // batch == stream; null-text rows have no chunks and drop (the
+    // tokenize-surface contract, q108/q153).
+    case "chunk_tokens" => df => {
+      val ct = p.config.getOrElse("chunk_tokens",
+        sys.error("chunk_tokens needs config.chunk_tokens (window size)")).toInt
+      val ov = p.config.getOrElse("overlap_tokens", "0").toInt
+      val idc = p.config.getOrElse("id_col", "doc_id")
+      val textc = p.config.getOrElse("text_col", "text")
+      require(df.columns.contains(idc),
+        s"chunk_tokens needs id column '$idc' in the stream " +
+          s"(have: ${df.columns.mkString(", ")}; config.id_col overrides)")
+      graft.ext.Sharding.chunkDocuments(df, ct, ov, idc, textc,
+        carryInput = true)
+    }
+    // fill-in-the-middle rewrite ([[graft.ext.Sharding.fimTransform]]'s
+    // stage face): `text` becomes the <PRE>…<SUF>…<MID>… PSM rewrite,
+    // cut points ride as fim_lo/fim_hi audit columns. Deterministic per
+    // (salt, id, text) — a map-only projection, batch == stream; null
+    // text keeps a null rewrite (total pass).
+    case "fim_transform" => df => {
+      val salt = p.config.getOrElse("salt", "fim")
+      val idc = p.config.getOrElse("id_col", "doc_id")
+      val textc = p.config.getOrElse("text_col", "text")
+      require(df.columns.contains(idc),
+        s"fim_transform needs id column '$idc' in the stream " +
+          s"(have: ${df.columns.mkString(", ")}; config.id_col overrides)")
+      graft.ext.Sharding.fimTransform(df, salt, idc, textc,
+        carryInput = true)
+    }
     // scores every row's `embedding` (config.vec_col overrides) against a
     // batch-trained centroid dump ([[graft.ext.Similarity.kmeansModelSave]])
     // — always additive (a cluster id is routing/audit metadata, not a

@@ -865,6 +865,89 @@ class SpecSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("chunk_tokens spec: doc stream becomes a chunk stream, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val spec = SpecLoader.load(
+      """input: {type: stdin}
+        |pipeline:
+        |  processors:
+        |    - type: chunk_tokens
+        |      config: {chunk_tokens: "3", overlap_tokens: "1"}
+        |output: {type: stdout}
+        |""".stripMargin)
+    val rows = Seq((1L, "a b c d e"), (2L, "x y"),
+      (3L, null.asInstanceOf[String]))
+    def chunks(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "chunk_idx", "start_token", "text", "n_chunk_tokens")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    val batchOut = chunks(Compiler.pipeline(spec)(rows.toDF("doc_id", "text")))
+    // stride 2: doc 1 windows at 0 and 2 (3 tokens each); doc 2 one
+    // short window; null-text doc 3 has no chunks and drops
+    assert(batchOut == Seq(
+      (1L, 0L, 0L, "a b c", 3L), (1L, 1L, 2L, "c d e", 3L),
+      (2L, 0L, 0L, "x y", 2L)))
+    // the dual replays the q153 arithmetic over the replaced text column
+    val ms = MemoryStream[(Long, String)]
+    val out = Compiler.pipeline(spec)(
+      ms.toDF().toDF("doc_id", "text"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("chunk_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows.filter(_._2 != null): _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    assert(chunks(spark.table("chunk_stream")) == batchOut)
+  }
+
+  test("fim_transform spec: text becomes the PSM rewrite, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val spec = SpecLoader.load(
+      """input: {type: stdin}
+        |pipeline:
+        |  processors:
+        |    - type: fim_transform
+        |      config: {salt: "s15"}
+        |output: {type: stdout}
+        |""".stripMargin)
+    val rows = Seq((7L, "the quick brown fox"), (8L, "jumps over"),
+      (9L, null.asInstanceOf[String]))
+    def fims(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text", "fim_lo", "fim_hi").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val batchOut = fims(Compiler.pipeline(spec)(rows.toDF("doc_id", "text")))
+    assert(batchOut.size == 3)
+    // splice invariant: PRE + MID + SUF rebuilds the original text
+    for (((id, orig), (gid, fim, lo, hi)) <- rows.zip(batchOut) if orig != null) {
+      assert(id == gid)
+      val m = "<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+      val m(pre, suf, mid) = fim: @unchecked
+      assert(pre + mid + suf == orig, s"doc $id splice broke")
+      assert(lo >= 0 && hi >= lo && hi <= orig.length)
+    }
+    // null text: null rewrite, null cuts (total pass)
+    assert(batchOut.last == ((9L, null, -1L, -1L)))
+    val ms = MemoryStream[(Long, String)]
+    val out = Compiler.pipeline(spec)(ms.toDF().toDF("doc_id", "text"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("fim_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    assert(fims(spark.table("fim_stream")) == batchOut)
+  }
+
   test("bpe_tokenize spec: tokenizes with a saved vocabulary, batch == stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
