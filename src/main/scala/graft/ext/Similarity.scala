@@ -641,10 +641,20 @@ object Similarity {
     * or re-assigning anything. Assignment uses exactly [[ivfTopK]]'s
     * argmax expression, so a serve against the saved index returns
     * bit-identical top-k to an [[ivfTopK]] run with the same geometry
-    * (equivalence-tested). */
+    * (equivalence-tested).
+    *
+    * `metaCols` names extra base columns to persist alongside each
+    * posting (language, source, license, timestamp …) — the substrate
+    * of FILTERED retrieval: a serve-time predicate over these columns
+    * runs INSIDE the pruned postings scan (parquet pushdown + row-group
+    * min/max skipping on top of the cell DPP), so filtered top-k never
+    * rescans-then-filters. */
   def ivfIndexSave(base: DataFrame, path: String, nCells: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metaCols: Seq[String] = Nil): Unit = {
     import base.sparkSession.implicits._
+    require(!metaCols.exists(Set("vid", "bv", "cell")),
+      s"metaCols collide with index columns: $metaCols")
     val centroids = lloydCentroids(base, nCells, idCol, vecCol)
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -652,8 +662,9 @@ object Similarity {
     def topCells(vec: Column, m: Int): Column =
       slice(reverse(array_sort(cellScores(vec, centroids))), 1, m)
     graft.core.Tables.spread(base)
-      .select(col(idCol).as("vid"), col(vecCol).as("bv"),
+      .select(Seq(col(idCol).as("vid"), col(vecCol).as("bv"),
         element_at(topCells(col(vecCol), 1), 1).getField("cell").as("cell"))
+        ++ metaCols.map(col): _*)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/postings")
   }
 
@@ -676,11 +687,23 @@ object Similarity {
     * join is a broadcast-probe whose cell keys dynamically prune the
     * partitioned postings scan — the unprobed corpus is never READ, not
     * just never scored. Bit-identical to [[ivfTopK]] at the same
-    * geometry. */
+    * geometry.
+    *
+    * FILTERED retrieval: `predicate` (over [[ivfIndexSave]] `metaCols`)
+    * restricts the candidate set to matching postings — top-k among the
+    * predicate-true rows of the probed cells, the standard filtered-ANN
+    * contract at fixed probe geometry (equal, row-for-row, to filtering
+    * the postings first and serving the remainder — equality-tested).
+    * The predicate lands ON THE POSTINGS SCAN (parquet pushdown +
+    * row-group min/max skipping inside the DPP-pruned cells), never as
+    * a rescan-then-filter; a highly selective predicate trades recall —
+    * raise `nProbe` to compensate, exactly as with a shrinking cell. */
   def ivfServeTopK(queries: DataFrame, spark: org.apache.spark.sql.SparkSession,
       path: String, k: Int, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (centroids, postings) = ivfIndexLoad(spark, path)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicate: Option[Column] = None): DataFrame = {
+    val (centroids, postings0) = ivfIndexLoad(spark, path)
+    val postings = predicate.fold(postings0)(postings0.filter)
     def topCells(vec: Column, m: Int): Column =
       slice(reverse(array_sort(cellScores(vec, centroids))), 1, m)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
@@ -1420,9 +1443,12 @@ object Similarity {
     * exactly). */
   def pqIndexSave(base: DataFrame, path: String, m: Int = 8, ksub: Int = 16,
       nCells: Int = 16, dims: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metaCols: Seq[String] = Nil): Unit = {
     import base.sparkSession.implicits._
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    require(!metaCols.exists(Set("vid", "bv", "code", "cell")),
+      s"metaCols collide with index columns: $metaCols")
     val (centroids, cb) = trainIvfPq(base, nCells, m, ksub, dims, idCol, vecCol)
     val modelRows =
       centroids.toSeq.zipWithIndex.map { case (c, i) => (-1, i, c.toSeq) } ++
@@ -1433,9 +1459,10 @@ object Similarity {
       slice(reverse(array_sort(cellScores(vec, centroids))), 1, n)
     withUnit(graft.core.Tables.spread(base).filter(col(vecCol).isNotNull),
         vecCol, "__u")
-      .select(col(idCol).as("vid"), col(vecCol).as("bv"),
+      .select(Seq(col(idCol).as("vid"), col(vecCol).as("bv"),
         pqCodeCols(col("__u"), cb).as("code"),
         element_at(topCells(col(vecCol), 1), 1).getField("cell").as("cell"))
+        ++ metaCols.map(col): _*)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/postings")
   }
 
@@ -1471,9 +1498,15 @@ object Similarity {
     * not fire) instead of a driver-OOM collect. */
   def pqServeTopK(queries: DataFrame, spark: org.apache.spark.sql.SparkSession,
       path: String, k: Int, nProbe: Int = 4, refine: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicate: Option[Column] = None): DataFrame = {
     require(refine >= k, s"refine=$refine must be at least k=$k")
-    val (centroids, cb, postings) = pqIndexLoad(spark, path)
+    val (centroids, cb, postings0) = pqIndexLoad(spark, path)
+    // filtered retrieval ([[ivfServeTopK]] contract): the predicate —
+    // over [[pqIndexSave]] metaCols — restricts BOTH postings reads (the
+    // ADC code scan and the exact refine scan) at the parquet scan
+    // itself, composing with the cell DPP
+    val postings = predicate.fold(postings0)(postings0.filter)
     val m = cb.length; val ksub = cb(0).length
     def topCells(vec: Column, n: Int): Column =
       slice(reverse(array_sort(cellScores(vec, centroids))), 1, n)

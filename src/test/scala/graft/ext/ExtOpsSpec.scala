@@ -863,6 +863,55 @@ class ExtOpsSpec extends SparkSpec {
       s"expected dynamic partition pruning on the postings scan:\n${plan.take(2000)}")
   }
 
+  test("filtered ANN serving: predicate runs inside the pruned postings scan") {
+    val e0 = Tables.load(spark, sf001, "embeddings")
+    // a metadata column to filter on: stable parity of the id
+    val e = e0.withColumn("shard_tag", pmod(col("vec_id"), lit(2L)))
+    val q = e0.filter(col("vec_id") < 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fivf").toString
+    Similarity.ivfIndexSave(e, dir, nCells = 8, metaCols = Seq("shard_tag"))
+    val pred = col("shard_tag") === 0L
+    val served = Similarity.ivfServeTopK(q, spark, dir, k = 5, nProbe = 4,
+      predicate = Some(pred))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // contract: equal to the UNFILTERED serve of the same index at
+    // exhaustive k, post-filtered to predicate-true neighbors and
+    // re-ranked per query — i.e. "top-k among the predicate-true rows
+    // of the probed cells"
+    val reference = {
+      import org.apache.spark.sql.expressions.Window
+      val all = Similarity.ivfServeTopK(q, spark, dir, k = Int.MaxValue,
+        nProbe = 4)
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+      all.filter(pmod(col("vid"), lit(2L)) === 0L)
+        .select(col("qid"), col("vid"), col("cosine"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+    }
+    assert(rows(served) == rows(reference))
+    // every returned neighbor satisfies the predicate (even ids)
+    assert(rows(served).nonEmpty && rows(served).forall(_._2 % 2 == 0))
+    // the predicate is PUSHED to the postings parquet scan (and the cell
+    // DPP still fires) — no rescan-then-filter
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), "cell DPP must still fire")
+    assert(plan.contains("EqualTo(shard_tag,0)") &&
+      plan.contains("PushedFilters: [IsNotNull(shard_tag), EqualTo(shard_tag,0)"),
+      s"predicate must reach the postings scan:\n${plan.take(3000)}")
+    // PQ face: same predicate, same containment contract
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-fpq").toString
+    Similarity.pqIndexSave(e, pqDir, m = 8, ksub = 16, nCells = 8,
+      metaCols = Seq("shard_tag"))
+    val pqServed = Similarity.pqServeTopK(q, spark, pqDir, k = 5, nProbe = 4,
+      refine = 64, predicate = Some(pred))
+    val pqRows = rows(pqServed)
+    assert(pqRows.nonEmpty && pqRows.forall(_._2 % 2 == 0))
+    val pqPlan = pqServed.queryExecution.executedPlan.toString
+    assert(pqPlan.contains("EqualTo(shard_tag,0)"),
+      "predicate must reach the PQ postings scans")
+  }
+
   test("pqServeTopK from a saved index == pqTopK, and both postings reads prune") {
     val e = Tables.load(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") < 16)
