@@ -94,6 +94,116 @@ object Multimodal {
         col("hdr.channels").as("channels"),
         col("hdr.duration_ms").as("duration_ms"))
 
+  /** Perceptual near-duplicate pairs over an image payload column — the
+    * content-level dedup face of the multimodal column (the header
+    * sniff routes; THIS collapses re-encodes/minor edits): every
+    * payload [[graft.functions.PerceptualHashFns.imageDHash]]-hashes
+    * (codec-free PGM/BMP; un-decodable payloads drop — they have no
+    * content hash), and pairs within `maxHamming` bits surface via
+    * EXACT-MATCH BANDING: the 64-bit hash splits into maxHamming+1
+    * bit-bands, and by pigeonhole two hashes within maxHamming share
+    * at least one band unchanged — so the band equi-join finds EVERY
+    * qualifying pair (recall 1, no LSH luck involved), and the
+    * verify stage's popcount keeps exactly those within the bound.
+    *
+    * Scale shape (the [[Dedup]] candidate discipline): hashes are one
+    * map-only projection; the band join shuffles (band, code) keys —
+    * slim rows, shuffle_hash-pinned (the banded side hides behind a
+    * Generate the estimator cannot size); verify joins hashes back by
+    * id and runs `bit_count(xor)` — integer codegen, no vectors, no
+    * payloads past the first projection. */
+  def perceptualDupPairs(media: DataFrame, maxHamming: Int = 3,
+      idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64): $maxHamming")
+    val nBands = maxHamming + 1
+    val hashes0 = media.select(col(idCol).as("id"),
+        graft.functions.PerceptualHashFns.imageDHash(col(payloadCol)).as("ph"))
+      .filter(col("ph").isNotNull)
+    // dense dual (the [[Similarity.annLshPairs]] envelope pattern): while
+    // the SOURCE stats fit the dense bound, one broadcast self-join with
+    // the popcount filter INSIDE the scan beats the banded chain's four
+    // exchanges — a hash pair costs one xor+popcount, so even the bound's
+    // worst case (~10⁵ rows of small payloads → ~10¹⁰ fused integer ops)
+    // clears in seconds, with zero shuffles. The stat measures PAYLOAD
+    // bytes, so it over-counts rows for real media and degrades to the
+    // banded path early — the safe direction. Past the bound the banded
+    // plan runs: never an all-pairs at corpus scale.
+    val denseMax = media.sparkSession.conf
+      .getOption("spark.graft.multimodal.pairsDenseMaxBytes")
+      .map(_.toLong).getOrElse(32L << 20)
+    if (media.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(denseMax)) {
+      // stream side spread: the |hashes|² loop must use every core even
+      // when the source is one small file — the exchange moves slim
+      // (id, hash) rows only
+      val j = graft.core.Tables.spread(hashes0)
+        .select(col("id").as("j"), col("ph").as("pj"))
+      return broadcast(hashes0.select(col("id").as("i"), col("ph").as("pi")))
+        .join(j, col("i") < col("j") &&
+          bit_count(col("pi").bitwiseXOR(col("pj"))) <= maxHamming)
+        .select(col("i"), col("j"),
+          bit_count(col("pi").bitwiseXOR(col("pj"))).as("hamming"))
+    }
+    val hashed = graft.core.Caches.persist(hashes0)
+    val bandCols = (0 until nBands).map { s =>
+      val lo = s * 64 / nBands
+      val hi = (s + 1) * 64 / nBands
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      struct(lit(s).as("band"),
+        shiftrightunsigned(col("ph"), lo).bitwiseAND(lit(mask)).as("code"))
+    }
+    val banded = hashed.select(col("id"),
+      explode(array(bandCols: _*)).as("bc"))
+      .select(col("id"), col("bc").getField("band").as("band"),
+        col("bc").getField("code").as("code"))
+    val cand = banded.select(col("band"), col("code"), col("id").as("i"))
+      .join(banded.select(col("band"), col("code"), col("id").as("j"))
+        .hint("shuffle_hash"), Seq("band", "code"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+      .distinct()
+    cand
+      .join(hashed.select(col("id").as("i"), col("ph").as("pi"))
+        .hint("shuffle_hash"), Seq("i"))
+      .join(hashed.select(col("id").as("j"), col("ph").as("pj"))
+        .hint("shuffle_hash"), Seq("j"))
+      .withColumn("hamming", bit_count(col("pi").bitwiseXOR(col("pj"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+  }
+
+  /** [[graft.core.KeySets]] kind tag of the image-dHash blocklist. */
+  val DHashKind = "image_dhash"
+
+  /** Persist the corpus's image dHashes as a [[graft.core.KeySets]]
+    * blocklist — the build side of the perceptual ingest gate (the
+    * [[Dedup.fpIndexSave]] pattern at the content-hash level):
+    * hash-equality against this set flags a new payload as a
+    * perceptual duplicate of something already ingested. */
+  def dHashIndexSave(media: DataFrame, path: String,
+      payloadCol: String = "payload"): Unit =
+    graft.core.KeySets.save(
+      media.select(
+          graft.functions.PerceptualHashFns.imageDHash(col(payloadCol)).as("ph"))
+        .filter(col("ph").isNotNull).distinct(),
+      path, DHashKind)
+
+  /** Stateless perceptual-duplicate flag against a [[dHashIndexSave]]
+    * blocklist literal — map-only (one codegen hash + one binary
+    * search per row), so the SAME code gates a batch frame or any
+    * streaming micro-batch. Un-decodable payloads get a null flag
+    * (the drop-gates' total-pass convention: only a POSITIVE content
+    * match drops). */
+  def flagPerceptualDup(media: DataFrame, hashes: Seq[Long],
+      payloadCol: String = "payload"): DataFrame = {
+    val ph = graft.functions.PerceptualHashFns.imageDHash(col(payloadCol))
+    media.withColumn("perceptual_dup",
+      when(ph.isNull, lit(null).cast(BooleanType))
+        .otherwise(
+          if (hashes.isEmpty) lit(false)
+          else graft.functions.ArraySets.sortedLongContains(ph, hashes)))
+  }
+
   /** Handcrafted container headers (shared by q109 and the spec tests):
     * real byte layouts, hand-derivable expected values. */
   object SampleHeaders {

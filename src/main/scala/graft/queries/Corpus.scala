@@ -2129,6 +2129,68 @@ object Corpus {
       |ORDER BY e.vec_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q155 — perceptual image near-dup pairs (content-level multimodal
+  // dedup): every ≥256-byte document becomes a REAL 16×16 PGM payload
+  // (P5 header + the text's first 256 UTF-8 bytes as pixels), with
+  // planted exact copies (+10⁶ ids) and one-byte-perturbed copies
+  // (+2·10⁶ ids) of the first docs; Multimodal.perceptualDupPairs
+  // parses the PGM binary, computes the 64-bit dHash (9×8 integer
+  // decimation grid, left<right bits), bands it 4×16 bits (pigeonhole-
+  // exact for hamming ≤ 3), and verifies popcount. The oracle replays
+  // the pixel bytes via hex(), every grid sample, every comparison
+  // bit, the signed-64 wrap, and the all-pairs hamming — one sampled
+  // byte disagreeing anywhere moves a hash and breaks the hash-match.
+  def q155_perceptual_dups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
+      .filter(length(col("b")) >= 256)
+    val planted = d.filter(col("doc_id") < 20)
+    val media = d
+      .unionByName(planted.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("b")))
+      .unionByName(planted.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("Z".getBytes("US-ASCII")),
+          col("b").substr(lit(2), lit(255))).as("b")))
+      .select(col("doc_id").as("media_id"),
+        concat(lit("P5 16 16 255\n".getBytes("US-ASCII")),
+          col("b").substr(lit(1), lit(256))).as("payload"))
+    graft.ext.Multimodal.perceptualDupPairs(media, maxHamming = 3)
+      .coalesce(1)
+      .sortWithinPartitions(col("i"), col("j"))
+  }
+
+  private val q155_sql =
+    """WITH src AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+      |  WHERE octet_length(encode(text)) >= 256),
+      |med AS (
+      |  SELECT doc_id AS media_id, hx, 0 AS z FROM src
+      |  UNION ALL SELECT doc_id + 1000000, hx, 0 FROM src WHERE doc_id < 20
+      |  UNION ALL SELECT doc_id + 2000000, hx, 1 FROM src WHERE doc_id < 20),
+      |xs AS (SELECT list_value(0, 1, 3, 5, 7, 8, 10, 12, 14) AS x),
+      |bits AS (
+      |  SELECT m.media_id,
+      |    CASE WHEN
+      |      (CASE WHEN m.z = 1 AND (32 * i + x[j + 1]) = 0 THEN 90
+      |        ELSE CAST(('0x' || substr(m.hx, 2 * (32 * i + x[j + 1]) + 1, 2)) AS INT) END)
+      |      <
+      |      (CASE WHEN m.z = 1 AND (32 * i + x[j + 2]) = 0 THEN 90
+      |        ELSE CAST(('0x' || substr(m.hx, 2 * (32 * i + x[j + 2]) + 1, 2)) AS INT) END)
+      |    THEN (CAST(1 AS HUGEINT) << (i * 8 + j)) ELSE CAST(0 AS HUGEINT) END AS bit
+      |  FROM med m, xs, range(0, 8) ti(i), range(0, 8) tj(j)),
+      |hashes AS (
+      |  SELECT media_id,
+      |    CAST(CASE WHEN sum(bit) >= CAST(9223372036854775808 AS HUGEINT)
+      |      THEN sum(bit) - CAST(18446744073709551616 AS HUGEINT)
+      |      ELSE sum(bit) END AS BIGINT) AS h
+      |  FROM bits GROUP BY 1)
+      |SELECT a.media_id AS i, b.media_id AS j,
+      |  bit_count(xor(a.h, b.h)) AS hamming
+      |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.h, b.h)) <= 3
+      |ORDER BY i, j""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q153 — fixed-size token chunking with overlap (RAG/embedding prep):
   // 64-token windows advancing by 48 (16-token overlap), final window at
   // the last stride position that still adds tokens. The oracle
@@ -2524,6 +2586,7 @@ object Corpus {
     "q147_epoch_order" -> (q147_epoch_order _),
     "q148_curriculum_order" -> (q148_curriculum_order _),
     "q149_contrastive_pairs" -> (q149_contrastive_pairs _),
+    "q155_perceptual_dups" -> (q155_perceptual_dups _),
     "q150_token_mixture" -> (q150_token_mixture _),
     "q151_token_budget_by_score" -> (q151_token_budget_by_score _),
     "q152_semantic_gate_flags" -> (q152_semantic_gate_flags _),
@@ -2603,6 +2666,7 @@ object Corpus {
     "q147_epoch_order" -> q147_sql,
     "q148_curriculum_order" -> q148_sql,
     "q149_contrastive_pairs" -> q149_sql,
+    "q155_perceptual_dups" -> q155_sql,
     "q150_token_mixture" -> q150_sql,
     "q151_token_budget_by_score" -> q151_sql,
     "q152_semantic_gate_flags" -> q152_sql,

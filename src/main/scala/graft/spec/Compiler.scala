@@ -245,6 +245,23 @@ object Compiler {
         .map(m => (m._2, m._3))
       graft.ext.Bpe.tokenizeTotal(df, merges)
     }
+    // perceptual-duplicate gate over an image payload column — the
+    // CONTENT-level dual of exact_dup_gate for multimodal rows: the
+    // corpus's image dHashes ([[graft.ext.Multimodal.dHashIndexSave]])
+    // load once as a sorted literal, and each row's payload is hashed
+    // (codec-free PGM/BMP) and binary-searched — map-only, no join, no
+    // state, batch == stream. Un-decodable payloads get a null flag and
+    // PASS a drop-gate (total-pass convention: only a positive content
+    // match drops).
+    case "perceptual_dup_gate" => df => {
+      val ip = p.config.getOrElse("index_path",
+        sys.error("perceptual_dup_gate needs config.index_path (a dHashIndexSave dump)"))
+      val payloadCol = p.config.getOrElse("payload_col", "payload")
+      val (hashes, _) = graft.core.KeySets.loadCollected(
+        df.sparkSession, ip, graft.ext.Multimodal.DHashKind)
+      gated(p, graft.ext.Multimodal.flagPerceptualDup(df, hashes, payloadCol),
+        "perceptual_dup")
+    }
     // fixed-size token chunking with overlap ([[graft.ext.Sharding
     // .chunkDocuments]]'s stage face): the doc stream becomes a chunk
     // stream — `text` is replaced by each chunk's text so downstream

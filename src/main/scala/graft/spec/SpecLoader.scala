@@ -22,7 +22,8 @@ object SpecLoader {
     // side inputs — blocklist/band-key/centroid loads happen at stage
     // build, so the stages run unchanged on batch AND streaming frames
     "contamination_gate", "exact_dup_gate", "near_dup_gate", "kmeans_serve",
-    "bpe_tokenize", "semantic_gate", "chunk_tokens", "fim_transform")
+    "bpe_tokenize", "semantic_gate", "chunk_tokens", "fim_transform",
+    "perceptual_dup_gate")
   val sinkTypes = Set("stdout", "kafka", "parquet", "csv", "json", "orc", "xml",
     "upsert_parquet")
 

@@ -1187,6 +1187,138 @@ class ExtOpsSpec extends SparkSpec {
     assert(!plan.contains("payload"))
   }
 
+  // --- perceptual hashes -----------------------------------------------
+
+  /** PGM P5 with pixel(x,y) = f(x,y). */
+  private def pgm(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
+    s"P5 $w $h 255\n".getBytes("US-ASCII") ++
+      (for (y <- 0 until h; x <- 0 until w) yield f(x, y).toByte).toArray
+
+  /** Uncompressed 24bpp BMP (bottom-up unless topDown). */
+  private def bmp(w: Int, h: Int, topDown: Boolean = false)(
+      f: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val dataLen = rowBytes * h
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val hdr = "BM".getBytes("US-ASCII") ++ le32(54 + dataLen) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
+      Array[Byte](1, 0, 24, 0) ++ le32(0) ++ le32(dataLen) ++
+      le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    val px = new Array[Byte](dataLen)
+    for (y <- 0 until h; x <- 0 until w) {
+      val row = if (topDown) y else h - 1 - y
+      val g = f(x, y).toByte
+      val p = row * rowBytes + x * 3
+      px(p) = g; px(p + 1) = g; px(p + 2) = g // B=G=R → gray == g
+    }
+    hdr ++ px
+  }
+
+  test("imageDHash: exact bit contract on hand-derivable images, format parity, null off-format") {
+    import spark.implicits._
+    def hash(payload: Array[Byte]): Option[Long] = {
+      val r = Seq(Tuple1(payload)).toDF("payload")
+        .select(graft.functions.PerceptualHashFns.imageDHash(col("payload")))
+        .head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    // strictly increasing in x → every left<right comparison true → all 64 bits
+    assert(hash(pgm(9, 8)((x, _) => x * 10)) == Some(-1L))
+    // constant image → no bit set
+    assert(hash(pgm(9, 8)((_, _) => 77)) == Some(0L))
+    // BMP parses to the SAME gray grid → same hash (bottom-up AND top-down)
+    assert(hash(bmp(9, 8)((x, _) => x * 10)) == Some(-1L))
+    assert(hash(bmp(9, 8, topDown = true)((x, _) => x * 10)) == Some(-1L))
+    // brightness shift never flips a strict comparison
+    val base = pgm(18, 16)((x, y) => (x * 7 + y * 3) % 200)
+    val bright = pgm(18, 16)((x, y) => (x * 7 + y * 3) % 200 + 50)
+    assert(hash(base).get == hash(bright).get)
+    // compressed formats have no codec here → null, never garbage
+    assert(hash(Multimodal.SampleHeaders.png).isEmpty)
+    assert(hash(Multimodal.SampleHeaders.jpeg).isEmpty)
+    assert(hash("P2 2 2 255\n0 1 2 3".getBytes("US-ASCII")).isEmpty) // ascii PGM
+  }
+
+  test("wavEnergyFp: monotone/constant energy contracts, null for non-PCM16") {
+    import spark.implicits._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      val data = samples.flatMap(s =>
+        Array[Byte](s.toByte, (s >> 8).toByte))
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+        le32(16) ++ Array[Byte](1, 0, 1, 0) ++ le32(8000) ++ le32(16000) ++
+        Array[Byte](2, 0, 16, 0) ++ "data".getBytes("US-ASCII") ++
+        le32(data.length) ++ data
+    }
+    def fp(payload: Array[Byte]): Option[Long] = {
+      val r = Seq(Tuple1(payload)).toDF("payload")
+        .select(graft.functions.PerceptualHashFns.wavEnergyFp(col("payload")))
+        .head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    // 130 samples = 2 per window; |amplitude| strictly rising → all bits
+    assert(fp(wav(Array.tabulate(130)(i => (i + 1).toShort))) == Some(-1L))
+    // constant amplitude, windows of equal size → no window beats the last
+    assert(fp(wav(Array.fill(130)(100.toShort))) == Some(0L))
+    // sign flips don't matter: energy is |s|
+    assert(fp(wav(Array.tabulate(130)(i =>
+      (if (i % 2 == 0) i + 1 else -(i + 1)).toShort))) == Some(-1L))
+    // under 65 samples → null; non-WAV → null
+    assert(fp(wav(Array.fill(64)(1.toShort))).isEmpty)
+    assert(fp(pgm(9, 8)((x, _) => x)).isEmpty)
+  }
+
+  test("perceptualDupPairs: exact recall within the bound via pigeonhole banding") {
+    import spark.implicits._
+    val a = pgm(18, 16)((x, y) => (x * 11 + y * 5) % 230)
+    val aCopy = a.clone()
+    // flip ONE sampled pixel hard: changes at most 2 adjacent comparisons
+    val aEdit = a.clone(); aEdit(s"P5 18 16 255\n".length) = 255.toByte
+    val far = pgm(18, 16)((x, y) => ((17 - x) * 13 + (15 - y) * 7) % 230)
+    val png = Multimodal.SampleHeaders.png
+    val media = Seq((1L, a), (2L, aCopy), (3L, aEdit), (4L, far), (5L, png))
+      .toDF("media_id", "payload")
+    def run(): Set[(Long, Long, Int)] =
+      Multimodal.perceptualDupPairs(media, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pairs = run()
+    assert(pairs.contains((1L, 2L, 0)), s"exact copy must pair at hamming 0: $pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 <= 2),
+      s"one-pixel edit must pair within 2 bits: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated image must not pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "undecodable payload has no content hash, never pairs")
+    // the banded scale path (forced past the dense bound) finds the
+    // IDENTICAL pair set — pigeonhole recall is exact, not probabilistic
+    spark.conf.set("spark.graft.multimodal.pairsDenseMaxBytes", "0")
+    try assert(run() == pairs)
+    finally {
+      spark.conf.unset("spark.graft.multimodal.pairsDenseMaxBytes")
+      graft.core.Caches.unpersistAll()
+    }
+  }
+
+  test("perceptual dup gate: saved dHash blocklist flags copies, passes fresh and undecodable") {
+    import spark.implicits._
+    val a = pgm(18, 16)((x, y) => (x * 11 + y * 5) % 230)
+    val far = pgm(18, 16)((x, y) => ((17 - x) * 13 + (15 - y) * 7) % 230)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dhidx").toString
+    Multimodal.dHashIndexSave(Seq(Tuple1(a)).toDF("payload"), dir)
+    val (hashes, _) = graft.core.KeySets.loadCollected(spark, dir,
+      Multimodal.DHashKind)
+    assert(hashes.size == 1)
+    val flagged = Multimodal.flagPerceptualDup(
+      Seq((1L, a.clone()), (2L, far), (3L, Multimodal.SampleHeaders.png))
+        .toDF("media_id", "payload"), hashes)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getBoolean(2))).toMap
+    assert(flagged == Map(1L -> true, 2L -> false, 3L -> null))
+  }
+
   test("winnowing: docs sharing a long run share a fingerprint; disjoint docs mostly don't") {
     val shared = "the entirety of this shared passage is long enough to winnow"
     val df = Seq(

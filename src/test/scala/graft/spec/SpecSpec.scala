@@ -865,6 +865,46 @@ class SpecSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("perceptual_dup_gate spec: drops content-duplicate images at ingest, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def pgm(seed: Int): Array[Byte] =
+      s"P5 18 16 255\n".getBytes("US-ASCII") ++
+        (for (y <- 0 until 16; x <- 0 until 18)
+          yield ((x * seed + y * 5) % 230).toByte).toArray
+    val dir = java.nio.file.Files.createTempDirectory("graft-pdgate")
+    val idx = dir.resolve("idx").toString
+    graft.ext.Multimodal.dHashIndexSave(
+      Seq(Tuple1(pgm(11))).toDF("payload"), idx)
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: perceptual_dup_gate
+         |      config: {index_path: "$idx"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    // 1 = content copy of the indexed image (drop), 2 = fresh image
+    // (keep), 3 = undecodable png header (keep — total pass)
+    val rows = Seq((1L, pgm(11)), (2L, pgm(13)),
+      (3L, graft.ext.Multimodal.SampleHeaders.png))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    val batchOut = ids(Compiler.pipeline(spec)(rows.toDF("media_id", "payload")))
+    assert(batchOut == Seq(2L, 3L), s"gate kept: $batchOut")
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val out = Compiler.pipeline(spec)(ms.toDF().toDF("media_id", "payload"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("pdgate_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    assert(ids(spark.table("pdgate_stream")) == batchOut)
+  }
+
   test("chunk_tokens spec: doc stream becomes a chunk stream, batch == stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
