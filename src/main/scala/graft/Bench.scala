@@ -133,6 +133,13 @@ object Bench {
       // BOTH faces; the second sweep pass retries it from scratch.
       var warm = if (cold.isEmpty) Seq.empty[Double]
         else (1 to 2).flatMap(_ => run())
+      // Sub-second queries run warm min-of-3 (round-15 noise governance):
+      // at ≤1 s the per-run cost of a third sample is trivial, and the
+      // round-14 regression read churned on five sub-second queries
+      // drifting 1.3-1.5× on unchanged code — one extra sample per
+      // query collapses that band toward the box floor.
+      if (warm.nonEmpty && warm.min < 1.0)
+        warm = warm ++ run()
       // Occasionally BOTH warm runs of one query land on multi-second
       // GC/JIT stalls (observed: a 1.5 s-warm query reporting 6 s, both
       // warm runs ≥6 s, unreproducible in isolation). When the best warm

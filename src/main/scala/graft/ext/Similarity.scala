@@ -218,16 +218,16 @@ object Similarity {
     }
   }
 
-  /** One band code per band: `planesPerBand` projection sign bits packed
-    * into a long (codegen'd dot per plane). */
+  /** ARRAY of all band codes: `planesPerBand` projection sign bits packed
+    * into a long per band — ONE constant-size codegen call
+    * ([[graft.functions.SrpCodes]]): the per-plane expression-tree form
+    * generated code linear in the plane count and crashed Janino at the
+    * sf1 auto geometry (816 plane dots — the round-15 banded-path probe
+    * finding; the 100 TB geometry only grows). Same bits, any geometry. */
   private def srpCodes(vec: Column, coefs: Array[Array[Double]],
-      planesPerBand: Int, bands: Int): Seq[Column] =
-    (0 until bands).map { b =>
-      (0 until planesPerBand).map { p =>
-        val proj = ArrayMath.dotDouble(vec, ArrayMath.doubleArrayLit(coefs(b * planesPerBand + p)))
-        when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+      planesPerBand: Int, bands: Int): Column =
+    graft.functions.SrpCodes.bandCodes(vec, coefs.flatten, planesPerBand,
+      bands, if (coefs.isEmpty) 1 else coefs(0).length)
 
   def annLshTopK(queries: DataFrame, base: DataFrame, k: Int,
       planesPerBand: Int = 6, bands: Int = 12, dims: Int = 64,
@@ -236,7 +236,7 @@ object Similarity {
 
     def banded(df: DataFrame, id: String, as: String): DataFrame = {
       val codes = srpCodes(col(vecCol), coefs, planesPerBand, bands)
-      df.select(col(id), posexplode(array(codes: _*)).as(Seq("band", "code")))
+      df.select(col(id), posexplode(codes).as(Seq("band", "code")))
         .select(col("band"), col("code"), col(id).as(as))
     }
     // The band join carries IDS ONLY: a base vector surfaces in `bands`
@@ -281,7 +281,7 @@ object Similarity {
     val coefs = srpCoefs(bands * planesPerBand, dims)
     def banded(df: DataFrame, as: String): DataFrame = {
       val codes = srpCodes(col(vecCol), coefs, planesPerBand, bands)
-      df.select(col(idCol), posexplode(array(codes: _*)).as(Seq("band", "code")))
+      df.select(col(idCol), posexplode(codes).as(Seq("band", "code")))
         .select(col("band"), col("code"), col(idCol).as(as))
     }
     banded(queries, "qid").hint("shuffle_hash")
@@ -462,7 +462,7 @@ object Similarity {
       // rep hub: codes + fixed-point array + norm; three consumers (band
       // explode + both verify sides).
       val hub = graft.core.Caches.persist(
-        g0.select(col("rep").as("id"), array(codes: _*).as("codes"),
+        g0.select(col("rep").as("id"), codes.as("codes"),
           col("x"), col("n2")))
 
       // 2. candidates: reps sharing any (band, code). shuffle_hash pin: the

@@ -642,7 +642,10 @@ object Corpus {
   // exact division.
   def q59_contamination(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.splitContamination(docs(s, dir), n = 3)
-      .orderBy(col("doc_id"))
+      // same global order as orderBy without the range-exchange + its
+      // sampling pass (the q149/q155 convention — output is oracle-sized)
+      .coalesce(1)
+      .sortWithinPartitions(col("doc_id"))
 
   private val q59_sql =
     """WITH w AS (

@@ -79,6 +79,71 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("SPARK_GRAFT_ANN_PROBE")) {
+      // Round-15 banded-path probe: since the r14 dense path landed, no
+      // board query exercises the banded plan that actually runs at
+      // 100 TB (reps > pairsDenseMaxBase=2^17). Two parts:
+      //  A) sf-scale corpus (SPARK_GRAFT_SF_DIR embeddings): dense output
+      //     is ground truth; the FORCED banded run must reproduce it
+      //     within the auto-geometry recall contract.
+      //  B) synthetic corpus PAST 2^17 reps with planted near-identical
+      //     pairs: auto path must choose banded on its own, find the
+      //     planted pairs, and complete in bounded wall.
+      import graft.ext.Similarity
+      val e = Tables.load(spark, dir, "embeddings")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("i"), col("j")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val t0 = System.nanoTime()
+      val dense = pairs(Similarity.annLshPairs(e, minCosine = 0.4))
+      val tDense = (System.nanoTime() - t0) / 1e9
+      println(f"[ann-probe] A dense: ${dense.size} pairs, $tDense%.1f s, " +
+        s"path=${Similarity.lastPairsPath.get()}")
+      spark.catalog.clearCache(); graft.core.Caches.unpersistAll()
+      spark.conf.set("spark.graft.similarity.pairsDenseMaxBase", "0")
+      val t1 = System.nanoTime()
+      val banded = pairs(Similarity.annLshPairs(e, minCosine = 0.4))
+      val tBanded = (System.nanoTime() - t1) / 1e9
+      val recallA =
+        if (dense.isEmpty) 1.0 else dense.intersect(banded).size.toDouble / dense.size
+      println(f"[ann-probe] A banded: ${banded.size} pairs, $tBanded%.1f s, " +
+        f"path=${Similarity.lastPairsPath.get()}, recall=$recallA%.4f, " +
+        s"false_pos=${banded.diff(dense).size}")
+      spark.conf.unset("spark.graft.similarity.pairsDenseMaxBase")
+      spark.catalog.clearCache(); graft.core.Caches.unpersistAll()
+
+      // B: 2^17 < n, planted dups — auto geometry must band
+      val nBase = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "180000").toLong
+      val nPlant = 200
+      def vecExpr(idc: org.apache.spark.sql.Column, perturb: Boolean) = {
+        val comp = transform(sequence(lit(0), lit(63)), c =>
+          ((pmod(graft.functions.TextMetrics.hash60(
+            concat_ws(":", lit("annp"), idc.cast("string"), c.cast("string"))),
+            lit(2000L)) - lit(1000L)).cast("double") / lit(1000.0) +
+            (if (perturb) when(c === 0, lit(0.05)).otherwise(lit(0.0))
+             else lit(0.0))).cast("float"))
+        comp
+      }
+      val base = spark.range(nBase).select(col("id").as("vec_id"),
+        vecExpr(col("id"), perturb = false).as("embedding"))
+      val planted = spark.range(nPlant).select((col("id") + lit(10000000L)).as("vec_id"),
+        vecExpr(col("id"), perturb = true).as("embedding"))
+      val corpus = base.unionByName(planted)
+      val t2 = System.nanoTime()
+      // random 64-dim vectors throw off ~1e4-1e7 true pairs depending on
+      // the bar — COUNT, never collect (the planted hits are a filter)
+      val out = graft.core.Caches.persist(
+        Similarity.annLshPairs(corpus, minCosine = 0.6))
+      val total = out.count()
+      val tB = (System.nanoTime() - t2) / 1e9
+      val path = Similarity.lastPairsPath.get()
+      val hit = out.filter(col("j") - col("i") === 10000000L &&
+        col("i") < nPlant).count()
+      println(f"[ann-probe] B n=${nBase + nPlant} path=$path pairs=$total " +
+        f"planted_recall=${hit.toDouble / nPlant}%.3f wall=$tB%.1f s")
+      require(path == "banded", s"auto geometry must band past 2^17 reps, saw $path")
+      spark.stop(); return
+    }
     if (sys.env.contains("SPARK_GRAFT_PQ_SWEEP")) {
       // q122 PQ-recall parameter sweep at a given corpus (SPARK_GRAFT_SF_DIR)
       import graft.ext.Similarity
