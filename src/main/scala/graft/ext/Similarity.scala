@@ -454,9 +454,24 @@ object Similarity {
       val (p, b) =
         if (!auto) (planesPerBand, bands)
         else {
+          // planes ∝ log₂|B| keeps per-band bucket occupancy ~constant
+          // (~128); bands compensate recall AT THE CALLER'S BAR
+          // (round-15): per-band collision prob for a pair at exactly
+          // `minCosine` is (1 − acos(minCosine)/π)^pp, and bands =
+          // −ln(0.08)/p_band targets ~0.92 recall at the bar — the
+          // historical 0.4-tuned rule (16·(1/0.63)^(pp−4)) hard-coded
+          // the 0.4 constant, so a HIGHER bar paid 0.4-grade band
+          // volume for recall it didn't ask for (measured: a 0.6-bar
+          // 160k-rep probe spilled ~60 GB of candidates under the old
+          // rule — 406 bands where 119 deliver the contract). At the
+          // historical point (minCosine 0.4, pp 4) the rules agree
+          // (both 16 bands).
           val pp = math.max(4,
             math.ceil(math.log(math.max(1.0, n / 128.0)) / math.log(2.0)).toInt)
-          (pp, math.ceil(16.0 * math.pow(1.0 / 0.63, pp - 4)).toInt)
+          val pBand = math.pow(
+            1.0 - math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi,
+            pp)
+          (pp, math.max(1, math.round(-math.log(0.08) / pBand).toInt))
         }
       val codes = srpCodes(col("v"), srpCoefs(b * p, dims), p, b)
       // rep hub: codes + fixed-point array + norm; three consumers (band
@@ -477,11 +492,29 @@ object Similarity {
         .distinct()
 
       // 3. exact fixed-point verify (same expression family as the dual).
+      // Size-adaptive vector attachment (round-15 probe finding): the
+      // shuffle_hash form exchanges the first join's OUTPUT — candidate
+      // rows now CARRYING a dims-long fixed-point array — on j, so the
+      // vector bytes ride the candidate volume (measured: a 160k-rep
+      // uniform corpus spilled >60 GB of xi-carrying exchange on
+      // local[32]). While the rep hub's vector columns fit the broadcast
+      // envelope, BROADCAST them for both verify sides: vectors then
+      // never shuffle at all — only the slim (i, j) candidate stream
+      // moves. Past the envelope the shuffle_hash form is the correct
+      // fallback (a >256 MB hub cannot broadcast), and candidates·dims
+      // exchange bytes are the documented cost of banded verify there.
+      val repsEst = if (auto) n else graft.core.Caches.memo(hub, "count")(
+        java.lang.Long.valueOf(hub.count())).longValue
+      val hubVecBytes = repsEst * (24L + 8L * dims)
+      def vecs(side: String) = hub.select(col("id").as(side),
+        col("x").as(s"x$side"), col("n2").as(s"n2$side"))
+      val (vi, vj) =
+        if (hubVecBytes <= (256L << 20))
+          (broadcast(vecs("i")), broadcast(vecs("j")))
+        else (vecs("i").hint("shuffle_hash"), vecs("j").hint("shuffle_hash"))
       cand
-        .join(hub.select(col("id").as("i"), col("x").as("xi"), col("n2").as("n2i"))
-          .hint("shuffle_hash"), Seq("i"))
-        .join(hub.select(col("id").as("j"), col("x").as("xj"), col("n2").as("n2j"))
-          .hint("shuffle_hash"), Seq("j"))
+        .join(vi, Seq("i"))
+        .join(vj, Seq("j"))
         .withColumn("cosine", pairCos)
         .filter(col("cosine") >= minCosine)
         .select(col("i"), col("j"), col("cosine"))

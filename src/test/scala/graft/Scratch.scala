@@ -133,7 +133,7 @@ object Scratch {
       // random 64-dim vectors throw off ~1e4-1e7 true pairs depending on
       // the bar — COUNT, never collect (the planted hits are a filter)
       val out = graft.core.Caches.persist(
-        Similarity.annLshPairs(corpus, minCosine = 0.6))
+        Similarity.annLshPairs(corpus, minCosine = 0.7))
       val total = out.count()
       val tB = (System.nanoTime() - t2) / 1e9
       val path = Similarity.lastPairsPath.get()
