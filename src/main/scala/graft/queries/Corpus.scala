@@ -642,10 +642,7 @@ object Corpus {
   // exact division.
   def q59_contamination(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.splitContamination(docs(s, dir), n = 3)
-      // same global order as orderBy without the range-exchange + its
-      // sampling pass (the q149/q155 convention — output is oracle-sized)
-      .coalesce(1)
-      .sortWithinPartitions(col("doc_id"))
+      .orderBy(col("doc_id"))
 
   private val q59_sql =
     """WITH w AS (
@@ -2194,6 +2191,58 @@ object Corpus {
       |ORDER BY i, j""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q156 — WAV-PCM energy fingerprint (the audio face of content-level
+  // multimodal dedup): every ≥260-byte document becomes a REAL RIFF/WAVE
+  // payload (PCM-16 mono 8 kHz fmt chunk + the text's first 260 UTF-8
+  // bytes as the data chunk = 130 interleaved samples); WavEnergyFp
+  // walks the chunks, sign-extends the little-endian samples, scores 65
+  // exact two-sample window energies, and packs the 64 differential
+  // bits. The oracle replays every byte pair via hex(), the sign
+  // extension, each |s| sum, each comparison bit, and the signed-64
+  // wrap — one sample disagreeing anywhere moves a fingerprint.
+  def q156_audio_fp(s: SparkSession, dir: String): DataFrame = {
+    def le32(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val hdr = "RIFF".getBytes("US-ASCII") ++ le32(36 + 260) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+      le32(16) ++ Array[Byte](1, 0, 1, 0) ++ le32(8000) ++ le32(16000) ++
+      Array[Byte](2, 0, 16, 0) ++ "data".getBytes("US-ASCII") ++ le32(260)
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
+      .filter(length(col("b")) >= 260)
+      .select(col("doc_id"),
+        graft.functions.PerceptualHashFns.wavEnergyFp(
+          concat(lit(hdr), col("b").substr(lit(1), lit(260)))).as("audio_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q156_sql =
+    """WITH src AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+      |  WHERE octet_length(encode(text)) >= 260),
+      |en AS (
+      |  SELECT doc_id, CAST(w AS INT) AS w,
+      |    abs(CASE WHEN s0 >= 32768 THEN s0 - 65536 ELSE s0 END) +
+      |    abs(CASE WHEN s1 >= 32768 THEN s1 - 65536 ELSE s1 END) AS e
+      |  FROM (
+      |    SELECT doc_id, w,
+      |      CAST(('0x' || substr(hx, 2 * (4 * w) + 1, 2)) AS INT) +
+      |        256 * CAST(('0x' || substr(hx, 2 * (4 * w + 1) + 1, 2)) AS INT) AS s0,
+      |      CAST(('0x' || substr(hx, 2 * (4 * w + 2) + 1, 2)) AS INT) +
+      |        256 * CAST(('0x' || substr(hx, 2 * (4 * w + 3) + 1, 2)) AS INT) AS s1
+      |    FROM src, range(0, 65) t(w))),
+      |bits AS (
+      |  SELECT a.doc_id,
+      |    CASE WHEN a.e < b.e THEN CAST(1 AS HUGEINT) << a.w
+      |      ELSE CAST(0 AS HUGEINT) END AS bit
+      |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN sum(bit) >= CAST(9223372036854775808 AS HUGEINT)
+      |    THEN sum(bit) - CAST(18446744073709551616 AS HUGEINT)
+      |    ELSE sum(bit) END AS BIGINT) AS audio_fp
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q153 — fixed-size token chunking with overlap (RAG/embedding prep):
   // 64-token windows advancing by 48 (16-token overlap), final window at
   // the last stride position that still adds tokens. The oracle
@@ -2590,6 +2639,7 @@ object Corpus {
     "q148_curriculum_order" -> (q148_curriculum_order _),
     "q149_contrastive_pairs" -> (q149_contrastive_pairs _),
     "q155_perceptual_dups" -> (q155_perceptual_dups _),
+    "q156_audio_fp" -> (q156_audio_fp _),
     "q150_token_mixture" -> (q150_token_mixture _),
     "q151_token_budget_by_score" -> (q151_token_budget_by_score _),
     "q152_semantic_gate_flags" -> (q152_semantic_gate_flags _),
@@ -2670,6 +2720,7 @@ object Corpus {
     "q148_curriculum_order" -> q148_sql,
     "q149_contrastive_pairs" -> q149_sql,
     "q155_perceptual_dups" -> q155_sql,
+    "q156_audio_fp" -> q156_sql,
     "q150_token_mixture" -> q150_sql,
     "q151_token_budget_by_score" -> q151_sql,
     "q152_semantic_gate_flags" -> q152_sql,
