@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -113,12 +113,30 @@ object Multimodal {
     * id and runs `bit_count(xor)` — integer codegen, no vectors, no
     * payloads past the first projection. */
   def perceptualDupPairs(media: DataFrame, maxHamming: Int = 3,
-      idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+      idCol: String = "media_id", payloadCol: String = "payload"): DataFrame =
+    hashDupPairs(media,
+      graft.functions.PerceptualHashFns.imageDHash(col(payloadCol)),
+      maxHamming, idCol)
+
+  /** [[perceptualDupPairs]] for the AUDIO hash: pairs of WAV-PCM
+    * payloads whose [[graft.functions.PerceptualHashFns.wavEnergyFp]]
+    * energy fingerprints sit within `maxHamming` bits — re-encoded or
+    * gain-shifted recordings of the same clip collapse here the way
+    * re-saved images collapse under dHash. Same pigeonhole-exact
+    * banding and dense dual. */
+  def audioDupPairs(media: DataFrame, maxHamming: Int = 3,
+      idCol: String = "media_id", payloadCol: String = "payload"): DataFrame =
+    hashDupPairs(media,
+      graft.functions.PerceptualHashFns.wavEnergyFp(col(payloadCol)),
+      maxHamming, idCol)
+
+  /** Shared near-dup-pairs machinery over any 64-bit content hash. */
+  private def hashDupPairs(media: DataFrame, hash: Column,
+      maxHamming: Int, idCol: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64): $maxHamming")
     val nBands = maxHamming + 1
-    val hashes0 = media.select(col(idCol).as("id"),
-        graft.functions.PerceptualHashFns.imageDHash(col(payloadCol)).as("ph"))
+    val hashes0 = media.select(col(idCol).as("id"), hash.as("ph"))
       .filter(col("ph").isNotNull)
     // dense dual (the [[Similarity.annLshPairs]] envelope pattern): while
     // the SOURCE stats fit the dense bound, one broadcast self-join with

@@ -1302,6 +1302,37 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("audioDupPairs: identical and gain-scaled clips pair; unrelated clips don't") {
+    import spark.implicits._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      val data = samples.flatMap(s => Array[Byte](s.toByte, (s >> 8).toByte))
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+        le32(16) ++ Array[Byte](1, 0, 1, 0) ++ le32(8000) ++ le32(16000) ++
+        Array[Byte](2, 0, 16, 0) ++ "data".getBytes("US-ASCII") ++
+        le32(data.length) ++ data
+    }
+    // a clip with varied energy structure, its exact copy, a 2x-gain
+    // re-master (same differential structure → hamming 0), and an
+    // unrelated clip with inverted structure
+    val clip = Array.tabulate(260)(i => ((i * 37) % 400 - 200).toShort)
+    val gain = clip.map(s => (s * 2).toShort)
+    val other = Array.tabulate(260)(i => (((259 - i) * 53) % 300 - 150).toShort)
+    val media = Seq((1L, wav(clip)), (2L, wav(clip.clone())),
+      (3L, wav(gain)), (4L, wav(other)),
+      (5L, graft.ext.Multimodal.SampleHeaders.png))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.audioDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)) && pairs.contains((1L, 3L, 0)) &&
+      pairs.contains((2L, 3L, 0)), s"copies and gain re-master must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    graft.core.Caches.unpersistAll()
+  }
+
   test("perceptual dup gate: saved dHash blocklist flags copies, passes fresh and undecodable") {
     import spark.implicits._
     val a = pgm(18, 16)((x, y) => (x * 11 + y * 5) % 230)
