@@ -141,15 +141,18 @@ object Multimodal {
     // dense dual (the [[Similarity.annLshPairs]] envelope pattern): while
     // the SOURCE stats fit the dense bound, one broadcast self-join with
     // the popcount filter INSIDE the scan beats the banded chain's four
-    // exchanges — a hash pair costs one xor+popcount, so even the bound's
-    // worst case (~10⁵ rows of small payloads → ~10¹⁰ fused integer ops)
-    // clears in seconds, with zero shuffles. The stat measures PAYLOAD
-    // bytes, so it over-counts rows for real media and degrades to the
-    // banded path early — the safe direction. Past the bound the banded
-    // plan runs: never an all-pairs at corpus scale.
+    // exchanges. The bound is the MEASURED crossover, not a survival
+    // limit: at ~3k small payloads dense reads 0.67 s vs banded 1.8 s,
+    // at ~29k banded wins 2.2 s vs 4.2 s (sf0.1/sf1, round-15) — 4 MB
+    // of source stats ≈ the ~10k-row flip for document-sized payloads.
+    // The stat measures PAYLOAD bytes, so it over-counts rows for real
+    // media and flips to banded early — the safe direction (banded is
+    // never catastrophic; dense past its envelope is quadratic). Past
+    // the bound the banded plan runs: never an all-pairs at corpus
+    // scale.
     val denseMax = media.sparkSession.conf
       .getOption("spark.graft.multimodal.pairsDenseMaxBytes")
-      .map(_.toLong).getOrElse(32L << 20)
+      .map(_.toLong).getOrElse(4L << 20)
     if (media.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(denseMax)) {
       // stream side spread: the |hashes|² loop must use every core even
       // when the source is one small file — the exchange moves slim
