@@ -73,6 +73,30 @@ class PlanSpec extends SparkSpec {
       s"semantic gate plans a shuffle:\n${plan(gate)}")
   }
 
+  test("round-15 map-only operators plan without a single exchange") {
+    // the perceptual hashes and their gates are per-row codegen
+    // projections — an accidental shuffle in a 100 TB media scan would
+    // dominate the whole crawl; the carryInput stage faces of chunk/FIM
+    // must stay as shuffle-free as their q153/q154 shapes
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    val media = docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+    for ((name, df) <- Seq(
+        "imageDHash" -> media.select(
+          graft.functions.PerceptualHashFns.imageDHash(col("payload"))),
+        "wavEnergyFp" -> media.select(
+          graft.functions.PerceptualHashFns.wavEnergyFp(col("payload"))),
+        "flagPerceptualDup" -> graft.ext.Multimodal.flagPerceptualDup(
+          media, Seq(1L, 2L, 3L)),
+        "chunkDocumentsStage" -> graft.ext.Sharding.chunkDocuments(
+          docs, 64, 16, carryInput = true),
+        "fimTransformStage" -> graft.ext.Sharding.fimTransform(
+          docs, carryInput = true))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name plans a shuffle:\n$p")
+    }
+  }
+
   test("tokenBudgetByScore's only single-partition work is the bucket-total table") {
     val docs = graft.core.Tables.load(spark, sf001, "documents")
     val df = graft.ext.Sharding.tokenBudgetByScore(docs, 30000L, "n_chars")
