@@ -1427,6 +1427,81 @@ object Dedup {
       textCol: String = "text"): Unit =
     graft.core.KeySets.save(corpusFpKeys(corpus, textCol), path, ExactDupKind)
 
+  /** Kind tag of the Bloom exact-dup index ([[fpBloomIndexSave]]). */
+  val ExactDupBloomKind = "exact_dup_bloom"
+
+  /** The exact-dup gate's CORPUS-SCALE continuation — a Bloom filter
+    * over the 60-bit content fingerprints, for reference corpora whose
+    * distinct-fp set outgrows the sorted-literal gate (the
+    * [[flagExactDups]] literal is driver-sized by contract; at 10⁹
+    * corpus fps it would be an 8 GB literal, while a 1%-fpp Bloom is
+    * ~1.2 GB and a 0.1%-fpp ~1.8 GB — and the blob broadcasts once per
+    * stream instead of riding every task's generated code). Built with
+    * Spark's own `BloomFilterAggregate` (the runtime-join-filter
+    * machinery — distributed build, one binary blob out), served with
+    * `BloomFilterMightContain` (codegen, map-only).
+    *
+    * Semantics: NO FALSE NEGATIVES — every fingerprint inserted at
+    * build flags true at serve (the dedup guarantee holds exactly);
+    * false POSITIVES at ~`fpp` drop that fraction of clean docs — the
+    * documented price of the scale regime, chosen by the caller. An
+    * empty reference corpus stores a null blob and the gate passes
+    * everything (the [[graft.core.KeySets]] empty-set convention). */
+  def fpBloomIndexSave(corpus: DataFrame, path: String, fpp: Double = 0.01,
+      textCol: String = "text"): Unit = {
+    require(fpp > 0 && fpp < 0.5, s"fpp must be in (0, 0.5): $fpp")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val keys = corpusFpKeys(corpus, textCol)
+    val n = math.max(1L, keys.count())
+    val numBits = math.ceil(
+      -(n.toDouble) * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    require(numBits <= (1L << 34),
+      s"$n fps at fpp=$fpp need $numBits bloom bits (> 2^34 = 2 GiB) — " +
+        "raise fpp or shard the index")
+    val blob = keys.select(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(col("fp60")), Literal(n), Literal(numBits))
+      .toAggregateExpression()).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+    import corpus.sparkSession.implicits._
+    Seq((ExactDupBloomKind, n, numBits, Option(blob)))
+      .toDF("kind", "n_items", "num_bits", "bloom")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[fpBloomIndexSave]] dump → (blob — None for an empty-corpus
+    * build — and the build params). Validates the family tag: a foreign
+    * dump can never serve as this gate's index. */
+  def fpBloomIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Option[Array[Byte]], Map[String, Long]) = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.length == 1 && rows(0).getString(0) == ExactDupBloomKind,
+      s"index at $path is not a $ExactDupBloomKind dump")
+    val r = rows(0)
+    (Option(r.getAs[Array[Byte]]("bloom")),
+      Map("n_items" -> r.getLong(1), "num_bits" -> r.getLong(2)))
+  }
+
+  /** [[flagExactDups]] against a Bloom blob instead of a sorted
+    * literal: map-only `might_contain` per row (codegen; the blob
+    * deserializes once per task, not per row). Null text → null flag
+    * (total pass); a None blob (empty-corpus build) flags nothing.
+    * Flags are a SUPERSET of the exact gate's at ~fpp false-positive
+    * rate and never miss a true duplicate. */
+  def flagExactDupsBloom(docs: DataFrame, bloom: Option[Array[Byte]],
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.Bridge
+    val hit = bloom match {
+      case None => lit(false)
+      case Some(b) => Bridge.column(BloomFilterMightContain(
+        Bridge.expression(lit(b)),
+        Bridge.expression(TextAnalysis.hash60(col(textCol)))))
+    }
+    docs.withColumn("exact_dup", when(col(textCol).isNotNull, hit))
+  }
+
   /** Incremental exact dedup — the R-S (delta-vs-corpus) form of
     * [[exactDedup]], completing the family's against-forms
     * ([[repeatedSpansAgainst]], [[nearDupJaccardAcross]]): the SURVIVORS

@@ -139,18 +139,26 @@ object Compiler {
       gated(p, graft.ext.TextAnalysis.flagContaminated(df, keys, n),
         "contaminated")
     }
-    case "exact_dup_gate" => df => {
-      val keys = p.config.get("index_path") match {
-        case Some(ip) => graft.core.KeySets.loadCollected(
-          df.sparkSession, ip, graft.ext.Dedup.ExactDupKind)._1
-        case None =>
-          val corpusPath = p.config.getOrElse("corpus_path",
-            sys.error("exact_dup_gate needs config.corpus_path or config.index_path"))
-          val corpus = df.sparkSession.read.parquet(corpusPath)
-          graft.ext.Dedup.corpusFpKeys(corpus)
-            .collect().map(_.getLong(0)).toSeq
-      }
-      gated(p, graft.ext.Dedup.flagExactDups(df, keys), "exact_dup")
+    case "exact_dup_gate" => df => p.config.get("bloom_path") match {
+      // corpus-scale face: a [[graft.ext.Dedup.fpBloomIndexSave]] blob —
+      // no false negatives, ~fpp false positives, for reference corpora
+      // whose distinct-fp set outgrows the sorted literal below
+      case Some(bp) =>
+        val (blob, _) = graft.ext.Dedup.fpBloomIndexLoad(df.sparkSession, bp)
+        gated(p, graft.ext.Dedup.flagExactDupsBloom(df, blob), "exact_dup")
+      case None =>
+        val keys = p.config.get("index_path") match {
+          case Some(ip) => graft.core.KeySets.loadCollected(
+            df.sparkSession, ip, graft.ext.Dedup.ExactDupKind)._1
+          case None =>
+            val corpusPath = p.config.getOrElse("corpus_path",
+              sys.error("exact_dup_gate needs config.corpus_path, " +
+                "config.index_path, or config.bloom_path"))
+            val corpus = df.sparkSession.read.parquet(corpusPath)
+            graft.ext.Dedup.corpusFpKeys(corpus)
+              .collect().map(_.getLong(0)).toSeq
+        }
+        gated(p, graft.ext.Dedup.flagExactDups(df, keys), "exact_dup")
     }
     case "domain_blocklist_gate" => df => {
       val blPath = p.config.getOrElse("blocklist_path",

@@ -282,6 +282,48 @@ class ExtOpsSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("fpBloomIndex: no false negatives, fp band, empty corpus passes, foreign dump rejected") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, sf001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    Dedup.fpBloomIndexSave(corpus, s"$dir/idx", fpp = 0.01)
+    val (blob, params) = Dedup.fpBloomIndexLoad(spark, s"$dir/idx")
+    assert(blob.isDefined && params("n_items") > 0 && params("num_bits") > 0)
+    // NO FALSE NEGATIVES: every corpus doc must flag true
+    val onCorpus = Dedup.flagExactDupsBloom(
+      corpus.filter(col("text").isNotNull), blob)
+    assert(onCorpus.filter(!col("exact_dup")).count() == 0,
+      "a bloom gate may never miss a true duplicate")
+    // fresh docs: false-positive rate within a loose band of fpp=1%
+    val fresh = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("fresh bloom probe text "), col("id").cast("string")).as("text"))
+    val fp = Dedup.flagExactDupsBloom(fresh, blob)
+      .filter(col("exact_dup")).count()
+    assert(fp <= 2000 * 0.05, s"fp rate implausibly high: $fp/2000")
+    // null text: null flag (total pass)
+    val nulls = Dedup.flagExactDupsBloom(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"), blob)
+      .select(col("exact_dup")).head()
+    assert(nulls.isNullAt(0))
+    // superset of the exact-literal gate's flags
+    val keys = Dedup.corpusFpKeys(corpus).collect().map(_.getLong(0)).toSeq
+    val both = Dedup.flagExactDupsBloom(fresh, blob).withColumnRenamed("exact_dup", "b")
+      .join(Dedup.flagExactDups(fresh, keys).select(col("doc_id"), col("exact_dup").as("e")),
+        Seq("doc_id"))
+    assert(both.filter(col("e") && !col("b")).count() == 0,
+      "bloom flags must be a superset of the exact gate's")
+    // empty corpus → null blob → flags nothing
+    Dedup.fpBloomIndexSave(corpus.filter(lit(false)), s"$dir/empty")
+    val (none, _) = Dedup.fpBloomIndexLoad(spark, s"$dir/empty")
+    assert(none.isEmpty)
+    assert(Dedup.flagExactDupsBloom(fresh, none).filter(col("exact_dup")).count() == 0)
+    // a foreign (KeySets) dump must not load as a bloom index
+    val ksDir = s"$dir/ks"
+    graft.core.KeySets.save(Seq(1L).toDF("k"), ksDir, "fam_x")
+    intercept[Exception] { Dedup.fpBloomIndexLoad(spark, ksDir) }
+    ()
+  }
+
   test("KeySets: empty dump loads empty for its OWN family, rejects a foreign reader") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("ks").toString + "/dump"

@@ -865,6 +865,42 @@ class SpecSpec extends SparkSpec {
     graft.core.Caches.unpersistAll()
   }
 
+  test("exact_dup_gate bloom_path: corpus-scale face drops known dups, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomgate")
+    val idx = dir.resolve("idx").toString
+    val corpus = Seq((1L, "a known duplicate line"), (2L, "another corpus doc"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.fpBloomIndexSave(corpus, idx, fpp = 0.001)
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: exact_dup_gate
+         |      config: {bloom_path: "$idx"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    val rows = Seq("a known duplicate line", "a fresh unseen document", null)
+    def texts(df: org.apache.spark.sql.DataFrame) =
+      df.select("text").collect().map(r =>
+        if (r.isNullAt(0)) "<null>" else r.getString(0)).sorted.toSeq
+    val batchOut = texts(Compiler.pipeline(spec)(rows.toDF("text")))
+    // the known dup drops; fresh and null-text (total pass) survive
+    assert(batchOut == Seq("<null>", "a fresh unseen document"), s"kept: $batchOut")
+    val ms = MemoryStream[String]
+    val out = Compiler.pipeline(spec)(ms.toDF().withColumnRenamed("value", "text"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("bloomgate_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows.filter(_ != null): _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    assert(texts(spark.table("bloomgate_stream")) == Seq("a fresh unseen document"))
+  }
+
   test("perceptual_dup_gate spec: drops content-duplicate images at ingest, batch == stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
