@@ -105,7 +105,7 @@ object Bench {
     // converge toward the box's floor instead of its weather.
     // SPARK_GRAFT_PASSES overrides (1 = the old single-sweep behavior).
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
-    def runPass(pass: Int): Seq[(String, (Double, Double))] = {
+    def runPass(pass: Int): Seq[(String, (Double, Double, Int))] = {
       System.err.println(s"[bench] sweep pass $pass/$passes")
       qs0.map { case (name, fn) =>
       // release the PREVIOUS query's caches first, THEN collect: gc before
@@ -171,17 +171,22 @@ object Bench {
         System.err.println(s"[bench] $name: ${warm.size} warm runs (guard bought ${warm.size - 2})")
       // a failed query reports -1 (visible), never a bogus time-to-exception
       name -> (cold.getOrElse(-1.0),
-        if (warm.nonEmpty) warm.min else cold.getOrElse(-1.0))
+        if (warm.nonEmpty) warm.min else cold.getOrElse(-1.0),
+        warm.size)
       }
     }
     // merge passes per-query: min where both succeeded, the successful
-    // value where one failed (-1 must not win a min over a real time)
+    // value where one failed (-1 must not win a min over a real time);
+    // warm run counts SUM across passes — the artifact records how many
+    // samples each published min survived (round-16 ADVICE: min-of-2 vs
+    // min-of-3/4 numbers carry a one-directional bias cross-round readers
+    // must be able to see per query, not reconstruct from stderr)
     def mergeMin(a: Double, b: Double): Double =
       if (a < 0) b else if (b < 0) a else math.min(a, b)
     val results = (1 to passes).map(runPass).reduce { (x, y) =>
-      x.zip(y).map { case ((n1, (c1, w1)), (n2, (c2, w2))) =>
+      x.zip(y).map { case ((n1, (c1, w1, r1)), (n2, (c2, w2, r2))) =>
         require(n1 == n2, s"pass order diverged: $n1 vs $n2")
-        n1 -> (mergeMin(c1, c2), mergeMin(w1, w2))
+        n1 -> (mergeMin(c1, c2), mergeMin(w1, w2), r1 + r2)
       }
     }
     // Millisecond precision: sub-ms digits are noise, and the contract line
@@ -196,18 +201,34 @@ object Bench {
     // the window; full-name warm keys would too). Prefixes are unique by
     // construction; the full-name map goes to stderr with the cold run.
     def shortName(n: String): String = n.takeWhile(_ != '_')
-    def obj(f: ((String, (Double, Double))) => Double): String =
+    def obj(f: ((String, (Double, Double, Int))) => Double): String =
       results.map { case kv => s"\"" + shortName(kv._1) + "\":" + fmt(f(kv)) }
         .mkString("{", ",", "}")
     val totalWarm = results.map(_._2._2).filter(_ >= 0).sum
     val totalCold = results.map(_._2._1).filter(_ >= 0).sum
     // full names only on stderr (diagnostic; not size-bounded)
-    def objFull(f: ((String, (Double, Double))) => Double): String =
+    def objFull(f: ((String, (Double, Double, Int))) => Double): String =
       results.map { case kv => s"\"" + kv._1 + "\":" + fmt(f(kv)) }
         .mkString("{", ",", "}")
     System.err.println(
       s"""[bench] cold: {"total_cold":${fmt(totalCold)},"queries_cold":${objFull(_._2._1)}}""")
     System.err.println(s"""[bench] warm_full: ${objFull(_._2._2)}""")
+    // per-query protocol detail → a sidecar file (the stdout contract line
+    // must stay short for the driver's bounded tail window — r1-r3's
+    // parsed:null): full names, cold, warm, and the total warm-run count
+    // each published min survived across all passes.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
+    val detail = results.map { case (n, (c, w, r)) =>
+      s"""\"$n\":{"cold":${fmt(c)},"warm":${fmt(w)},"warm_runs":$r}"""
+    }.mkString(s"""{"passes":$passes,"sf":"$sfDir","queries":{""", ",", "}}")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detail.getBytes("UTF-8"))
+      System.err.println(s"[bench] detail -> $detailPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: $e")
+    }
     // "passes": the recorded protocol — each value is the per-query MIN
     // across this many full sweeps (plus the per-visit min-of-2..4 runs)
     println(s"""{"metric":"total","value":${fmt(totalWarm)},"unit":"sec","queries":${obj(_._2._2)},"total_cold":${fmt(totalCold)},"passes":$passes,"sf":"$sfDir"}""")

@@ -53,9 +53,25 @@ object KeySets {
       s"key set at $path was built as ${kinds.mkString(",")}, not $expectKind")
     val families = tags.filter(_.startsWith("family:"))
       .map(_.stripPrefix("family:"))
-    require(families == Set(expectKind),
+    if (families.isEmpty) {
+      // pre-tag dump (persisted before the family: row existed,
+      // round-15): its key rows must PROVE the family on their own —
+      // the subset check above already passed, so require at least one
+      // actual key row of expectKind (an EMPTY pre-tag dump proves
+      // nothing and stays refused). Warn so operators re-save: a fresh
+      // save(load(...)) round-trip stamps the tag (round-16 ADVICE —
+      // the hard requirement orphaned every index persisted before the
+      // tag shipped, with no migration path).
+      require(kinds == Set(expectKind),
+        s"key set at $path has no family tag and no $expectKind key " +
+          "rows — refusing: an empty pre-tag dump cannot prove which " +
+          "family built it (re-save with KeySets.save to stamp the tag)")
+      System.err.println(s"[graft] KeySets: pre-tag dump at $path " +
+        s"accepted on the proof of its own $expectKind key rows — " +
+        "re-save to stamp the family tag")
+    } else require(families == Set(expectKind),
       s"key set at $path carries family tag ${families.mkString(",")}, " +
-        s"not $expectKind — refusing a foreign (or pre-tag) dump")
+        s"not $expectKind — refusing a foreign dump")
     val params = df.filter(col("kind").startsWith("param:"))
       .collect().map(r => r.getString(0).stripPrefix("param:") -> r.getLong(1))
       .toMap

@@ -1460,10 +1460,31 @@ object Dedup {
     require(numBits <= (1L << 34),
       s"$n fps at fpp=$fpp need $numBits bloom bits (> 2^34 = 2 GiB) — " +
         "raise fpp or shard the index")
-    val blob = keys.select(Bridge.column(new BloomFilterAggregate(
-        Bridge.expression(col("fp60")), Literal(n), Literal(numBits))
-      .toAggregateExpression()).as("bloom"))
-      .head().getAs[Array[Byte]](0)
+    // BloomFilterAggregate.checkInputDataTypes rejects estimatedNumItems /
+    // numBits above the runtime-join-filter ceilings (defaults 4×10⁶ items,
+    // 2²⁶ bits — sized for Spark's OWN injected join filters, not for a
+    // corpus index). Without raising them, any corpus past ~4M distinct
+    // fingerprints fails the build with AnalysisException — at precisely
+    // the scale this face exists for (round-16 ADVICE). Raise both around
+    // the one aggregate, restore after: the ceilings keep protecting the
+    // optimizer's automatic filters; only this explicit build is exempt.
+    val conf = corpus.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (conf.getOption(itemsKey), conf.getOption(bitsKey))
+    val blob =
+      try {
+        conf.set(itemsKey, math.max(n, 4000000L))
+        conf.set(bitsKey, math.max(numBits, 67108864L))
+        keys.select(Bridge.column(new BloomFilterAggregate(
+            Bridge.expression(col("fp60")), Literal(n), Literal(numBits))
+          .toAggregateExpression()).as("bloom"))
+          .head().getAs[Array[Byte]](0)
+      } finally {
+        def restore(k: String, v: Option[String]): Unit =
+          v.fold(conf.unset(k))(conf.set(k, _))
+        restore(itemsKey, oldItems); restore(bitsKey, oldBits)
+      }
     import corpus.sparkSession.implicits._
     Seq((ExactDupBloomKind, n, numBits, Option(blob)))
       .toDF("kind", "n_items", "num_bits", "bloom")

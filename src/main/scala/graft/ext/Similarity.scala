@@ -471,7 +471,24 @@ object Similarity {
           val pBand = math.pow(
             1.0 - math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi,
             pp)
-          (pp, math.max(1, math.round(-math.log(0.08) / pBand).toInt))
+          // Guard the Int cast (round-16 ADVICE): a near-zero pBand (a
+          // very low bar with many planes) sends −ln(0.08)/pBand past
+          // Int.MaxValue; the unguarded .toInt wrapped NEGATIVE and
+          // max(1, _) silently yielded ONE band — the ~0.92 recall
+          // contract gone with no error. Clamp the Long before casting
+          // and fail LOUDLY when the geometry is degenerate: a bar that
+          // needs >2²⁰ band tables has no banded path (each band is a
+          // full SRP code table + candidate join) — that regime is
+          // all-pairs-shaped work the dense/exact path should take.
+          val bandsL = math.min(Int.MaxValue.toLong,
+            math.round(-math.log(0.08) / pBand))
+          require(bandsL <= (1L << 20),
+            f"auto SRP geometry degenerates at minCosine=$minCosine%.3f " +
+              f"with $pp planes/band (per-band collision prob at the bar " +
+              f"$pBand%.3e → $bandsL bands for 0.92 recall) — a bar this " +
+              "low collides on nothing; raise minCosine or use the " +
+              "exact/dense path")
+          (pp, math.max(1, bandsL.toInt))
         }
       val codes = srpCodes(col("v"), srpCoefs(b * p, dims), p, b)
       // rep hub: codes + fixed-point array + norm; three consumers (band

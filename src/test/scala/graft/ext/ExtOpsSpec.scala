@@ -324,6 +324,77 @@ class ExtOpsSpec extends SparkSpec {
     ()
   }
 
+  test("fpBloomIndex: corpus past the runtime-filter ceilings still builds (confs raised+restored)") {
+    // Spark's BloomFilterAggregate rejects builds past
+    // runtime.bloomFilter.maxNumItems (4×10⁶) / maxNumBits (2²⁶) by
+    // default — ceilings sized for the optimizer's own injected join
+    // filters. 8.4M distinct fps exceed BOTH (≈80.5M bits at fpp 0.01);
+    // the corpus-scale face must raise them around its one aggregate and
+    // restore after (round-16 ADVICE: without this, the face failed with
+    // AnalysisException at precisely the scale it exists for).
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    // getOption surfaces the registered DEFAULTS (4M / 2²⁶) — record and
+    // require them small enough that this build genuinely exceeds both
+    val before = (spark.conf.getOption(itemsKey), spark.conf.getOption(bitsKey))
+    assert(before._1.exists(_.toLong < 8400000L)
+      && before._2.exists(_.toLong < (1L << 27)),
+      s"test precondition: ceilings below the build size, saw $before")
+    val corpus = spark.range(8400000L)
+      .select(concat(lit("bloom scale probe "), col("id").cast("string")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-big").toString
+    Dedup.fpBloomIndexSave(corpus, s"$dir/idx", fpp = 0.01)
+    // ceilings restored: they keep protecting the optimizer's own filters
+    assert((spark.conf.getOption(itemsKey), spark.conf.getOption(bitsKey)) == before,
+      "ceilings must be restored after the build")
+    val (blob, params) = Dedup.fpBloomIndexLoad(spark, s"$dir/idx")
+    assert(blob.isDefined && params("n_items") == 8400000L
+      && params("num_bits") > (1L << 26))
+    // no false negatives on a corpus sample
+    import spark.implicits._
+    val sample = spark.range(0, 8400000L, 4201L)
+      .select(col("id").as("doc_id"),
+        concat(lit("bloom scale probe "), col("id").cast("string")).as("text"))
+    assert(Dedup.flagExactDupsBloom(sample, blob).filter(!col("exact_dup")).count() == 0)
+  }
+
+  test("KeySets: pre-tag dump accepted on its own key rows' proof; empty/foreign pre-tag refused") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ks-pretag").toString
+    // simulate the round-14 on-disk layout: kind/value keys + param rows,
+    // NO family: tag row
+    def saveOld(path: String, kind: String, keys: Seq[Long]): Unit =
+      (keys.map(k => (kind, k)) :+ ("param:n" -> 4L))
+        .toDF("kind", "value").write.mode("overwrite").parquet(path)
+    saveOld(s"$base/ok", "fam_a", Seq(7L, 9L))
+    val (keys, params) = graft.core.KeySets.loadCollected(spark, s"$base/ok", "fam_a")
+    assert(keys.sorted == Seq(7L, 9L) && params == Map("n" -> 4L))
+    // an EMPTY pre-tag dump proves nothing — refused
+    saveOld(s"$base/empty", "fam_a", Seq.empty)
+    intercept[IllegalArgumentException] {
+      graft.core.KeySets.load(spark, s"$base/empty", "fam_a")
+    }
+    // a pre-tag dump of a DIFFERENT family — refused by the key rows
+    saveOld(s"$base/foreign", "fam_b", Seq(1L))
+    intercept[IllegalArgumentException] {
+      graft.core.KeySets.load(spark, s"$base/foreign", "fam_a")
+    }
+  }
+
+  test("annLshPairs: degenerate auto geometry (bar near -1) fails loudly, never 1-band-wraps") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    val key = "spark.graft.similarity.pairsDenseMaxBase"
+    try {
+      spark.conf.set(key, "0") // force the banded path at test scale
+      val ex = intercept[IllegalArgumentException](
+        Similarity.annLshPairs(e, minCosine = -1.0).count())
+      assert(ex.getMessage.contains("degenerates"), ex.getMessage)
+    } finally {
+      spark.conf.unset(key)
+      graft.core.Caches.unpersistAll()
+    }
+  }
+
   test("KeySets: empty dump loads empty for its OWN family, rejects a foreign reader") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("ks").toString + "/dump"
