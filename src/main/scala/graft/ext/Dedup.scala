@@ -1038,6 +1038,100 @@ object Dedup {
       param("n"), param("num_hashes"), param("rows_per_band"))
   }
 
+  /** Kind tag of the Bloom near-dup band-key index
+    * ([[bandBloomIndexSave]]). */
+  val NearDupBloomKind = "near_dup_bloom"
+
+  /** The near-dup gate's CORPUS-SCALE continuation — the
+    * [[fpBloomIndexSave]] precedent applied to the MinHash band-key
+    * blocklist: [[flagNearDups]]' sorted literal is driver-sized by
+    * contract (~10⁶ keys / 8 MB task rider) and even
+    * [[flagNearDupsAgainst]]'s broadcast envelope ends near ~10⁸ keys,
+    * while a 10⁹-doc reference corpus at 32 bands holds up to ~3·10¹⁰
+    * band keys. A Bloom filter over the SAME keys serves that regime:
+    * ~1.2 GB at 1% fpp per 10⁹ distinct keys, built distributed
+    * (`BloomFilterAggregate`), probed map-only. The banding geometry
+    * (n, num_hashes, rows_per_band) rides WITH the blob — the
+    * [[bandIndexSave]] contract: a serve site can never band
+    * differently than the index was built.
+    *
+    * Semantics: flags are a SUPERSET of [[flagNearDups]]' on the same
+    * corpus — NO FALSE NEGATIVES (every band key inserted at build
+    * probes true at serve, so any candidate the literal gate would
+    * flag, this face flags; LSH banding's own probabilistic recall is
+    * identical on both faces), plus ~fpp extra false candidates PER
+    * DOCUMENT: each document probes once per band, so the filter is
+    * sized at fpp/bands per probe (union bound) — an fpp=0.01 filter
+    * probed 32 times would otherwise false-candidate ~28% of clean
+    * docs (measured). The ~1.75× bit price of the division is the cost
+    * of a per-document contract; a candidate flag was already a
+    * verify-me signal, so fpp buys more downstream verify work, never
+    * a lost duplicate. */
+  def bandBloomIndexSave(corpus: DataFrame, path: String, n: Int,
+      numHashes: Int = 128, rowsPerBand: Int = 4, fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes=$numHashes must divide into bands of $rowsPerBand")
+    val keys = minhashBandKeys(corpus, n, numHashes, rowsPerBand, idCol, textCol)
+    val (nItems, numBits, blob) =
+      buildBloomBlob(keys, "bk", fpp / (numHashes / rowsPerBand))
+    import corpus.sparkSession.implicits._
+    Seq((NearDupBloomKind, n.toLong, numHashes.toLong, rowsPerBand.toLong,
+        nItems, numBits, blob))
+      .toDF("kind", "n", "num_hashes", "rows_per_band",
+        "n_items", "num_bits", "bloom")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[bandBloomIndexSave]] dump → (blob — None for an
+    * empty-corpus build — and the banding geometry n / numHashes /
+    * rowsPerBand). Validates the family tag: a foreign dump can never
+    * serve as this gate's index. */
+  def bandBloomIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Option[Array[Byte]], Int, Int, Int) = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.length == 1 && rows(0).getString(0) == NearDupBloomKind,
+      s"index at $path is not a $NearDupBloomKind dump")
+    val r = rows(0)
+    (Option(r.getAs[Array[Byte]]("bloom")), r.getAs[Long]("n").toInt,
+      r.getAs[Long]("num_hashes").toInt, r.getAs[Long]("rows_per_band").toInt)
+  }
+
+  /** [[flagNearDups]] against a Bloom blob instead of a sorted literal:
+    * the same shared gram rule, keyed MinHash family, and
+    * [[bandKeyExprs]] formula, with membership one `might_contain`
+    * probe per band. The 32 band probes run through ONE
+    * `BloomFilterMightContain` instance (an `exists` over the band-key
+    * array) — each instance deserializes its own copy of the blob per
+    * task, so per-band instances would hold `bands` copies of a
+    * GB-scale bitmap in every executor. Map-only, stateless, no
+    * shuffle: identical on a batch frame or any streaming micro-batch.
+    * Null text → null flag (total pass); a None blob (empty-corpus
+    * build) flags nothing. */
+  def flagNearDupsBloom(docs: DataFrame, bloom: Option[Array[Byte]], n: Int,
+      numHashes: Int = 128, rowsPerBand: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes=$numHashes must divide into bands of $rowsPerBand")
+    bloom match {
+      case None => docs.withColumn("near_dup_candidate",
+        when(col(textCol).isNotNull, lit(false)))
+      case Some(b) =>
+        import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+        import org.apache.spark.sql.graftbridge.Bridge
+        val hs = transform(wordShingleArray(col(textCol), n), s => xxhash64(s))
+        val mins = (0 until numHashes).map(k =>
+          array_min(transform(col("__graft_nd_hs"), h => xxhash64(h, lit(k)))))
+        val flag = exists(array(bandKeyExprs(mins, rowsPerBand): _*),
+          k => Bridge.column(BloomFilterMightContain(
+            Bridge.expression(lit(b)), Bridge.expression(k))))
+        docs.withColumn("__graft_nd_hs", hs)
+          .withColumn("near_dup_candidate",
+            when(col(textCol).isNotNull, flag))
+          .drop("__graft_nd_hs")
+    }
+  }
+
   /** LSH banding: signature split into `bands` groups of `rowsPerBand`,
     * each band hashed to one bucket key; docs sharing any (band, bucket)
     * become a candidate pair. */
@@ -1449,26 +1543,38 @@ object Dedup {
     * everything (the [[graft.core.KeySets]] empty-set convention). */
   def fpBloomIndexSave(corpus: DataFrame, path: String, fpp: Double = 0.01,
       textCol: String = "text"): Unit = {
+    val (n, numBits, blob) =
+      buildBloomBlob(corpusFpKeys(corpus, textCol), "fp60", fpp)
+    import corpus.sparkSession.implicits._
+    Seq((ExactDupBloomKind, n, numBits, blob))
+      .toDF("kind", "n_items", "num_bits", "bloom")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Shared distributed Bloom build of the corpus-scale gate faces
+    * ([[fpBloomIndexSave]], [[bandBloomIndexSave]]): count the distinct
+    * keys, size the filter at `fpp`, run ONE `BloomFilterAggregate` —
+    * Spark's runtime-join-filter machinery: distributed build, one
+    * binary blob out. The aggregate's conf ceilings (defaults 4×10⁶
+    * items / 2²⁶ bits — sized for the optimizer's OWN injected join
+    * filters, not a corpus index) are raised around the build and
+    * restored after (round-16 ADVICE: a corpus past ~4M keys otherwise
+    * failed with AnalysisException at precisely the scale these faces
+    * exist for). → (n_items, num_bits, blob — None for an empty key
+    * set: the aggregate returns null over zero rows). */
+  private def buildBloomBlob(keys: DataFrame, keyCol: String,
+      fpp: Double): (Long, Long, Option[Array[Byte]]) = {
     require(fpp > 0 && fpp < 0.5, s"fpp must be in (0, 0.5): $fpp")
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
-    val keys = corpusFpKeys(corpus, textCol)
     val n = math.max(1L, keys.count())
     val numBits = math.ceil(
       -(n.toDouble) * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     require(numBits <= (1L << 34),
-      s"$n fps at fpp=$fpp need $numBits bloom bits (> 2^34 = 2 GiB) — " +
+      s"$n keys at fpp=$fpp need $numBits bloom bits (> 2^34 = 2 GiB) — " +
         "raise fpp or shard the index")
-    // BloomFilterAggregate.checkInputDataTypes rejects estimatedNumItems /
-    // numBits above the runtime-join-filter ceilings (defaults 4×10⁶ items,
-    // 2²⁶ bits — sized for Spark's OWN injected join filters, not for a
-    // corpus index). Without raising them, any corpus past ~4M distinct
-    // fingerprints fails the build with AnalysisException — at precisely
-    // the scale this face exists for (round-16 ADVICE). Raise both around
-    // the one aggregate, restore after: the ceilings keep protecting the
-    // optimizer's automatic filters; only this explicit build is exempt.
-    val conf = corpus.sparkSession.conf
+    val conf = keys.sparkSession.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val (oldItems, oldBits) = (conf.getOption(itemsKey), conf.getOption(bitsKey))
@@ -1477,7 +1583,7 @@ object Dedup {
         conf.set(itemsKey, math.max(n, 4000000L))
         conf.set(bitsKey, math.max(numBits, 67108864L))
         keys.select(Bridge.column(new BloomFilterAggregate(
-            Bridge.expression(col("fp60")), Literal(n), Literal(numBits))
+            Bridge.expression(col(keyCol)), Literal(n), Literal(numBits))
           .toAggregateExpression()).as("bloom"))
           .head().getAs[Array[Byte]](0)
       } finally {
@@ -1485,10 +1591,7 @@ object Dedup {
           v.fold(conf.unset(k))(conf.set(k, _))
         restore(itemsKey, oldItems); restore(bitsKey, oldBits)
       }
-    import corpus.sparkSession.implicits._
-    Seq((ExactDupBloomKind, n, numBits, Option(blob)))
-      .toDF("kind", "n_items", "num_bits", "bloom")
-      .repartition(1).write.mode("overwrite").parquet(path)
+    (n, numBits, Option(blob))
   }
 
   /** Load a [[fpBloomIndexSave]] dump → (blob — None for an empty-corpus

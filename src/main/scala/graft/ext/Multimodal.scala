@@ -225,6 +225,42 @@ object Multimodal {
           else graft.functions.ArraySets.sortedLongContains(ph, hashes)))
   }
 
+  /** [[graft.core.KeySets]] kind tag of the WAV energy-fingerprint
+    * blocklist. */
+  val WavFpKind = "audio_wavfp"
+
+  /** [[dHashIndexSave]] for AUDIO — persist the corpus's WAV energy
+    * fingerprints ([[graft.functions.PerceptualHashFns.wavEnergyFp]])
+    * as a [[graft.core.KeySets]] blocklist, completing the multimodal
+    * ingest family's build-once/serve-many symmetry (round-16: the
+    * image face had [[dHashIndexSave]] + `perceptual_dup_gate`, while
+    * [[audioDupPairs]] had pairs-level dedup but no gate face):
+    * fingerprint equality against this set flags a new payload as a
+    * re-encoded or gain-shifted copy of an already-ingested clip. */
+  def wavFpIndexSave(media: DataFrame, path: String,
+      payloadCol: String = "payload"): Unit =
+    graft.core.KeySets.save(
+      media.select(
+          graft.functions.PerceptualHashFns.wavEnergyFp(col(payloadCol)).as("ph"))
+        .filter(col("ph").isNotNull).distinct(),
+      path, WavFpKind)
+
+  /** [[flagPerceptualDup]]'s audio dual: stateless content-duplicate
+    * flag against a [[wavFpIndexSave]] blocklist literal — map-only
+    * (one codegen fingerprint + one binary search per row), identical
+    * on a batch frame or any streaming micro-batch. Un-decodable
+    * payloads (not RIFF/WAVE PCM-16, or under one energy window) get a
+    * null flag — the drop-gates' total-pass convention. */
+  def flagAudioDup(media: DataFrame, hashes: Seq[Long],
+      payloadCol: String = "payload"): DataFrame = {
+    val ph = graft.functions.PerceptualHashFns.wavEnergyFp(col(payloadCol))
+    media.withColumn("audio_dup",
+      when(ph.isNull, lit(null).cast(BooleanType))
+        .otherwise(
+          if (hashes.isEmpty) lit(false)
+          else graft.functions.ArraySets.sortedLongContains(ph, hashes)))
+  }
+
   /** Handcrafted container headers (shared by q109 and the spec tests):
     * real byte layouts, hand-derivable expected values. */
   object SampleHeaders {

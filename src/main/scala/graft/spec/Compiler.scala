@@ -175,7 +175,16 @@ object Compiler {
     // [[graft.ext.Dedup.bandIndexSave]] dump — build once, serve many
     // streams; the banding geometry rides with the keys, so config
     // n/num_hashes/rows_per_band are ignored and can't diverge).
-    case "near_dup_gate" => df => {
+    case "near_dup_gate" => df => p.config.get("bloom_path") match {
+      // corpus-scale face: a [[graft.ext.Dedup.bandBloomIndexSave]]
+      // blob — flags a superset of the literal gate's at ~fpp, never
+      // missing a candidate it would flag; geometry rides with the blob
+      case Some(bp) =>
+        val (blob, n, h, r) =
+          graft.ext.Dedup.bandBloomIndexLoad(df.sparkSession, bp)
+        gated(p, graft.ext.Dedup.flagNearDupsBloom(df, blob, n, h, r),
+          "near_dup_candidate")
+      case None =>
       val (bandKeys, n, numHashes, rowsPerBand) = p.config.get("index_path") match {
         case Some(ip) =>
           val (keys, n0, h0, r0) = graft.ext.Dedup.bandIndexLoad(df.sparkSession, ip)
@@ -269,6 +278,20 @@ object Compiler {
         df.sparkSession, ip, graft.ext.Multimodal.DHashKind)
       gated(p, graft.ext.Multimodal.flagPerceptualDup(df, hashes, payloadCol),
         "perceptual_dup")
+    }
+    // the AUDIO dual of perceptual_dup_gate: WAV energy fingerprints
+    // ([[graft.ext.Multimodal.wavFpIndexSave]]) load once as a sorted
+    // literal; each row's payload fingerprints (RIFF walk, PCM-16) and
+    // binary-searches — map-only, no join, no state, batch == stream.
+    // Un-decodable payloads get a null flag and PASS a drop-gate.
+    case "audio_dup_gate" => df => {
+      val ip = p.config.getOrElse("index_path",
+        sys.error("audio_dup_gate needs config.index_path (a wavFpIndexSave dump)"))
+      val payloadCol = p.config.getOrElse("payload_col", "payload")
+      val (hashes, _) = graft.core.KeySets.loadCollected(
+        df.sparkSession, ip, graft.ext.Multimodal.WavFpKind)
+      gated(p, graft.ext.Multimodal.flagAudioDup(df, hashes, payloadCol),
+        "audio_dup")
     }
     // fixed-size token chunking with overlap ([[graft.ext.Sharding
     // .chunkDocuments]]'s stage face): the doc stream becomes a chunk

@@ -23,7 +23,7 @@ object SpecLoader {
     // build, so the stages run unchanged on batch AND streaming frames
     "contamination_gate", "exact_dup_gate", "near_dup_gate", "kmeans_serve",
     "bpe_tokenize", "semantic_gate", "chunk_tokens", "fim_transform",
-    "perceptual_dup_gate")
+    "perceptual_dup_gate", "audio_dup_gate")
   val sinkTypes = Set("stdout", "kafka", "parquet", "csv", "json", "orc", "xml",
     "upsert_parquet")
 

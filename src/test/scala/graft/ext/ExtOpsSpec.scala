@@ -358,6 +358,49 @@ class ExtOpsSpec extends SparkSpec {
     assert(Dedup.flagExactDupsBloom(sample, blob).filter(!col("exact_dup")).count() == 0)
   }
 
+  test("bandBloomIndex: superset of the literal near-dup gate, geometry rides, empty/foreign dumps") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandbloom").toString
+    Dedup.bandBloomIndexSave(docs, s"$dir/idx", n = 8, fpp = 0.01)
+    val (blob, n, h, r) = Dedup.bandBloomIndexLoad(spark, s"$dir/idx")
+    assert(blob.isDefined && n == 8 && h == 128 && r == 4)
+    // NO FALSE NEGATIVES vs the literal gate: on corpus docs + fresh
+    // probes, every literal-flagged candidate must flag on the bloom face
+    val keys = Dedup.minhashBandKeys(docs, 8).collect().map(_.getLong(0)).toSeq
+    val probe = docs.select(col("doc_id"), col("text")).unionByName(
+      spark.range(2000).select((col("id") + 10000000L).as("doc_id"),
+        concat(lit("fresh band bloom probe words never in any corpus row "),
+          col("id").cast("string")).as("text")))
+    val e = Dedup.flagNearDups(probe, keys, 8)
+      .select(col("doc_id"), col("near_dup_candidate").as("e"))
+    val b = Dedup.flagNearDupsBloom(probe, blob, n, h, r)
+      .select(col("doc_id"), col("near_dup_candidate").as("b"))
+    val both = e.join(b, Seq("doc_id"))
+    assert(both.filter(col("e") && !col("b")).count() == 0,
+      "bloom face must never miss a literal-gate candidate")
+    // the extra (bloom-only) flags stay within a loose fpp band
+    val freshOnly = both.filter(col("doc_id") >= 10000000L)
+    val extra = freshOnly.filter(!col("e") && col("b")).count()
+    assert(extra <= 2000 * 0.10, s"implausible bloom fp rate: $extra/2000")
+    // null text → null flag (total pass)
+    val nulls = Dedup.flagNearDupsBloom(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"), blob, n, h, r)
+      .select(col("near_dup_candidate")).head()
+    assert(nulls.isNullAt(0))
+    // empty corpus → None blob → flags nothing
+    Dedup.bandBloomIndexSave(docs.filter(lit(false)), s"$dir/empty", n = 8)
+    val (none, _, _, _) = Dedup.bandBloomIndexLoad(spark, s"$dir/empty")
+    assert(none.isEmpty)
+    assert(Dedup.flagNearDupsBloom(probe, none, 8)
+      .filter(col("near_dup_candidate")).count() == 0)
+    // cross-family dumps must refuse to load as each other
+    intercept[Exception] { Dedup.fpBloomIndexLoad(spark, s"$dir/idx") }
+    Dedup.fpBloomIndexSave(docs.limit(3), s"$dir/fp")
+    intercept[Exception] { Dedup.bandBloomIndexLoad(spark, s"$dir/fp") }
+    ()
+  }
+
   test("KeySets: pre-tag dump accepted on its own key rows' proof; empty/foreign pre-tag refused") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("ks-pretag").toString
@@ -1461,6 +1504,45 @@ class ExtOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(2)) null else r.getBoolean(2))).toMap
     assert(flagged == Map(1L -> true, 2L -> false, 3L -> null))
+  }
+
+  test("audio dup gate: saved wavFp blocklist flags copies and gain re-masters, passes fresh/undecodable") {
+    import spark.implicits._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      val data = samples.flatMap(s => Array[Byte](s.toByte, (s >> 8).toByte))
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+        le32(16) ++ Array[Byte](1, 0, 1, 0) ++ le32(8000) ++ le32(16000) ++
+        Array[Byte](2, 0, 16, 0) ++ "data".getBytes("US-ASCII") ++
+        le32(data.length) ++ data
+    }
+    val clip = Array.tabulate(260)(i => ((i * 37) % 400 - 200).toShort)
+    val gain = clip.map(s => (s * 2).toShort)   // same energy structure
+    val other = Array.tabulate(260)(i => (((259 - i) * 53) % 300 - 150).toShort)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wavidx").toString
+    Multimodal.wavFpIndexSave(Seq(Tuple1(wav(clip))).toDF("payload"), dir)
+    val (hashes, _) = graft.core.KeySets.loadCollected(spark, dir,
+      Multimodal.WavFpKind)
+    assert(hashes.size == 1)
+    // copy AND gain re-master flag (identical fingerprint); fresh clip
+    // passes; undecodable (png header) gets a null flag (total pass)
+    val flagged = Multimodal.flagAudioDup(
+      Seq((1L, wav(clip.clone())), (2L, wav(gain)), (3L, wav(other)),
+        (4L, Multimodal.SampleHeaders.png))
+        .toDF("media_id", "payload"), hashes)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getBoolean(2))).toMap
+    assert(flagged == Map(1L -> true, 2L -> true, 3L -> false, 4L -> null))
+    // a foreign (image dHash) dump must not serve the audio gate
+    val img = java.nio.file.Files.createTempDirectory("graft-wavidx-img").toString
+    Multimodal.dHashIndexSave(
+      Seq(Tuple1(pgm(18, 16)((x, y) => (x * 11 + y * 5) % 230))).toDF("payload"), img)
+    intercept[IllegalArgumentException] {
+      graft.core.KeySets.loadCollected(spark, img, Multimodal.WavFpKind)
+    }
+    ()
   }
 
   test("winnowing: docs sharing a long run share a fingerprint; disjoint docs mostly don't") {

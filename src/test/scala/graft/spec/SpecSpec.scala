@@ -901,6 +901,100 @@ class SpecSpec extends SparkSpec {
     assert(texts(spark.table("bloomgate_stream")) == Seq("a fresh unseen document"))
   }
 
+  test("near_dup_gate bloom_path: corpus-scale face drops near-dup candidates, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandbloomgate")
+    val idx = dir.resolve("idx").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away home"),
+      (2L, "an entirely different corpus document with its own distinct words inside"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.bandBloomIndexSave(corpus, idx, n = 4, fpp = 0.001)
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: near_dup_gate
+         |      config: {bloom_path: "$idx"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    // an exact copy of a corpus doc always candidates (identical
+    // signature); a fresh doc shares no band bucket w.h.p.; null text
+    // passes (total-pass convention)
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog and then runs far away home",
+      "completely fresh words that never appeared anywhere in the reference set",
+      null)
+    def texts(df: org.apache.spark.sql.DataFrame) =
+      df.select("text").collect().map(r =>
+        if (r.isNullAt(0)) "<null>" else r.getString(0)).sorted.toSeq
+    val batchOut = texts(Compiler.pipeline(spec)(rows.toDF("text")))
+    assert(batchOut == Seq("<null>",
+      "completely fresh words that never appeared anywhere in the reference set"),
+      s"kept: $batchOut")
+    val ms = MemoryStream[String]
+    val out = Compiler.pipeline(spec)(ms.toDF().withColumnRenamed("value", "text"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("bandbloomgate_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows.filter(_ != null): _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    assert(texts(spark.table("bandbloomgate_stream")) ==
+      Seq("completely fresh words that never appeared anywhere in the reference set"))
+  }
+
+  test("audio_dup_gate spec: drops content-duplicate clips at ingest, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def wav(samples: Array[Short]): Array[Byte] = {
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      val data = samples.flatMap(s => Array[Byte](s.toByte, (s >> 8).toByte))
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+        le32(16) ++ Array[Byte](1, 0, 1, 0) ++ le32(8000) ++ le32(16000) ++
+        Array[Byte](2, 0, 16, 0) ++ "data".getBytes("US-ASCII") ++
+        le32(data.length) ++ data
+    }
+    val clip = Array.tabulate(260)(i => ((i * 37) % 400 - 200).toShort)
+    val other = Array.tabulate(260)(i => (((259 - i) * 53) % 300 - 150).toShort)
+    val dir = java.nio.file.Files.createTempDirectory("graft-adgate")
+    val idx = dir.resolve("idx").toString
+    graft.ext.Multimodal.wavFpIndexSave(Seq(Tuple1(wav(clip))).toDF("payload"), idx)
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: audio_dup_gate
+         |      config: {index_path: "$idx"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    // 1 = gain re-master of the indexed clip (drop — same energy
+    // structure), 2 = fresh clip (keep), 3 = undecodable png header
+    // (keep — total pass)
+    val rows = Seq((1L, wav(clip.map(s => (s * 2).toShort))), (2L, wav(other)),
+      (3L, graft.ext.Multimodal.SampleHeaders.png))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    val batchOut = ids(Compiler.pipeline(spec)(rows.toDF("media_id", "payload")))
+    assert(batchOut == Seq(2L, 3L), s"gate kept: $batchOut")
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val out = Compiler.pipeline(spec)(ms.toDF().toDF("media_id", "payload"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("adgate_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    assert(ids(spark.table("adgate_stream")) == Seq(2L, 3L))
+  }
+
   test("perceptual_dup_gate spec: drops content-duplicate images at ingest, batch == stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
