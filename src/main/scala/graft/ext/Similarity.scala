@@ -387,7 +387,14 @@ object Similarity {
     * `spark.graft.similarity.pairsDenseMaxBase` (default 2¹⁷ ≈ 70 MB of
     * broadcast fixed-point arrays at 64 dims); past the bound — corpora
     * where no side can broadcast and brute force is off the table anyway
-    * — the banded path runs unchanged. EXPLICIT geometry always bands
+    * — the banded path runs unchanged. The default is also ~the
+    * MEASURED compute crossover (the `pairsDenseMaxBytes` discipline,
+    * see [[graft.ext.Multimodal]]): at 160k reps — just past the bound
+    * — the round-15 probe ran auto-banded in 191.5 s (planted recall
+    * 1.0), vs ~243 s extrapolated for the dense |B|² scan (64× the
+    * measured 3.8 s at 20k reps) — so the broadcast envelope and the
+    * dense/banded cost crossover coincide within ~25%, and the flip is
+    * in the safe (banded) direction. EXPLICIT geometry always bands
     * (the caller asked for that plan — tests and recall probes rely on
     * it). Path choice is observable via [[lastPairsPath]] (the
     * [[Dedup.lastVerifyPath]] pattern). */

@@ -9,8 +9,8 @@ import org.apache.spark.sql.types._
 
 /** Content-level perceptual fingerprints for multimodal columns — the
   * codec-free formats a [[MediaHeader]] crawl can decode with plain byte
-  * arithmetic: uncompressed images (PGM P5, BMP 24/8-bit BI_RGB) and
-  * WAV-PCM audio. These give the multimodal column a real DEDUP face
+  * arithmetic: uncompressed images (PGM P5, PPM P6, BMP 32/24/8-bit
+  * BI_RGB) and WAV-PCM audio. These give the multimodal column a real DEDUP face
   * (near-identical images/audio collapse to nearby hashes) beyond the
   * header-metadata sniff; compressed formats (png/jpeg/...) need a codec
   * and yield null — exactly the [[graft.ext.Multimodal.decodeStub]]
@@ -38,7 +38,8 @@ import org.apache.spark.sql.types._
   * Fewer than 65 samples → null (no stable energy profile).
   */
 object PerceptualHashFns {
-  /** 64-bit image dHash of a PGM(P5)/BMP payload; null otherwise. */
+  /** 64-bit image dHash of a PGM(P5)/PPM(P6)/BMP payload; null
+    * otherwise. */
   def imageDHash(c: Column): Column =
     Bridge.column(ImageDHash(Bridge.expression(c)))
 
@@ -95,11 +96,14 @@ object PerceptualHash {
   /** Decoded grayscale accessor: (width, height, gray(x, y)). */
   private type Gray = (Int, Int, (Int, Int) => Int)
 
-  /** PGM binary (P5): `P5 <ws> W <ws> H <ws> MAXVAL <single-ws> pixels`,
-    * comments (#…\n) legal in the header, maxval ≤ 255 (one byte per
-    * pixel). Returns null for P2/P6/maxval>255/truncated pixel data. */
+  /** PNM binary (PGM P5 / PPM P6): `P5|P6 <ws> W <ws> H <ws> MAXVAL
+    * <single-ws> pixels`, comments (#…\n) legal in the header, maxval
+    * ≤ 255 (one byte per sample; P6 carries 3 RGB samples per pixel,
+    * grayed with the BMP weights). Returns null for ascii P2/P3,
+    * maxval>255, or truncated pixel data. */
   private def parsePgm(b: Array[Byte]): Gray = {
-    if (b.length < 2 || b(0) != 'P' || b(1) != '5') return null
+    if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return null
+    val rgb = b(1) == '6'
     var i = 2
     def skipWs(): Boolean = {
       var progressed = false
@@ -126,13 +130,20 @@ object PerceptualHash {
     if (w <= 0 || h <= 0 || mx <= 0 || mx > 255) return null
     i += 1 // exactly ONE whitespace byte separates header from pixels
     val off = i
-    if (off + w.toLong * h > b.length) return null
-    (w, h, (x, y) => u8(b, off + y * w + x))
+    val bpp = if (rgb) 3 else 1
+    if (off + w.toLong * h * bpp > b.length) return null
+    if (rgb) (w, h, (x, y) => {
+      val p = off + (y * w + x) * 3 // PPM sample order is R,G,B
+      (299 * u8(b, p) + 587 * u8(b, p + 1) + 114 * u8(b, p + 2)) / 1000
+    })
+    else (w, h, (x, y) => u8(b, off + y * w + x))
   }
 
-  /** BMP (BITMAPINFOHEADER, biCompression=0): 24bpp BGR or 8bpp
-    * (palette index read as gray). Bottom-up rows for positive height,
-    * top-down for negative; rows padded to 4 bytes. */
+  /** BMP (BITMAPINFOHEADER, biCompression=0): 32bpp BGRA/BGRX (alpha
+    * byte ignored — gray is of the color channels only), 24bpp BGR, or
+    * 8bpp (palette index read as gray). Bottom-up rows for positive
+    * height, top-down for negative; rows padded to 4 bytes (a no-op at
+    * 32bpp). */
   private def parseBmp(b: Array[Byte]): Gray = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
     val dataOff = le32(b, 10)
@@ -141,7 +152,8 @@ object PerceptualHash {
     val hRaw = le32(b, 22).toInt
     val bpp = u8(b, 28) | (u8(b, 29) << 8)
     val comp = le32(b, 30)
-    if (w <= 0 || hRaw == 0 || comp != 0 || (bpp != 24 && bpp != 8)) return null
+    if (w <= 0 || hRaw == 0 || comp != 0 ||
+      (bpp != 32 && bpp != 24 && bpp != 8)) return null
     val h = math.abs(hRaw)
     val bytesPerPx = bpp / 8
     val rowBytes = ((w.toLong * bytesPerPx + 3) / 4) * 4

@@ -1371,6 +1371,34 @@ class ExtOpsSpec extends SparkSpec {
     hdr ++ px
   }
 
+  private def ppm(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
+    s"P6 $w $h 255\n".getBytes("US-ASCII") ++
+      (for (y <- 0 until h; x <- 0 until w; _ <- 0 until 3)
+        yield f(x, y).toByte).toArray
+
+  /** Uncompressed 32bpp BMP (BGRA; the alpha byte VARIES per pixel to
+    * prove the decoder ignores it). */
+  private def bmp32(w: Int, h: Int, topDown: Boolean = false)(
+      f: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = w * 4
+    val dataLen = rowBytes * h
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val hdr = "BM".getBytes("US-ASCII") ++ le32(54 + dataLen) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
+      Array[Byte](1, 0, 32, 0) ++ le32(0) ++ le32(dataLen) ++
+      le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    val px = new Array[Byte](dataLen)
+    for (y <- 0 until h; x <- 0 until w) {
+      val row = if (topDown) y else h - 1 - y
+      val g = f(x, y).toByte
+      val p = row * rowBytes + x * 4
+      px(p) = g; px(p + 1) = g; px(p + 2) = g
+      px(p + 3) = ((x * 31 + y * 17) % 256).toByte
+    }
+    hdr ++ px
+  }
+
   test("imageDHash: exact bit contract on hand-derivable images, format parity, null off-format") {
     import spark.implicits._
     def hash(payload: Array[Byte]): Option[Long] = {
@@ -1390,10 +1418,23 @@ class ExtOpsSpec extends SparkSpec {
     val base = pgm(18, 16)((x, y) => (x * 7 + y * 3) % 200)
     val bright = pgm(18, 16)((x, y) => (x * 7 + y * 3) % 200 + 50)
     assert(hash(base).get == hash(bright).get)
+    // PPM P6 with R=G=B=g grays to exactly g ((299+587+114)g/1000) →
+    // byte-identical grid and hash as the P5 of the same pixels
+    assert(hash(ppm(9, 8)((x, _) => x * 10)) == Some(-1L))
+    assert(hash(ppm(18, 16)((x, y) => (x * 7 + y * 3) % 200)) == hash(base))
+    // 32bpp BMP (BGRA; varying alpha ignored), bottom-up and top-down
+    assert(hash(bmp32(9, 8)((x, _) => x * 10)) == Some(-1L))
+    assert(hash(bmp32(18, 16)((x, y) => (x * 7 + y * 3) % 200)) == hash(base))
+    assert(hash(bmp32(18, 16, topDown = true)(
+      (x, y) => (x * 7 + y * 3) % 200)) == hash(base))
     // compressed formats have no codec here → null, never garbage
     assert(hash(Multimodal.SampleHeaders.png).isEmpty)
     assert(hash(Multimodal.SampleHeaders.jpeg).isEmpty)
     assert(hash("P2 2 2 255\n0 1 2 3".getBytes("US-ASCII")).isEmpty) // ascii PGM
+    assert(hash("P3 2 2 255\n0 1 2 3".getBytes("US-ASCII")).isEmpty) // ascii PPM
+    // truncated P6 pixel data (sized as if 1 byte/px) → null
+    assert(hash(s"P6 9 8 255\n".getBytes("US-ASCII") ++
+      Array.fill(72)(5.toByte)).isEmpty)
   }
 
   test("wavEnergyFp: monotone/constant energy contracts, null for non-PCM16") {
