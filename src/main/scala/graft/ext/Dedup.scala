@@ -929,22 +929,27 @@ object Dedup {
   def flagNearDups(docs: DataFrame, bandKeys: Seq[Long], n: Int,
       numHashes: Int = 128, rowsPerBand: Int = 4,
       textCol: String = "text"): DataFrame = {
+    val flag = exists(rowBandKeys(textCol, n, numHashes, rowsPerBand),
+      k => graft.functions.ArraySets.sortedLongContains(k, bandKeys))
+    docs.withColumn("near_dup_candidate",
+      when(col(textCol).isNotNull, flag))
+  }
+
+  /** The per-row band keys every serve-side near-dup face shares —
+    * gram-hash once (one pass), then the fused
+    * [[graft.functions.MinHashBands]] kernel (round-16: the unfused
+    * 128-HOF-pass form made the near-dup gate 3.5× the cost of every
+    * other ingest gate on the sf1 gate-stack soak — the chain's
+    * bottleneck). Bit-identical keys to the batch blocklist's
+    * [[bandKeyExprs]] aggregate formula (equivalence-tested: gate flag
+    * ⟺ batch LSH candidacy). */
+  private def rowBandKeys(textCol: String, n: Int,
+      numHashes: Int, rowsPerBand: Int): org.apache.spark.sql.Column = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes=$numHashes must divide into bands of $rowsPerBand")
-    // hash the grams ONCE into a real column: the 128 member expressions
-    // below each scan it — inlining the gram hashing into every member
-    // would re-hash the strings numHashes times (the minhashFamily
-    // rationale, per row instead of per aggregate)
-    val hs = transform(wordShingleArray(col(textCol), n), s => xxhash64(s))
-    val mins = (0 until numHashes).map(k =>
-      array_min(transform(col("__graft_nd_hs"), h => xxhash64(h, lit(k)))))
-    val flag = bandKeyExprs(mins, rowsPerBand)
-      .map(k => graft.functions.ArraySets.sortedLongContains(k, bandKeys))
-      .reduce(_ || _)
-    docs.withColumn("__graft_nd_hs", hs)
-      .withColumn("near_dup_candidate",
-        when(col(textCol).isNotNull, flag))
-      .drop("__graft_nd_hs")
+    graft.functions.MinHashBands.bandKeysCol(
+      transform(wordShingleArray(col(textCol), n), s => xxhash64(s)),
+      numHashes, rowsPerBand)
   }
 
   /** The DISTRIBUTED-blocklist form of the ingest near-dup gate — same
@@ -972,15 +977,10 @@ object Dedup {
   def flagNearDupsAgainst(docs: DataFrame, bandKeys: DataFrame, n: Int,
       numHashes: Int = 128, rowsPerBand: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(numHashes % rowsPerBand == 0,
-      s"numHashes=$numHashes must divide into bands of $rowsPerBand")
-    val hs = transform(wordShingleArray(col(textCol), n), s => xxhash64(s))
-    val mins = (0 until numHashes).map(k =>
-      array_min(transform(col("__graft_nd_hs"), h => xxhash64(h, lit(k)))))
     val hits = docs
       .filter(col(textCol).isNotNull)
-      .withColumn("__graft_nd_hs", hs)
-      .select(col(idCol), explode(array(bandKeyExprs(mins, rowsPerBand): _*)).as("bk"))
+      .select(col(idCol),
+        explode(rowBandKeys(textCol, n, numHashes, rowsPerBand)).as("bk"))
       .join(broadcast(bandKeys.select(col("bk"))), Seq("bk"), "left_semi")
       .select(col(idCol)).distinct()
       .withColumn("__graft_nd_hit", lit(true))
@@ -1119,16 +1119,11 @@ object Dedup {
       case Some(b) =>
         import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
         import org.apache.spark.sql.graftbridge.Bridge
-        val hs = transform(wordShingleArray(col(textCol), n), s => xxhash64(s))
-        val mins = (0 until numHashes).map(k =>
-          array_min(transform(col("__graft_nd_hs"), h => xxhash64(h, lit(k)))))
-        val flag = exists(array(bandKeyExprs(mins, rowsPerBand): _*),
+        val flag = exists(rowBandKeys(textCol, n, numHashes, rowsPerBand),
           k => Bridge.column(BloomFilterMightContain(
             Bridge.expression(lit(b)), Bridge.expression(k))))
-        docs.withColumn("__graft_nd_hs", hs)
-          .withColumn("near_dup_candidate",
-            when(col(textCol).isNotNull, flag))
-          .drop("__graft_nd_hs")
+        docs.withColumn("near_dup_candidate",
+          when(col(textCol).isNotNull, flag))
     }
   }
 
@@ -1562,7 +1557,7 @@ object Dedup {
     * failed with AnalysisException at precisely the scale these faces
     * exist for). → (n_items, num_bits, blob — None for an empty key
     * set: the aggregate returns null over zero rows). */
-  private def buildBloomBlob(keys: DataFrame, keyCol: String,
+  private[ext] def buildBloomBlob(keys: DataFrame, keyCol: String,
       fpp: Double): (Long, Long, Option[Array[Byte]]) = {
     require(fpp > 0 && fpp < 0.5, s"fpp must be in (0, 0.5): $fpp")
     import org.apache.spark.sql.catalyst.expressions.Literal
