@@ -225,6 +225,88 @@ object Multimodal {
           else graft.functions.ArraySets.sortedLongContains(ph, hashes)))
   }
 
+  /** Kind tags of the Bloom perceptual indexes
+    * ([[dHashBloomIndexSave]] / [[wavFpBloomIndexSave]]). */
+  val DHashBloomKind = "image_dhash_bloom"
+  val WavFpBloomKind = "audio_wavfp_bloom"
+
+  /** CORPUS-SCALE faces of the perceptual ingest gates — the
+    * [[graft.ext.Dedup.fpBloomIndexSave]] precedent applied to the
+    * content-hash blocklists: the sorted literals of
+    * [[flagPerceptualDup]]/[[flagAudioDup]] are driver-sized by
+    * contract (~10⁷ hashes ≈ 80 MB task rider is the practical
+    * ceiling), while a 10⁹-image reference corpus holds up to 10⁹
+    * distinct dHashes — an 8 GB literal. A Bloom over the same 64-bit
+    * hashes serves that regime (~1.2 GB at 1% fpp per 10⁹ keys),
+    * built distributed, probed map-only, ONE probe per row (unlike
+    * the banded near-dup face there is no per-band union-bound issue:
+    * fpp here IS the per-document false-flag rate). No false
+    * negatives: a content copy of an indexed payload always flags.
+    * Un-decodable payloads flag null and PASS (total-pass
+    * convention); empty-corpus builds flag nothing. */
+  def dHashBloomIndexSave(media: DataFrame, path: String,
+      fpp: Double = 0.01, payloadCol: String = "payload"): Unit =
+    hashBloomSave(media, path, DHashBloomKind,
+      graft.functions.PerceptualHashFns.imageDHash(col(payloadCol)), fpp)
+
+  /** [[dHashBloomIndexSave]] for the WAV energy fingerprint. */
+  def wavFpBloomIndexSave(media: DataFrame, path: String,
+      fpp: Double = 0.01, payloadCol: String = "payload"): Unit =
+    hashBloomSave(media, path, WavFpBloomKind,
+      graft.functions.PerceptualHashFns.wavEnergyFp(col(payloadCol)), fpp)
+
+  private def hashBloomSave(media: DataFrame, path: String, kind: String,
+      hash: Column, fpp: Double): Unit = {
+    val keys = media.select(hash.as("ph"))
+      .filter(col("ph").isNotNull).distinct()
+    val (n, numBits, blob) = graft.ext.Dedup.buildBloomBlob(keys, "ph", fpp)
+    import media.sparkSession.implicits._
+    Seq((kind, n, numBits, blob))
+      .toDF("kind", "n_items", "num_bits", "bloom")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[dHashBloomIndexSave]]/[[wavFpBloomIndexSave]] dump →
+    * blob (None for an empty-corpus build). `expectKind` validates the
+    * family: an image index can never serve the audio gate. */
+  def hashBloomIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String, expectKind: String): Option[Array[Byte]] = {
+    require(expectKind == DHashBloomKind || expectKind == WavFpBloomKind,
+      s"not a perceptual bloom kind: $expectKind")
+    val rows = spark.read.parquet(path).collect()
+    require(rows.length == 1 && rows(0).getString(0) == expectKind,
+      s"index at $path is not a $expectKind dump")
+    Option(rows(0).getAs[Array[Byte]]("bloom"))
+  }
+
+  /** [[flagPerceptualDup]] against a Bloom blob instead of a sorted
+    * literal: one codegen hash + one `might_contain` probe per row. */
+  def flagPerceptualDupBloom(media: DataFrame, bloom: Option[Array[Byte]],
+      payloadCol: String = "payload"): DataFrame =
+    hashBloomFlag(media, bloom,
+      graft.functions.PerceptualHashFns.imageDHash(col(payloadCol)),
+      "perceptual_dup")
+
+  /** [[flagAudioDup]] against a Bloom blob instead of a sorted literal. */
+  def flagAudioDupBloom(media: DataFrame, bloom: Option[Array[Byte]],
+      payloadCol: String = "payload"): DataFrame =
+    hashBloomFlag(media, bloom,
+      graft.functions.PerceptualHashFns.wavEnergyFp(col(payloadCol)),
+      "audio_dup")
+
+  private def hashBloomFlag(media: DataFrame, bloom: Option[Array[Byte]],
+      hash: Column, flagCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.Bridge
+    val hit = bloom match {
+      case None => lit(false)
+      case Some(b) => Bridge.column(BloomFilterMightContain(
+        Bridge.expression(lit(b)), Bridge.expression(hash)))
+    }
+    media.withColumn(flagCol,
+      when(hash.isNull, lit(null).cast(BooleanType)).otherwise(hit))
+  }
+
   /** [[graft.core.KeySets]] kind tag of the WAV energy-fingerprint
     * blocklist. */
   val WavFpKind = "audio_wavfp"

@@ -271,13 +271,24 @@ object Compiler {
     // PASS a drop-gate (total-pass convention: only a positive content
     // match drops).
     case "perceptual_dup_gate" => df => {
-      val ip = p.config.getOrElse("index_path",
-        sys.error("perceptual_dup_gate needs config.index_path (a dHashIndexSave dump)"))
       val payloadCol = p.config.getOrElse("payload_col", "payload")
-      val (hashes, _) = graft.core.KeySets.loadCollected(
-        df.sparkSession, ip, graft.ext.Multimodal.DHashKind)
-      gated(p, graft.ext.Multimodal.flagPerceptualDup(df, hashes, payloadCol),
-        "perceptual_dup")
+      p.config.get("bloom_path") match {
+        // corpus-scale face: a [[graft.ext.Multimodal.dHashBloomIndexSave]]
+        // blob — no false negatives, ~fpp per-document false flags
+        case Some(bp) =>
+          val blob = graft.ext.Multimodal.hashBloomIndexLoad(
+            df.sparkSession, bp, graft.ext.Multimodal.DHashBloomKind)
+          gated(p, graft.ext.Multimodal.flagPerceptualDupBloom(df, blob,
+            payloadCol), "perceptual_dup")
+        case None =>
+          val ip = p.config.getOrElse("index_path",
+            sys.error("perceptual_dup_gate needs config.index_path (a " +
+              "dHashIndexSave dump) or config.bloom_path"))
+          val (hashes, _) = graft.core.KeySets.loadCollected(
+            df.sparkSession, ip, graft.ext.Multimodal.DHashKind)
+          gated(p, graft.ext.Multimodal.flagPerceptualDup(df, hashes,
+            payloadCol), "perceptual_dup")
+      }
     }
     // the AUDIO dual of perceptual_dup_gate: WAV energy fingerprints
     // ([[graft.ext.Multimodal.wavFpIndexSave]]) load once as a sorted
@@ -285,13 +296,22 @@ object Compiler {
     // binary-searches — map-only, no join, no state, batch == stream.
     // Un-decodable payloads get a null flag and PASS a drop-gate.
     case "audio_dup_gate" => df => {
-      val ip = p.config.getOrElse("index_path",
-        sys.error("audio_dup_gate needs config.index_path (a wavFpIndexSave dump)"))
       val payloadCol = p.config.getOrElse("payload_col", "payload")
-      val (hashes, _) = graft.core.KeySets.loadCollected(
-        df.sparkSession, ip, graft.ext.Multimodal.WavFpKind)
-      gated(p, graft.ext.Multimodal.flagAudioDup(df, hashes, payloadCol),
-        "audio_dup")
+      p.config.get("bloom_path") match {
+        case Some(bp) =>
+          val blob = graft.ext.Multimodal.hashBloomIndexLoad(
+            df.sparkSession, bp, graft.ext.Multimodal.WavFpBloomKind)
+          gated(p, graft.ext.Multimodal.flagAudioDupBloom(df, blob,
+            payloadCol), "audio_dup")
+        case None =>
+          val ip = p.config.getOrElse("index_path",
+            sys.error("audio_dup_gate needs config.index_path (a " +
+              "wavFpIndexSave dump) or config.bloom_path"))
+          val (hashes, _) = graft.core.KeySets.loadCollected(
+            df.sparkSession, ip, graft.ext.Multimodal.WavFpKind)
+          gated(p, graft.ext.Multimodal.flagAudioDup(df, hashes,
+            payloadCol), "audio_dup")
+      }
     }
     // fixed-size token chunking with overlap ([[graft.ext.Sharding
     // .chunkDocuments]]'s stage face): the doc stream becomes a chunk

@@ -1586,6 +1586,72 @@ class ExtOpsSpec extends SparkSpec {
     ()
   }
 
+  test("perceptual bloom faces: superset of the literal gates, null/empty/foreign conventions") {
+    import spark.implicits._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      val data = samples.flatMap(s => Array[Byte](s.toByte, (s >> 8).toByte))
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+        le32(16) ++ Array[Byte](1, 0, 1, 0) ++ le32(8000) ++ le32(16000) ++
+        Array[Byte](2, 0, 16, 0) ++ "data".getBytes("US-ASCII") ++
+        le32(data.length) ++ data
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-pbloom").toString
+    // IMAGE face: a 300-image corpus → bloom; every indexed image flags
+    val corpus = (0 until 300).map(s => Tuple1(pgm(18, 16)(
+      (x, y) => (x * (s + 3) + y * 5) % 230))).toDF("payload")
+    Multimodal.dHashBloomIndexSave(corpus, s"$dir/img", fpp = 0.01)
+    val imgBlob = Multimodal.hashBloomIndexLoad(spark, s"$dir/img",
+      Multimodal.DHashBloomKind)
+    assert(imgBlob.isDefined)
+    val onCorpus = Multimodal.flagPerceptualDupBloom(corpus, imgBlob)
+    assert(onCorpus.filter(!col("perceptual_dup")).count() == 0,
+      "bloom face may never miss an indexed image")
+    // superset of the literal gate + undecodable → null
+    val (lits, _) = {
+      Multimodal.dHashIndexSave(corpus, s"$dir/img_lit")
+      graft.core.KeySets.loadCollected(spark, s"$dir/img_lit", Multimodal.DHashKind)
+    }
+    val probe = Seq((1L, pgm(18, 16)((x, y) => (x * 3 + y * 5) % 230)),
+      (2L, pgm(18, 16)((x, y) => ((17 - x) * 13 + (15 - y) * 7) % 229)),
+      (3L, Multimodal.SampleHeaders.png)).toDF("media_id", "payload")
+    val both = Multimodal.flagPerceptualDup(probe, lits)
+      .withColumnRenamed("perceptual_dup", "e")
+      .join(Multimodal.flagPerceptualDupBloom(probe, imgBlob)
+        .select(col("media_id"), col("perceptual_dup").as("b")), Seq("media_id"))
+    assert(both.filter(col("e") && !col("b")).count() == 0)
+    assert(both.filter(col("media_id") === 3L).head().isNullAt(2)) // null flag
+    // AUDIO face: indexed clip + gain re-master flag; fresh doesn't (whp)
+    val clip = Array.tabulate(260)(i => ((i * 37) % 400 - 200).toShort)
+    Multimodal.wavFpBloomIndexSave(Seq(Tuple1(wav(clip))).toDF("payload"),
+      s"$dir/aud", fpp = 0.001)
+    val audBlob = Multimodal.hashBloomIndexLoad(spark, s"$dir/aud",
+      Multimodal.WavFpBloomKind)
+    val audFlags = Multimodal.flagAudioDupBloom(
+      Seq((1L, wav(clip.map(s => (s * 2).toShort))),
+        (2L, wav(Array.tabulate(260)(i => (((259 - i) * 53) % 300 - 150).toShort))),
+        (3L, Multimodal.SampleHeaders.png)).toDF("media_id", "payload"), audBlob)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getBoolean(2))).toMap
+    assert(audFlags == Map(1L -> true, 2L -> false, 3L -> null))
+    // empty corpus → None → flags nothing; foreign kinds refuse to load
+    Multimodal.dHashBloomIndexSave(corpus.filter(lit(false)), s"$dir/empty")
+    val none = Multimodal.hashBloomIndexLoad(spark, s"$dir/empty",
+      Multimodal.DHashBloomKind)
+    assert(none.isEmpty)
+    assert(Multimodal.flagPerceptualDupBloom(probe, none)
+      .filter(col("perceptual_dup")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Multimodal.hashBloomIndexLoad(spark, s"$dir/img", Multimodal.WavFpBloomKind)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.hashBloomIndexLoad(spark, s"$dir/img", Multimodal.DHashKind)
+    }
+    ()
+  }
+
   test("winnowing: docs sharing a long run share a fingerprint; disjoint docs mostly don't") {
     val shared = "the entirety of this shared passage is long enough to winnow"
     val df = Seq(

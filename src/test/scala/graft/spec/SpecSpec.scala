@@ -947,6 +947,70 @@ class SpecSpec extends SparkSpec {
       Seq("completely fresh words that never appeared anywhere in the reference set"))
   }
 
+  test("perceptual_dup_gate bloom_path: corpus-scale face drops image copies, batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def pgm(seed: Int): Array[Byte] =
+      s"P5 18 16 255\n".getBytes("US-ASCII") ++
+        (for (y <- 0 until 16; x <- 0 until 18)
+          yield ((x * seed + y * 5) % 230).toByte).toArray
+    val dir = java.nio.file.Files.createTempDirectory("graft-pbgate")
+    val idx = dir.resolve("idx").toString
+    graft.ext.Multimodal.dHashBloomIndexSave(
+      Seq(Tuple1(pgm(11))).toDF("payload"), idx, fpp = 0.001)
+    val spec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: perceptual_dup_gate
+         |      config: {bloom_path: "$idx"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    // 1 = content copy (drop), 2 = fresh (keep), 3 = undecodable (keep)
+    val rows = Seq((1L, pgm(11)), (2L, pgm(13)),
+      (3L, graft.ext.Multimodal.SampleHeaders.png))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(Compiler.pipeline(spec)(rows.toDF("media_id", "payload"))) == Seq(2L, 3L))
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val out = Compiler.pipeline(spec)(ms.toDF().toDF("media_id", "payload"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("pbgate_stream")
+      .trigger(Trigger.AvailableNow())
+    ms.addData(rows: _*)
+    val started = q.start()
+    try started.awaitTermination(60000) finally started.stop()
+    assert(ids(spark.table("pbgate_stream")) == Seq(2L, 3L))
+    // the audio face shares the stage plumbing: batch spot-check only
+    def wav(seed: Int): Array[Byte] = {
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      val data = Array.tabulate(260)(i => ((i * seed) % 400 - 200).toShort)
+        .flatMap(s => Array[Byte](s.toByte, (s >> 8).toByte))
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+        le32(16) ++ Array[Byte](1, 0, 1, 0) ++ le32(8000) ++ le32(16000) ++
+        Array[Byte](2, 0, 16, 0) ++ "data".getBytes("US-ASCII") ++
+        le32(data.length) ++ data
+    }
+    val aidx = dir.resolve("aidx").toString
+    graft.ext.Multimodal.wavFpBloomIndexSave(
+      Seq(Tuple1(wav(37))).toDF("payload"), aidx, fpp = 0.001)
+    val aspec = SpecLoader.load(
+      s"""input: {type: stdin}
+         |pipeline:
+         |  processors:
+         |    - type: audio_dup_gate
+         |      config: {bloom_path: "$aidx"}
+         |output: {type: stdout}
+         |""".stripMargin)
+    val arows = Seq((1L, wav(37)), (2L, wav(53)),
+      (3L, graft.ext.Multimodal.SampleHeaders.png))
+    assert(ids(Compiler.pipeline(aspec)(arows.toDF("media_id", "payload"))) == Seq(2L, 3L))
+  }
+
   test("audio_dup_gate spec: drops content-duplicate clips at ingest, batch == stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
