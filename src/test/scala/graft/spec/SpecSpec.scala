@@ -203,7 +203,12 @@ class SpecSpec extends SparkSpec {
     val media = SpecLoader.loadFile("examples/media_ingest_stream.yml")
     assert(media.input.typ == "binary_files")
     assert(media.input.config.get("pathGlobFilter").exists(_.contains("png")))
-    assert(media.pipeline.isEmpty && media.output.typ == "parquet")
+    // r16: content-level dedup gates on their corpus-scale bloom faces
+    assert(media.pipeline.map(_.typ) ==
+      Seq("perceptual_dup_gate", "audio_dup_gate"))
+    assert(media.pipeline.forall(p => p.config.get("bloom_path").nonEmpty &&
+      p.config.get("payload_col").contains("content")))
+    assert(media.output.typ == "parquet")
     val gates = SpecLoader.loadFile("examples/ingest_gates_stream.yml")
     assert(gates.input.typ == "http_server")
     assert(gates.pipeline.map(_.typ) == Seq("contamination_gate", "exact_dup_gate", "near_dup_gate"))
