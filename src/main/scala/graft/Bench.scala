@@ -195,6 +195,12 @@ object Bench {
     // r1-r3 `parsed: null`). The cold detail goes to stderr for the same
     // reason: one compact stdout JSON line, nothing after it.
     def fmt(d: Double): String = f"$d%.3f"
+    // The STDOUT per-query map uses 2 decimals: at 156 queries the 3-decimal
+    // line measured ~2045 chars and the driver's ~2000-char tail window
+    // clipped its head (BENCH_r15 `parsed: null`). One digit per query buys
+    // the line back under the window with margin; full 3-decimal per-query
+    // values still ship on stderr (warm_full/cold) and in bench_detail.json.
+    def fmt2(d: Double): String = f"$d%.2f"
     // stdout keys are the qNN prefix (the contract's own "q1" style): at
     // 100+ queries, full names push the line past the driver's ~2000-char
     // tail window (BENCH_r03's parsed:null — the cold stderr line filled
@@ -202,7 +208,7 @@ object Bench {
     // construction; the full-name map goes to stderr with the cold run.
     def shortName(n: String): String = n.takeWhile(_ != '_')
     def obj(f: ((String, (Double, Double, Int))) => Double): String =
-      results.map { case kv => s"\"" + shortName(kv._1) + "\":" + fmt(f(kv)) }
+      results.map { case kv => s"\"" + shortName(kv._1) + "\":" + fmt2(f(kv)) }
         .mkString("{", ",", "}")
     val totalWarm = results.map(_._2._2).filter(_ >= 0).sum
     val totalCold = results.map(_._2._1).filter(_ >= 0).sum

@@ -1129,12 +1129,21 @@ object Dedup {
 
   /** LSH banding: signature split into `bands` groups of `rowsPerBand`,
     * each band hashed to one bucket key; docs sharing any (band, bucket)
-    * become a candidate pair. */
-  def lshCandidates(sig: DataFrame, rowsPerBand: Int, bands: Int): DataFrame = {
+    * become a candidate pair. `parts > 0` repartitions the band table by
+    * the join key first (the simhashPairs pattern): the self-join and its
+    * downstream distinct run at a caller-sized partition count derived
+    * from the corpus instead of the session default (at bench scale the
+    * default-width join is per-task floor; at corpus scale the caller's
+    * formula exceeds the default and the partitioning is unchanged).
+    * 0 = plan as before. */
+  def lshCandidates(sig: DataFrame, rowsPerBand: Int, bands: Int,
+      parts: Int = 0): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"m$k")): _*)
     }
-    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val banded0 = sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val banded = if (parts > 0) banded0.repartition(parts, col("band"), col("bh"))
+      else banded0
     // shuffle_hash pin: the band table is |docs|·bands rows behind a
     // Generate, whose size the estimator cannot see — a mis-broadcast of a
     // corpus-sized side is an executor OOM at scale, and a broadcast is
@@ -1169,7 +1178,15 @@ object Dedup {
     // prefixJaccardPairs.
     val hub = graft.core.Caches.persist(
       sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*))
-    val cand = lshCandidates(hub, rowsPerBand, numHashes / rowsPerBand)
+    // band-join parallelism from the corpus (memo hit — fractionalDfCap
+    // above already counted docs; an explicit maxDf skips that, so count
+    // here either way): bands/doc band rows, ~50k per partition.
+    val nDocs = graft.core.Caches.memo(docs, "count")(
+      java.lang.Long.valueOf(docs.count())).longValue
+    val bandParts = math.min(
+      docs.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      math.max(1L, (numHashes / rowsPerBand) * nDocs / 50_000L)).toInt
+    val cand = lshCandidates(hub, rowsPerBand, numHashes / rowsPerBand, bandParts)
     val arrs = hub.select(col("id"), col("shs"), col("n"))
     // one-job stats over the persisted hub (doubles as its explicit
     // materialization): clears the verify broadcasts without any
@@ -1244,9 +1261,25 @@ object Dedup {
     // negligible footprint, released via Caches.unpersistAll
     val sig = graft.core.Caches.persist(simhashSignature(
       full.select(col("rep").as("doc_id"), col("gtext").as("text")), n))
+    // Size the band self-join from the corpus (the prefixCandidates/
+    // clusterPairs sizing pattern) by repartitioning `banded` on the join
+    // key: the join, popcount filter, and distinct then run at a
+    // band-volume-proportional partition count (4 band rows/doc, ~50k per
+    // partition) instead of the session default — at bench scale the
+    // default-width join cost ~0.8 s of pure per-task floor on ~20k rows
+    // (isolated A/B: 1.21 s @32 partitions vs 0.40 s @1, identical rows);
+    // past ~400k docs the formula returns the session default unchanged,
+    // so production plans are untouched. The doc count is metadata-cheap
+    // (parquet rowcount) and memoized.
+    val nDocs = graft.core.Caches.memo(docs, "count")(
+      java.lang.Long.valueOf(docs.count())).longValue
+    val parts = math.min(
+      docs.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      math.max(1L, 4L * nDocs / 50_000L)).toInt
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("sig"), 15 * k).bitwiseAND(lit(0x7FFFL))): _*)).as(Seq("band", "bh")))
+      .repartition(parts, col("band"), col("bh"))
     val repPairs = banded
       .select(col("band"), col("bh"), col("id").as("i"), col("sig").as("sig_i"))
       .join(banded.select(col("band"), col("bh"), col("id").as("j"), col("sig").as("sig_j"))
@@ -1334,7 +1367,14 @@ object Dedup {
   /** Driver union-find for the small-graph fast path of [[clusterPairs]]:
     * min-id roots (every union keeps the smaller root) with path
     * compression — output identical to the distributed loop: (id,
-    * cluster_id = min reachable id), one row per touched vertex. */
+    * cluster_id = min reachable id), one row per touched vertex.
+    *
+    * collect(), NOT toLocalIterator(): the iterator launches ONE JOB PER
+    * PARTITION of the edge table (sequential driver round-trips — profiled
+    * at ~64 × ~15 ms ≈ 1 s of pure scheduling on q55's 64-partition pair
+    * hub, most of the query's warm wall time), while the edge set is
+    * already driver-bounded by the [[SmallGraphEdges]] contract (≤2²⁰
+    * rows ≈ 16 MB) — one collect job fetches it whole. */
   private def unionFindLabels(e0: DataFrame): DataFrame = {
     val parent = new java.util.HashMap[Long, Long]
     def find(x: Long): Long = {
@@ -1344,7 +1384,7 @@ object Dedup {
       while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
       r
     }
-    for (row <- e0.toLocalIterator().asScala) {
+    for (row <- e0.collect()) {
       val i = row.getLong(0); val j = row.getLong(1)
       parent.putIfAbsent(i, i)
       parent.putIfAbsent(j, j)

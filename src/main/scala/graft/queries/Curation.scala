@@ -120,14 +120,21 @@ object Curation {
       graft.core.Caches.memo(e, "count")(java.lang.Long.valueOf(e.count())).longValue / 250L).toInt
     val sd = Similarity.semanticDedup(e, minCosine = 0.4, nCells = cells)
       .select(col("vec_id"), col("sem_canonical_id"))
-    val exactPairs = Similarity.exactCosinePairs(e, e)
-      .filter(col("qid") < col("vid") && col("cosine") >= 0.4)
-      .select(col("qid").as("i"), col("vid").as("j"))
+    // persist the pair/label fan-out points (both id-only — KB-scale rows):
+    // exactPairs feeds clusterPairs AND the recall join, and `joined` feeds
+    // FOUR aggregates (stats/refine/semI/semJ) — unpersisted, each consumer
+    // re-ran the full dense |B|² cosine scan / SemDeDup assignment (profiled:
+    // 3 × ~200-380 ms duplicate jobs of q90's ~1.9 s warm wall). Registered
+    // in Caches, released by the bench/verify unpersistAll like every hub.
+    val exactPairs = graft.core.Caches.persist(
+      Similarity.exactCosinePairs(e, e)
+        .filter(col("qid") < col("vid") && col("cosine") >= 0.4)
+        .select(col("qid").as("i"), col("vid").as("j")))
     val exComps = Dedup.clusterPairs(exactPairs)
       .select(col("id").as("vec_id"), col("cluster_id").as("ex_cl"))
-    val joined = sd.join(exComps, Seq("vec_id"), "left")
+    val joined = graft.core.Caches.persist(sd.join(exComps, Seq("vec_id"), "left")
       .select(col("vec_id"), col("sem_canonical_id"),
-        coalesce(col("ex_cl"), col("vec_id")).as("ex_cl"))
+        coalesce(col("ex_cl"), col("vec_id")).as("ex_cl")))
     val stats = joined.agg(count(lit(1)).as("n_vecs"))
     val refine = joined.groupBy(col("sem_canonical_id"))
       .agg(countDistinct(col("ex_cl")).as("nc"))
