@@ -1189,12 +1189,15 @@ object Dedup {
       sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*))
     // band-join parallelism from the corpus (memo hit — fractionalDfCap
     // above already counted docs; an explicit maxDf skips that, so count
-    // here either way): bands/doc band rows, ~50k per partition.
+    // here either way): bands/doc band rows, ~12k per partition (the
+    // prefixCandidates granularity — the minhash band probe is CPU-denser
+    // per row than simhash's 4-band join, and a 50k target measured a
+    // ~0.1 s warm regression at sf0.1's 160k band rows).
     val nDocs = graft.core.Caches.memo(docs, "count")(
       java.lang.Long.valueOf(docs.count())).longValue
     val bandParts = math.min(
       docs.sparkSession.sessionState.conf.numShufflePartitions.toLong,
-      math.max(1L, (numHashes / rowsPerBand) * nDocs / 50_000L)).toInt
+      math.max(1L, (numHashes / rowsPerBand) * nDocs / 12_000L)).toInt
     val cand = lshCandidates(hub, rowsPerBand, numHashes / rowsPerBand, bandParts)
     val arrs = hub.select(col("id"), col("shs"), col("n"))
     // one-job stats over the persisted hub (doubles as its explicit
