@@ -149,29 +149,21 @@ object TextAnalysis {
     * Docs shorter than k chars fingerprint their whole text; gram lists
     * shorter than w emit the single global minimum. */
   def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // Explode + window-min rather than nested array HOFs: a lambda-level
-    // sliding min would re-evaluate the whole per-doc hash array once PER
-    // WINDOW (Spark does not hoist loop-invariant subexpressions out of
-    // higher-order-function lambdas — measured 20× slowdown). Here each
-    // gram hashes once, the running min is a codegen'd window frame, and
-    // the only shuffles are the per-doc window partition and the distinct.
-    val t = col(textCol)
-    val g = graft.core.Tables.spread(docs)
-      .filter(t.isNotNull)  // a null text has no grams, hence no fingerprints
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // MAP-ONLY via the [[graft.functions.WinnowFps]] codegen kernel
+    // (round-16 optimization): the former explode + per-doc window-min +
+    // global distinct shuffled the full gram table twice (corpus-gram
+    // volume — the plan's largest exchanges) to compute a function that
+    // is local to each document. The kernel hashes each gram once,
+    // slides a monotonic deque, and dedups per doc — bit-identical
+    // output (ids are unique per the operator's key contract, so per-doc
+    // dedup IS the old global distinct), zero shuffles. The earlier
+    // declarative rejection of array HOFs stands — the kernel is a
+    // single static JVM loop, not a lambda-per-window.
+    graft.core.Tables.spread(docs)
+      .filter(col(textCol).isNotNull)  // a null text has no fingerprints
       .select(col(idCol),
-        greatest(length(t) - (k - 1), lit(1)).as("ng"),
-        posexplode(transform(
-          sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-          i => t.substr(i, lit(k)))).as(Seq("pos", "gram")))
-      .withColumn("h", hash60(col("gram")))
-    val wdw = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    g.withColumn("mh", min(col("h")).over(wdw))
-      .filter(col("pos") <= greatest(col("ng") - (w - 1), lit(1)) - 1)
-      .select(col(idCol), col("mh").as("fp"))
-      .distinct()
-  }
+        explode(graft.functions.TextMetrics.winnowFps(col(textCol), k, w)).as("fp"))
 
   /** Containment / partial-overlap pairs via shared winnowing fingerprints —
     * the duplicate class set-similarity misses (a small doc quoted inside a

@@ -27,6 +27,11 @@ object TextMetrics {
   def wordGramHash60(tokens: Column, n: Int): Column =
     Bridge.column(WordGramHash60(Bridge.expression(tokens), n))
 
+  /** Distinct winnowing fingerprints (Schleimer et al.) of a text, as
+    * ARRAY<BIGINT>. See [[WinnowFps]]. */
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFps(Bridge.expression(text), k, w))
+
   /** Apply an ordered BPE merge list to a symbol array. See
     * [[BpeApply]]. */
   def bpeApply(symbols: Column, merges: Seq[(String, String)]): Column =
@@ -112,6 +117,92 @@ case class Hash60(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Distinct winnowing fingerprints (Schleimer et al., SIGMOD'03) of one
+  * text value, as one codegen'd call: the minimum [[Hash60]] of each
+  * `k`-gram over every `w`-wide sliding window, first-occurrence order.
+  *
+  * The declarative form this replaces (posexplode every gram, hash, then
+  * `min over (partition by doc order by pos rows w-1 following)` + a
+  * global DISTINCT) shuffled the full GRAM TABLE (corpus-gram volume — the
+  * largest exchange of q49/q51's plans, and a corpus-scale shuffle at
+  * production sizes) purely to compute a PER-DOCUMENT-LOCAL function, then
+  * shuffled again for the distinct. Here the whole per-row loop is one
+  * static JVM method: hash each gram once, slide a monotonic deque
+  * (O(ng) total), dedupe locally — the operator becomes map-only and both
+  * shuffles disappear from the plan.
+  *
+  * Semantics are BIT-IDENTICAL to the declarative form (property test +
+  * oracle gates pin this):
+  *  - grams: SQL `substr(i, k)` for i = 1..max(len−k+1, 1) — a text
+  *    shorter than `k` contributes itself as its one gram;
+  *  - window starts: 0-based p = 0..max(ng−w+1, 1)−1, frame clipped at
+  *    the gram list's end (a list shorter than `w` emits its single
+  *    global minimum);
+  *  - fingerprint = min h over the frame; output deduplicated per row.
+  * Null text → null (explode drops it). */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k > 0 && w > 0, s"k=$k and w=$w must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.sql}")
+  }
+  override def prettyName: String = "graft_winnow_fps"
+
+  override def nullSafeEval(s: Any): Any =
+    WinnowFps.of(s.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowFps.of($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+  /** Distinct windowed-minimum fingerprints of `text` (see the case class
+    * doc for the exact contract). Called from codegen. */
+  def of(text: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val len = text.numChars()
+    val ng = math.max(len - (k - 1), 1)
+    val h = new Array[Long](ng)
+    var i = 1
+    while (i <= ng) {
+      h(i - 1) = Hash60.of(text.substringSQL(i, k).getBytes)
+      i += 1
+    }
+    val starts = math.max(ng - (w - 1), 1)
+    // monotonic deque of gram indices with increasing hash; ties pop (the
+    // kept index is the rightmost minimal one — the VALUE, which is all
+    // the fingerprint keeps, is identical either way)
+    val deque = new Array[Int](ng)
+    var head = 0
+    var tail = 0
+    val seen = new java.util.LinkedHashSet[java.lang.Long](math.min(starts, 1 << 16))
+    var p = 0
+    var j = 0
+    while (p < starts) {
+      val end = math.min(p + w, ng)
+      while (j < end) {
+        while (tail > head && h(deque(tail - 1)) >= h(j)) tail -= 1
+        deque(tail) = j
+        tail += 1
+        j += 1
+      }
+      while (deque(head) < p) head += 1
+      seen.add(h(deque(head)))
+      p += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 object Hash60 {

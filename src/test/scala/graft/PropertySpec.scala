@@ -225,6 +225,31 @@ object GraftProps extends Properties("graft") {
     Gen.chooseNum(0, 40).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'b', ' ', ' ', 'é', '語', ',')).map(_.mkString))
 
+  property("WinnowFps == explode + window-min + distinct (round-16 map-only kernel)") =
+    Prop.forAll(Gen.listOfN(10, shingleTextGen),
+        Gen.chooseNum(1, 5), Gen.chooseNum(1, 5)) { (texts, k, w) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val fused = df.select(col("id"),
+          explode(graft.functions.TextMetrics.winnowFps(col("t"), k, w)).as("fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the declarative formulation this kernel replaced, replayed verbatim
+      val g = df
+        .select(col("id"),
+          greatest(length(col("t")) - (k - 1), lit(1)).as("ng"),
+          posexplode(transform(
+            sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))),
+            i => col("t").substr(i, lit(k)))).as(Seq("pos", "gram")))
+        .withColumn("h", graft.functions.TextMetrics.hash60(col("gram")))
+      val wdw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+      val composed = g.withColumn("mh", min(col("h")).over(wdw))
+        .filter(col("pos") <= greatest(col("ng") - (w - 1), lit(1)) - 1)
+        .select(col("id"), col("mh").as("fp")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      fused == composed
+    }
+
   property("CharNgramSet == array_distinct(transform(sequence, substr))") =
     Prop.forAll(Gen.listOfN(16, shingleTextGen), Gen.chooseNum(1, 6)) { (texts, n) =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
