@@ -181,9 +181,22 @@ object TextAnalysis {
   def containmentPairs(docs: DataFrame, k: Int = 8, w: Int = 8,
       maxDf: Int = 500, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fps = graft.core.Caches.persist(
-      winnowingFingerprints(docs, k, w, idCol, textCol))
-    val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("nfp"))
+    // Persist the PRE-EXPLODE per-doc fingerprint ARRAYS, not the exploded
+    // rows (round-17): `nfp` is then `size(fps)` — a map-only projection of
+    // the cached arrays — instead of a groupBy over the exploded table,
+    // which cost a full extra scan+aggregate of the fingerprint hub PER
+    // JOIN SIDE (the two renamed `sizes` subplans canonicalize differently,
+    // so neither the cache nor exchange reuse deduped them). The kernel
+    // output is deduped per doc, so size(fps) ≡ the former per-id row
+    // count; ids with empty arrays gain an nfp=0 row that no pair can join
+    // to — output identical (oracle-gated).
+    val arr = graft.core.Caches.persist(
+      graft.core.Tables.spread(docs)
+        .filter(col(textCol).isNotNull)
+        .select(col(idCol),
+          graft.functions.TextMetrics.winnowFps(col(textCol), k, w).as("fps")))
+    val fps = arr.select(col(idCol), explode(col("fps")).as("fp"))
+    val sizes = arr.select(col(idCol), size(col("fps")).as("nfp"))
     val shared = fps.groupBy(col("fp"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"), count(lit(1)).as("df"))
       .filter(col("df") > 1 && col("df") <= maxDf)

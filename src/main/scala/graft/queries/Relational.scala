@@ -181,6 +181,15 @@ object Relational {
   def q07_topk_per_supplier(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      // Pre-partition by the group key (round-17): a collect_list partial
+      // aggregate reduces NOTHING (it ships the full per-group arrays), so
+      // map-side aggregation here is pure object-agg overhead — and on the
+      // single-row-group bench scan it all ran on one core. Keyed
+      // repartition keeps ONE exchange (the groupBy reuses the
+      // partitioning) and moves the array build after it, parallel. Same
+      // shuffle bytes at any scale (rows ≈ list entries), one agg pass
+      // instead of partial+merge.
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"))
       .agg(slice(sort_array(collect_list(struct(
         (-col("l_extendedprice")).as("np"), col("l_orderkey"),
