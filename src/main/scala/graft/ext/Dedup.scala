@@ -536,14 +536,15 @@ object Dedup {
     * One plan, three shuffles that matter: df count, per-doc array rollup
     * (a single exchange shared by the prefix explode and both verify
     * sides), and the candidate distinct. */
-  private def prefixJaccardPairs(shd: DataFrame, minJaccard: Double): DataFrame = {
-    val hub = prefixHub(shd)
+  private def prefixJaccardPairs(shd: DataFrame, minJaccard: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val hub = prefixHub(shd, maxDf)
     val st = hubStatsOf(hub)
     verifyJaccard(prefixCandidates(hub, minJaccard, st.grams), hub, hub,
       minJaccard, st, st)
   }
 
-  private def prefixHub(shd: DataFrame): DataFrame = {
+  private def prefixHub(shd: DataFrame, maxDf: Int = Int.MaxValue): DataFrame = {
     // shd: (id, sh, df). Rarest-first per-doc token array. The hub feeds
     // three consumers (prefix explode + both verify sides), so it is
     // persisted: one materialization instead of three recomputes of the
@@ -557,13 +558,22 @@ object Dedup {
     // equality ⟺ shingle equality — posting lists and intersection counts
     // work directly on keys, and the sorted keys feed the merge-scan
     // verification (graft_sorted_intersect_count) with zero rework.
-    // 10-digit pad covers df ≤ Int.MaxValue (jaccardPairs permits maxDf =
-    // Int.MaxValue, and Spark's lpad TRUNCATES past the pad width, which
-    // would silently scramble the rarest-first order at df ≥ 1e9).
+    // The pad width is digits(maxDf) (round-17): every df in shd is
+    // ≤ maxDf by the caller's cap filter, so the narrower equal-width pad
+    // preserves the exact (df asc, sh asc) order while cutting ~7 bytes
+    // per array element at typical caps (26 → 19 chars on 16-char grams:
+    // the hub exchange, the per-doc sort, and every merge-scan intersect
+    // compare fewer bytes). Callers that allow df up to Int.MaxValue
+    // (jaccardPairs) keep the full 10-digit pad — Spark's lpad TRUNCATES
+    // past the pad width, which would silently scramble the rarest-first
+    // order, so the width must always cover the cap. Across-op contract:
+    // both sides' hubs are built with the SAME cap, so prefix keys stay
+    // comparable cross-side.
+    val pad = math.max(1, java.lang.Integer.toString(maxDf).length)
     graft.core.Caches.persist(
       shd.groupBy(col("id"))
         .agg(sort_array(collect_list(
-            concat(lpad(col("df").cast(StringType), 10, "0"), col("sh")))).as("shs"),
+            concat(lpad(col("df").cast(StringType), pad, "0"), col("sh")))).as("shs"),
           count(lit(1)).as("n")))
   }
 
@@ -680,7 +690,7 @@ object Dedup {
     val cap = if (maxDf > 0) maxDf else fractionalDfCap(docs)
     val full = textGroups(docs, idCol, textCol)
     val groups = slimGroups(full)
-    val hub = prefixHub(groupShingles(full, n, cap, mkShingles))
+    val hub = prefixHub(groupShingles(full, n, cap, mkShingles), cap)
     val st = hubStatsOf(hub)
     val repPairs = verifyJaccard(prefixCandidates(hub, minJaccard, st.grams),
       hub, hub, minJaccard, st, st)
@@ -727,12 +737,12 @@ object Dedup {
     val cShDf = postAll.filter(col("df") <= cap)
       .select(col("sh"), col("df"), explode(col("ids")).as("m"))
       .select(col("sh"), col("df"), col("m.id").as("id"))
-    val cHub = prefixHub(cShDf)
+    val cHub = prefixHub(cShDf, cap)
     val dSh = dg.select(col("rep").as("id"), explode(shingleArray(col("gtext"), n)).as("sh"))
       .join(postAll.select(col("sh"), col("df")).hint("shuffle_hash"), Seq("sh"), "left")
       .select(col("sh"), coalesce(col("df"), lit(0L)).as("df"), col("id"))
       .filter(col("df") <= cap)
-    val dHub = prefixHub(dSh)
+    val dHub = prefixHub(dSh, cap)
     val stD = hubStatsOf(dHub)
     val stC = hubStatsOf(cHub)
     val cand = prefixCandidatesAcross(dHub, cHub, minJaccard)
